@@ -1,0 +1,112 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the end-to-end KG
+pipeline over a synthetic page corpus; reports per-query seconds and the
+primary metric (KG triples/sec end-to-end).
+
+    {"metric": "kg_triples_per_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1, ...}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local core count (default 32)
+    BENCH_PAGES          KG corpus size (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "a1_pricing_summary",
+    "j1_three_way_lookup_join",
+    "j2_decorrelated_count_join",
+    "w1_adjacent_context_sum",
+    "a2_explode_group_count",
+    "t1_recency_topk",
+]
+
+
+def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
+    from hades_spark.queries import SPARK_QUERIES
+    from hades_spark.session import get_spark
+
+    spark = get_spark(
+        "hades_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+
+    # warm the JVM/parquet footers once so per-query times measure the query
+    for t in ["lineitem", "orders", "customer", "events", "documents"]:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        results[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+
+    # end-to-end KG pipeline: pages -> canonical edges
+    from hades_spark.pipeline.corpus import pages_df
+    from hades_spark.pipeline.kg import canonical_triples, distinct_edges
+
+    gen0 = time.perf_counter()
+    pages = pages_df(spark, n_pages, seed=42, partitions=cpus * 2,
+                     with_text=False).cache()
+    pages.count()  # corpus generation not counted in pipeline time
+    gen_sec = time.perf_counter() - gen0
+
+    t0 = time.perf_counter()
+    triples = canonical_triples(pages)
+    edges = distinct_edges(triples)
+    n_edges = edges.count()
+    kg_sec = time.perf_counter() - t0
+    n_triples = triples.count()  # cached upstream; cheap recount
+    results["kg_pipeline"] = round(kg_sec, 4)
+
+    triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
+
+    sf = 0.1
+    if "sf0.01" in sf_dir:
+        sf = 0.01
+    elif "sf0.001" in sf_dir:
+        sf = 0.001
+
+    out = {
+        "metric": "kg_triples_per_sec",
+        "value": round(triples_per_sec, 2),
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "kg_pages": n_pages,
+        "kg_triples": n_triples,
+        "kg_edges": n_edges,
+        "kg_gen_sec": round(gen_sec, 2),
+        "cpus": cpus,
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "20000"))
+    print(json.dumps(run(sf_dir, cpus, n_pages)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,244 @@
+"""Mention detection over raw HTML / extracted text.
+
+Pure-Python detectors (reference semantics:
+``extractors_markdown.py:489-617`` for HTML links / tables / code blocks,
+``academic_citation_toolkit.py:545-665`` for citation-style entries) wrapped
+in a single Arrow-batched pandas UDF that returns ``array<struct>`` rows per
+page, then exploded into the ``mentions`` table. UDTF-shaped: one input row
+-> many mention rows, but expressed as UDF + ``explode`` so Catalyst still
+prunes/pushes around it.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType
+
+from ..schemas import MENTION
+from .html_text import html_to_text, unescape_html
+
+# --- HTML structural mentions ------------------------------------------------
+
+_RE_PRE_CODE = re.compile(
+    r"<pre[^>]*><code([^>]*)>(.*?)</code></pre>", re.DOTALL | re.IGNORECASE
+)
+_RE_CODE = re.compile(r"<code([^>]*)>(.*?)</code>", re.DOTALL | re.IGNORECASE)
+_RE_LANG_CLASS = re.compile(r"language-([A-Za-z0-9_+#-]+)", re.IGNORECASE)
+_RE_TABLE = re.compile(r"<table[^>]*>(.*?)</table>", re.DOTALL | re.IGNORECASE)
+_RE_TH = re.compile(r"<th[^>]*>(.*?)</th>", re.DOTALL | re.IGNORECASE)
+_RE_TR = re.compile(r"<tr[^>]*>(.*?)</tr>", re.DOTALL | re.IGNORECASE)
+_RE_TD = re.compile(r"<td[^>]*>(.*?)</td>", re.DOTALL | re.IGNORECASE)
+_RE_ANCHOR = re.compile(
+    r'<a[^>]*href=["\']([^"\']+)["\'][^>]*>(.*?)</a>', re.DOTALL | re.IGNORECASE
+)
+
+
+def _lang_of(attrs: str) -> str:
+    m = _RE_LANG_CLASS.search(attrs)
+    return m.group(1) if m else "text"
+
+
+def extract_code_blocks(content: str) -> list[dict[str, Any]]:
+    """<pre><code> blocks plus substantial (>50 char) bare <code> blocks."""
+    out: list[dict[str, Any]] = []
+    for attrs, code in _RE_PRE_CODE.findall(content):
+        code = unescape_html(code)
+        out.append({"language": _lang_of(attrs), "code": code.strip()})
+    remainder = _RE_PRE_CODE.sub("", content)
+    for attrs, code in _RE_CODE.findall(remainder):
+        code = unescape_html(code)
+        if code.strip() and len(code) > 50:
+            out.append({"language": _lang_of(attrs), "code": code.strip()})
+    return out
+
+
+def extract_tables(content: str) -> list[dict[str, Any]]:
+    """Tables as header list + row-of-cells lists (cells plain-texted)."""
+    tables = []
+    for tbl in _RE_TABLE.findall(content):
+        headers = [html_to_text(th).strip() for th in _RE_TH.findall(tbl)]
+        rows = []
+        for tr in _RE_TR.findall(tbl):
+            cells = [html_to_text(td).strip() for td in _RE_TD.findall(tr)]
+            if cells:
+                rows.append(cells)
+        if headers or rows:
+            tables.append({"headers": headers, "rows": rows})
+    return tables
+
+
+def extract_links(content: str) -> list[dict[str, Any]]:
+    """Anchor href + plain-texted anchor text (text falls back to href)."""
+    links = []
+    for href, inner in _RE_ANCHOR.findall(content):
+        text = html_to_text(inner).strip()
+        links.append({"text": text or href, "href": href})
+    return links
+
+
+# --- citation-style mentions --------------------------------------------------
+
+_RE_ARXIV = re.compile(r"arXiv:(\d{4}\.\d{4,5})", re.IGNORECASE)
+_RE_DOI = re.compile(r"doi:?\s*(10\.\d+/[^\s,]+)", re.IGNORECASE)
+_RE_PMID = re.compile(r"PMID:?\s*(\d+)", re.IGNORECASE)
+_RE_SSRN = re.compile(r"SSRN[:\s]*(\d+)", re.IGNORECASE)
+_RE_YEAR = re.compile(r"\b(19|20)\d{2}\b")
+_TITLE_PATTERNS = (
+    re.compile(r'["“”]([^"“”]{15,200})["“”]'),
+    re.compile(r"_([^_]{15,200})_"),
+    re.compile(r"\*([^*]{15,200})\*"),
+    re.compile(r"(?:^|\. )([A-Z][^.]{15,150})\."),
+)
+_AUTHOR_PATTERNS = (
+    re.compile(r"^([^.]+(?:[A-Z]\.[^.]*\.)+)"),
+    re.compile(r"^([A-Z][a-z]+(?:\s+[A-Z]\.[^,]*,\s*)*[A-Z][a-z]+)"),
+    re.compile(r"([A-Z][a-z]+\s+et\s+al\.?)"),
+)
+_VENUE_PATTERNS = (
+    re.compile(r"In\s+([A-Z][^,\n]{10,50})"),
+    re.compile(r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+)*)\s+\d{4}"),
+    re.compile(r"Proceedings\s+of\s+([^,\n]{10,50})"),
+)
+
+
+def parse_citation(entry_text: str) -> dict[str, Any] | None:
+    """Parse one free-form bibliography entry; additive confidence rubric
+    0.3 base + 0.4(any id) + 0.2(title) + 0.2(authors) + 0.1(year) +
+    0.1(venue), capped at 1.0."""
+    if len(entry_text.strip()) < 20:
+        return None
+
+    arxiv = m.group(1) if (m := _RE_ARXIV.search(entry_text)) else None
+    doi = m.group(1) if (m := _RE_DOI.search(entry_text)) else None
+    pmid = m.group(1) if (m := _RE_PMID.search(entry_text)) else None
+    ssrn = m.group(1) if (m := _RE_SSRN.search(entry_text)) else None
+    year = int(m.group(0)) if (m := _RE_YEAR.search(entry_text)) else None
+
+    title = None
+    for pat in _TITLE_PATTERNS:
+        if m := pat.search(entry_text):
+            title = m.group(1).strip()
+            break
+
+    authors: list[str] = []
+    for pat in _AUTHOR_PATTERNS:
+        if m := pat.search(entry_text):
+            parts = [a.strip() for a in m.group(1).split(",")]
+            authors = [a for a in parts if len(a) > 2 and not a.isdigit()][:5]
+            break
+
+    venue = None
+    for pat in _VENUE_PATTERNS:
+        if m := pat.search(entry_text):
+            venue = m.group(1).strip()
+            break
+
+    confidence = 0.3
+    if arxiv or doi or pmid or ssrn:
+        confidence += 0.4
+    if title and len(title) > 10:
+        confidence += 0.2
+    if authors:
+        confidence += 0.2
+    if year:
+        confidence += 0.1
+    if venue:
+        confidence += 0.1
+
+    return {
+        "arxiv_id": arxiv,
+        "doi": doi,
+        "pmid": pmid,
+        "ssrn_id": ssrn,
+        "year": year,
+        "title": title,
+        "authors": authors,
+        "venue": venue,
+        "confidence": min(1.0, confidence),
+    }
+
+
+# --- unified mention rows ------------------------------------------------------
+
+def detect_mentions(html: str, text: str) -> list[dict[str, Any]]:
+    """All mention kinds for one page, as MENTION-schema dicts.
+
+    Emission order is deterministic: links, code, tables, citation ids found
+    in the extracted text.
+    """
+    mentions: list[dict[str, Any]] = []
+
+    for lk in extract_links(html):
+        mentions.append({
+            "surface": lk["text"], "kind": "link",
+            "start_char": None, "end_char": None,
+            "attrs": {"href": lk["href"]}, "confidence": 1.0,
+        })
+    for cb in extract_code_blocks(html):
+        mentions.append({
+            "surface": cb["code"][:200], "kind": "code",
+            "start_char": None, "end_char": None,
+            "attrs": {"language": cb["language"]}, "confidence": 1.0,
+        })
+    for i, tb in enumerate(extract_tables(html)):
+        mentions.append({
+            "surface": " | ".join(tb["headers"])[:200] or f"table_{i}",
+            "kind": "table", "start_char": None, "end_char": None,
+            "attrs": {
+                "row_count": str(len(tb["rows"])),
+                "column_count": str(len(tb["headers"]) or (len(tb["rows"][0]) if tb["rows"] else 0)),
+            },
+            "confidence": 1.0,
+        })
+
+    # citation ids with character spans over the extracted text
+    for kind, rex, attr in (
+        ("citation", _RE_ARXIV, "arxiv_id"),
+        ("citation", _RE_DOI, "doi"),
+        ("citation", _RE_PMID, "pmid"),
+    ):
+        for m in rex.finditer(text):
+            parsed = parse_citation(text[max(0, m.start() - 60): m.end() + 120])
+            mentions.append({
+                "surface": m.group(0), "kind": kind,
+                "start_char": m.start(), "end_char": m.end(),
+                "attrs": {attr: m.group(1)},
+                "confidence": parsed["confidence"] if parsed else 0.7,
+            })
+    return mentions
+
+
+@F.pandas_udf(ArrayType(MENTION))
+def detect_mentions_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    for html_s, text_s in it:
+        yield pd.Series([
+            detect_mentions(
+                h.decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else (h or ""),
+                t or "",
+            )
+            for h, t in zip(html_s, text_s)
+        ])
+
+
+def mentions_table(pages: DataFrame) -> DataFrame:
+    """pages(url, html, text) -> mentions table (one row per mention).
+
+    Narrow until the explode; mention_id is position-stable so re-runs are
+    idempotent (deterministic keys, no uuids).
+    """
+    exploded = (
+        pages
+        .withColumn("m", F.posexplode_outer(detect_mentions_udf("html", "text")))
+        .select("url", F.col("pos"), F.col("col.*"))
+        .filter(F.col("kind").isNotNull())
+    )
+    return exploded.select(
+        "url",
+        F.concat_ws("#", "url", F.col("pos").cast("string")).alias("mention_id"),
+        "surface", "kind", "start_char", "end_char", "attrs", "confidence",
+    )

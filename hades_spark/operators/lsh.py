@@ -1,0 +1,160 @@
+"""MinHash + banded LSH candidate-pair generation — entirely JVM-side.
+
+The scale path for near-duplicate detection and entity canonicalization:
+instead of the O(n^2) similarity join, each row is shingled, min-hashed with
+``num_hashes`` independent hash functions, the signature is split into
+``bands``, and only rows sharing a (band, band-hash) bucket are paired.
+Candidate pairs are then verified with exact Jaccard over the shingle sets.
+
+Everything is built-in ``pyspark.sql.functions`` (xxhash64, explode,
+array_intersect, ...) so the whole thing stays inside whole-stage codegen;
+the only shuffles are the signature groupBy and the bucket self-join, both
+on well-distributed hash keys. Giant buckets (boilerplate shingles / stop
+surfaces) are capped with ``max_bucket_size`` to bound the pair explosion —
+the skew guard the north rule asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def char_shingles(col, n: int = 3):
+    """Distinct character n-grams of a (already normalized) string column."""
+    # sequence of start offsets -> transform to substrings -> distinct
+    return F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(col) - F.lit(n - 1), F.lit(1)),
+            ),
+            lambda i: F.substring(col, i, F.lit(n)),
+        )
+    )
+
+
+def token_shingles(col, n: int = 3):
+    """Distinct word n-grams (space-tokenized) of a string column."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingled: DataFrame, id_col: str,
+                      shingle_col: str = "shingles",
+                      num_hashes: int = 32) -> DataFrame:
+    """(id, shingles: array<string>) -> (id, sig: array<long> of length k).
+
+    One explode + one groupBy; the k min-hashes are computed as k min()
+    aggregates of seeded xxhash64 values (seed folded in via concat).
+    """
+    exploded = shingled.select(id_col, F.explode(shingle_col).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_expr,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """-> (a, b) candidate id pairs (a < b) sharing >= 1 LSH bucket.
+
+    ``shingle_expr`` is a Column producing array<string> shingles.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(F.col(id_col).alias("_id"),
+                         shingle_expr.alias("shingles"))
+    shingled = shingled.filter(F.size("shingles") > 0)
+    sig = minhash_signature(shingled, "_id", num_hashes=num_hashes)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                       for r in range(rows_per_band)]
+            )).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk")) \
+                 .select("_id", "bk.band", "bk.bh")
+
+    # cap pathological buckets (boilerplate) before the self-join
+    counted = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+
+    left = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
+    right = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs
+
+
+def verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_expr,
+    threshold: float,
+    metric: str = "jaccard",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """LSH candidates verified with an exact set metric -> (a, b, score).
+
+    metric='jaccard'      |A∩B| / |A∪B|   — near-duplicate detection
+    metric='containment'  |A∩B| / min(|A|,|B|) — alias/abbreviation graphs
+                          ('spark' ⊆ 'apachespark'). Use bands == num_hashes
+                          (1 row per band) so low-Jaccard containment pairs
+                          still surface as candidates.
+    """
+    keyed = df.select(F.col(id_col).alias("_id"), shingle_expr.alias("sh")) \
+              .filter(F.size("sh") > 0)
+    pairs = lsh_candidate_pairs(df, id_col, shingle_expr,
+                                num_hashes=num_hashes, bands=bands,
+                                max_bucket_size=max_bucket_size)
+    a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = keyed.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    if metric == "jaccard":
+        score = inter / F.size(F.array_union("sh_a", "sh_b"))
+    elif metric == "containment":
+        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
+def verified_jaccard_pairs(df, id_col, shingle_expr, threshold,
+                           num_hashes: int = 32, bands: int = 8,
+                           max_bucket_size: int = 200) -> DataFrame:
+    """Back-compat alias returning (a, b, jaccard)."""
+    return verified_pairs(
+        df, id_col, shingle_expr, threshold, "jaccard",
+        num_hashes, bands, max_bucket_size,
+    ).withColumnRenamed("score", "jaccard")

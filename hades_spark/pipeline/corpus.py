@@ -1,0 +1,188 @@
+"""Deterministic synthetic page corpus (seeded, timestamp-fixed).
+
+Generates Common-Crawl-shaped rows ``(url, warc_ts, html, text, lang)``
+(BASELINE.json input_hint) whose HTML exercises every extractor feature the
+reference's own unit tests cover (script/style removal, block-tag newline
+rules, named + numeric entities incl. out-of-range, <pre><code> language
+classes, bare <code> dedup, tables with empty cells, anchors, whitespace
+collapse — ``tests/core/extractors/test_extractors_markdown.py:174-519``),
+plus citation sentences and SVO-extractable sentences with entity surface
+variants for the linking/canonicalization stages.
+
+The ``text`` column is filled by running our extractor once at generation
+time, so ``extract(html) == text`` is the per-url byte-identical invariant
+every test and the pipeline itself re-checks. Each page's ground-truth
+canonical (subj, pred, obj) set is emitted alongside — the P/R oracle.
+
+~5% of rows land on two hot hosts — the skew fixture for salting tests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.html_text import extract_text_from_html_bytes
+from ..schemas import PAGES
+
+_BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+# (canonical display name, surface variants) — variants recur across pages,
+# the canonicalization fixture.
+ENTITIES: list[tuple[str, list[str]]] = [
+    ("HADES", ["HADES", "hades", "H.A.D.E.S.", "the HADES system"]),
+    ("ArangoDB", ["ArangoDB", "arangodb", "Arango DB"]),
+    ("Jina V4", ["Jina V4", "jina v4", "JinaV4"]),
+    ("Apache Spark", ["Apache Spark", "Spark", "apache spark"]),
+    ("Common Crawl", ["Common Crawl", "CommonCrawl", "common crawl"]),
+    ("PostgreSQL", ["PostgreSQL", "Postgres", "postgres"]),
+    ("TensorFlow", ["TensorFlow", "tensorflow", "Tensor Flow"]),
+    ("GraphFrames", ["GraphFrames", "graphframes"]),
+]
+
+PREDICATES = ["uses", "extends", "replaces", "stores", "embeds", "indexes",
+              "links", "cites"]
+
+SURFACE_TO_CANONICAL: dict[str, str] = {
+    v: c for c, vs in ENTITIES for v in vs
+}
+
+_LANGS = ["en", "en", "en", "en", "en", "en", "en", "en", "de", "fr"]
+_HOT_HOSTS = ["hub.example", "portal.example"]
+
+
+class Page(NamedTuple):
+    url: str
+    warc_ts: dt.datetime
+    html: bytes
+    text: str
+    lang: str
+    truth: list[tuple[str, str, str]]  # canonical (subj, pred, obj)
+
+
+def _svo_sentence(rng: random.Random) -> tuple[str, tuple[str, str, str]]:
+    si = rng.randrange(len(ENTITIES))
+    oi = (si + 1 + rng.randrange(len(ENTITIES) - 1)) % len(ENTITIES)
+    subj_c, subj_vars = ENTITIES[si]
+    obj_c, obj_vars = ENTITIES[oi]
+    pred = rng.choice(PREDICATES)
+    subj = rng.choice(subj_vars)
+    obj = rng.choice(obj_vars)
+    return f"{subj} {pred} {obj}.", (subj_c, pred, obj_c)
+
+
+def _make_page_html(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str, str]]]:
+    truth: list[tuple[str, str, str]] = []
+    parts = [f"<html><head><title>Doc {i}</title>",
+             "<style>body { color: red; }</style>",
+             "<script>var x = 1 &amp;&amp; 2;</script></head><body>"]
+    parts.append(f"<h1>Document {i} &mdash; synthetic &amp; deterministic</h1>")
+
+    sents = []
+    for _ in range(2 + rng.randrange(4)):
+        s, t = _svo_sentence(rng)
+        sents.append(s)
+        truth.append(t)
+    parts.append("<p>" + " ".join(sents) + "</p>")
+
+    if rng.random() < 0.5:
+        parts.append(
+            f'<p>See <a href="https://ref.example/doc{rng.randrange(200)}.html">'
+            f"related doc {i}</a> and "
+            f'<a href="https://cite.example/p{rng.randrange(50)}">a paper</a>.</p>'
+        )
+    if rng.random() < 0.35:
+        parts.append(
+            '<pre><code class="language-python">def f(n):\n'
+            "    return n &lt;&lt; 1\n</code></pre>"
+        )
+    if rng.random() < 0.25:
+        parts.append(
+            "<table><tr><th>name</th><th>value</th></tr>"
+            f"<tr><td>alpha</td><td>{rng.randrange(100)}</td></tr>"
+            "<tr><td></td><td>beta&nbsp;&#8212;</td></tr></table>"
+        )
+    if rng.random() < 0.4:
+        yr = 2015 + rng.randrange(10)
+        parts.append(
+            f'<p>[1] Smith, J., "A Study of Graph Construction Methods", '
+            f"In Proceedings of KDD, {yr}. arXiv:{1500 + rng.randrange(500)}."
+            f"{10000 + rng.randrange(89999)}</p>"
+        )
+    if rng.random() < 0.2:
+        parts.append("<p>weird entity &#999999999; and hex &#x1F600; here</p>")
+    if rng.random() < 0.2:
+        parts.append("<div>multi    space\t\trun</div><br><br><br>")
+
+    parts.append("</body></html>")
+    return "".join(parts), truth
+
+
+def gen_pages(n_pages: int, seed: int = 42, compute_text: bool = True) -> list[Page]:
+    """Deterministic synthetic pages with per-page ground-truth triples.
+
+    ``compute_text=False`` skips the driver-side reference extraction (the
+    pipeline recomputes it distributed) — use for large bench corpora."""
+    pages: list[Page] = []
+    for i in range(n_pages):
+        rng = random.Random((seed << 20) + i)
+        if rng.random() < 0.05:
+            host = _HOT_HOSTS[i % len(_HOT_HOSTS)]
+        else:
+            host = f"host{rng.randrange(max(8, n_pages // 20))}.example"
+        url = f"https://{host}/docs/{i}.html"
+        html_str, truth = _make_page_html(i, rng)
+        lang = rng.choice(_LANGS)
+        # a few ascii-safe latin-1 pages exercise the decode fallback ladder;
+        # page 13 mod 97 gets a raw 0xE9 byte that is invalid utf-8.
+        if i % 97 == 13:
+            html = html_str.encode("utf-8") + b"<p>caf\xe9</p>"
+        else:
+            html = html_str.encode("utf-8")
+        text = extract_text_from_html_bytes(html) if compute_text else ""
+        ts = _BASE_TS + dt.timedelta(seconds=i * 37 % 864000)
+        pages.append(Page(url, ts, html, text, lang, truth))
+    return pages
+
+
+def pages_df(spark: SparkSession, n_pages: int, seed: int = 42,
+             partitions: int | None = None,
+             with_text: bool = True) -> DataFrame:
+    """Synthesise the pages table as a DataFrame. ``with_text=False`` leaves
+    the text column null (the pipeline fills it — the normal entry shape)."""
+    rows = [
+        (p.url, p.warc_ts, p.html, p.text if with_text else None, p.lang)
+        for p in gen_pages(n_pages, seed, compute_text=with_text)
+    ]
+    df = spark.createDataFrame(rows, PAGES)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
+def expected_triples(n_pages: int, seed: int = 42) -> set[tuple[str, str, str]]:
+    """Ground-truth triple set (canonical display names) across the corpus."""
+    out: set[tuple[str, str, str]] = set()
+    for p in gen_pages(n_pages, seed):
+        out.update(p.truth)
+    return out
+
+
+def expected_canonical_triples(n_pages: int, seed: int = 42) -> set[tuple[str, str, str]]:
+    """Ground truth expressed in canonical-id space: each entity's id is the
+    lexicographically-smallest normalized surface across its variants — the
+    same rule the pipeline's canonicalization applies to a perfectly
+    recovered alias cluster, so P/R compares like with like."""
+    from ..operators.canonicalize import normalize_surface
+
+    canon_id = {
+        canon: min(normalize_surface(v) for v in variants)
+        for canon, variants in ENTITIES
+    }
+    return {
+        (canon_id[s], p, canon_id[o])
+        for (s, p, o) in expected_triples(n_pages, seed)
+    }

@@ -1,0 +1,82 @@
+"""End-to-end KG pipeline tests: extraction, canonicalization, P/R."""
+
+from pyspark.sql import functions as F
+
+from hades_spark.functions.triples import extract_triples
+from hades_spark.operators.canonicalize import normalize_surface
+from hades_spark.pipeline.corpus import (
+    expected_canonical_triples,
+    gen_pages,
+    pages_df,
+)
+from hades_spark.pipeline.kg import canonical_triples, distinct_edges, ensure_text
+
+
+class TestTripleExtraction:
+    def test_simple_svo(self):
+        ts = extract_triples("HADES uses Spark.")
+        assert [(t["subj"], t["pred"], t["obj"]) for t in ts] == \
+            [("HADES", "uses", "Spark")]
+
+    def test_multiple_sentences(self):
+        ts = extract_triples("A1 uses B2. C3 extends D4.")
+        assert [(t["subj"], t["pred"], t["obj"]) for t in ts] == \
+            [("A1", "uses", "B2"), ("C3", "extends", "D4")]
+
+    def test_dotted_entity_as_object(self):
+        ts = extract_triples("Spark uses H.A.D.E.S..")
+        assert [(t["subj"], t["obj"]) for t in ts] == [("Spark", "H.A.D.E.S.")]
+
+    def test_dotted_entity_as_subject(self):
+        ts = extract_triples("First one. H.A.D.E.S. uses Spark.")
+        # the entity's terminal '.' is consumed as sentence punctuation;
+        # canonicalization normalizes both forms identically
+        assert [(t["subj"], t["obj"]) for t in ts] == [("H.A.D.E.S", "Spark")]
+
+    def test_multiword_spans(self):
+        ts = extract_triples("the HADES system embeds Apache Spark.")
+        assert [(t["subj"], t["obj"]) for t in ts] == \
+            [("the HADES system", "Apache Spark")]
+
+    def test_no_predicate_no_triple(self):
+        assert extract_triples("Nothing interesting here.") == []
+
+    def test_line_bounded(self):
+        ts = extract_triples("header line\nAA uses BB.\nfooter")
+        assert [(t["subj"], t["obj"]) for t in ts] == [("AA", "BB")]
+
+
+class TestNormalization:
+    def test_normalize_surface(self):
+        assert normalize_surface("H.A.D.E.S.") == "h a d e s"
+        assert normalize_surface("Apache  Spark!") == "apache spark"
+        assert normalize_surface("hades") == "hades"
+
+
+class TestPipeline:
+    def test_ensure_text_fills_and_matches(self, spark):
+        pages = pages_df(spark, 40, seed=3, with_text=False)
+        filled = ensure_text(pages)
+        truth = {p.url: p.text for p in gen_pages(40, seed=3)}
+        for r in filled.select("url", "text").collect():
+            assert r["text"] == truth[r["url"]]
+
+    def test_pipeline_precision_recall(self, spark):
+        n = 120
+        pages = pages_df(spark, n, seed=42, with_text=False)
+        edges = distinct_edges(canonical_triples(pages))
+        got = {(r["subj"], r["pred"], r["obj"])
+               for r in edges.select("subj", "pred", "obj").collect()}
+        want = expected_canonical_triples(n, seed=42)
+        assert want, "generator produced no ground truth?"
+        tp = len(got & want)
+        precision = tp / max(len(got), 1)
+        recall = tp / len(want)
+        assert precision >= 0.95, (precision, sorted(got - want)[:10])
+        assert recall >= 0.95, (recall, sorted(want - got)[:10])
+
+    def test_edges_are_deduped_and_keyed(self, spark):
+        pages = pages_df(spark, 60, seed=1, with_text=False)
+        edges = distinct_edges(canonical_triples(pages))
+        assert edges.count() == edges.select("edge_key").distinct().count()
+        assert edges.filter(F.length("edge_key") != 64).count() == 0
