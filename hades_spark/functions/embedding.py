@@ -1,0 +1,136 @@
+"""Embedding stage — ``mapInPandas`` with a pluggable per-executor backend.
+
+The production contract mirrors the reference embedder
+(``embedders_jina.py:904-914``): a dense float vector per chunk, mean-pooled
+and L2-normalized, fixed dimension. The heavy model is loaded lazily ONCE
+per executor process inside the iterator closure (the Spark restatement of
+the reference's persistent embedder daemon, ``embedder_service.py:111-147``)
+— never per batch, never per row.
+
+For tests/bench this module ships a **deterministic hash embedder**: char
+3-gram feature hashing into ``dim`` buckets + L2 norm. Same shape/normalize
+contract as the real model, fully reproducible, and it preserves the
+similar-surface => high-cosine behavior the linking stage depends on.
+
+A real model backend would subclass ``EmbedderBackend`` and load its weights
+in ``__init__`` (executor-side); nothing else changes. The model libraries
+are not in this container, so that path is a documented stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+class EmbedderBackend:
+    """One instance per executor process; ``encode`` maps a batch of texts
+    to a (len(texts), dim) float32 matrix of L2-normalized rows."""
+
+    dim: int
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        raise NotImplementedError
+
+
+class HashEmbedder(EmbedderBackend):
+    """Deterministic char-3-gram feature-hash embedder."""
+
+    def __init__(self, dim: int = 64, ngram: int = 3):
+        self.dim = dim
+        self.ngram = ngram
+
+    def _grams(self, text: str) -> list[str]:
+        t = " " + (text or "").lower() + " "
+        n = self.ngram
+        return [t[i: i + n] for i in range(max(len(t) - n + 1, 1))]
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for r, text in enumerate(texts):
+            for g in self._grams(text):
+                h = int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                )
+                sign = 1.0 if (h >> 63) & 1 else -1.0
+                out[r, h % self.dim] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out
+
+
+class ModelEmbedder(EmbedderBackend):
+    """Real-model backend stub — the container has no model libraries.
+
+    On a real cluster: load the model here (once per executor), move to the
+    local device, and implement ``encode`` with batched forward passes —
+    batch size tuned to device memory exactly like the reference's VRAM
+    table (``README.md:321-327``).
+    """
+
+    def __init__(self, model_name: str = "jinaai/jina-embeddings-v4",
+                 dim: int = 2048):
+        raise NotImplementedError(
+            "model libraries are not available in this environment; "
+            "use HashEmbedder or provide a custom EmbedderBackend"
+        )
+
+
+def embed_chunks(
+    chunks: DataFrame,
+    backend_factory=HashEmbedder,
+    dim: int = 64,
+    text_col: str = "text",
+    batch_size: int = 256,
+    model_name: str = "hash-v1",
+) -> DataFrame:
+    """chunks -> embeddings(doc_id, chunk_index, embedding_id, embedding,
+    model). ``mapInPandas`` so the backend is constructed lazily once per
+    task and reused across Arrow batches; no shuffle (narrow)."""
+    out_schema = (
+        "doc_id string, chunk_index int, embedding_id string, "
+        "embedding array<float>, model string"
+    )
+    cols = chunks.select(
+        F.col("doc_id").cast("string"),
+        F.col("chunk_index").cast("int"),
+        F.col("chunk_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory(dim)  # once per task, reused per batch
+        for pdf in batches:
+            texts = pdf["_text"].fillna("").tolist()
+            vecs = []
+            for i in range(0, len(texts), batch_size):
+                vecs.append(backend.encode(texts[i: i + batch_size]))
+            mat = np.vstack(vecs) if vecs else np.zeros((0, backend.dim))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "chunk_index": pdf["chunk_index"],
+                "embedding_id": pdf["chunk_id"] + "_emb",
+                "embedding": [row.tolist() for row in mat],
+                "model": model_name,
+            })
+
+    return cols.mapInPandas(_embed, schema=out_schema)
+
+
+def embed_text_column(df: DataFrame, text_col: str, out_col: str = "embedding",
+                      dim: int = 64) -> DataFrame:
+    """Attach a deterministic embedding column to any DataFrame (used by
+    linking / similarity tests). Arrow-batched scalar path."""
+    emb = HashEmbedder(dim)
+
+    @F.pandas_udf("array<float>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            mat = emb.encode(s.fillna("").tolist())
+            yield pd.Series([row.tolist() for row in mat])
+
+    return df.withColumn(out_col, _udf(F.col(text_col)))

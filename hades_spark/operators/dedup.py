@@ -1,0 +1,167 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+- exact:        hash-groupBy on normalized content, keep min id
+- minhash LSH:  word-shingle MinHash -> banded LSH -> verified Jaccard ->
+                connected components -> one survivor per near-dup cluster
+- simhash:      64-bit simhash + banded hamming blocking
+- n-gram jaccard: exact pairwise (LSH-pruned) word-3-gram similarity
+- embedding:    cosine near-dup via operators/similarity.neardup_pairs
+
+The reference's dedup machinery is key-level seen-sets
+(``python_edge_resolver.py:143-181``, ``sync.py:496-543`` anti-join); the
+content-level near-dup family is the web-scale extension the north rule's
+training-data use case needs. Every variant is shuffle-bounded: grouping
+keys are content hashes / LSH buckets, never raw text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .components import connected_components
+from .lsh import token_shingles, verified_pairs
+
+
+def normalized_text_col(c) -> F.Column:
+    """Whitespace-collapsed lowercase form — the exact-dedup key basis."""
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the minimum id per exact (normalized) content group.
+
+    groupBy on the sha2 of normalized text — map-side combinable, and the
+    shuffle key is a 64-hex hash (uniform, skew-free) rather than the text.
+    """
+    keyed = df.withColumn(
+        "_ck", F.sha2(normalized_text_col(F.col(text_col)), 256)
+    )
+    return (
+        keyed.groupBy("_ck")
+        .agg(F.min(id_col).alias(id_col),
+             F.count("*").cast("bigint").alias("dup_count"))
+        .drop("_ck")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_words: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """(a, b, score) near-duplicate pairs by word-shingle Jaccard."""
+    norm = df.select(
+        F.col(id_col).alias("_id"),
+        normalized_text_col(F.col(text_col)).alias("_norm"),
+    )
+    return verified_pairs(
+        norm, "_id", token_shingles(F.col("_norm"), shingle_words),
+        threshold=threshold, metric="jaccard",
+        num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size,
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    **kw,
+) -> DataFrame:
+    """Survivor set: one representative (min id) per near-dup component,
+    plus all rows that matched nothing."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, **kw)
+    comp = connected_components(pairs, "a", "b")
+    ids = df.select(F.col(id_col).alias("node"))
+    labelled = ids.join(comp, "node", "left").withColumn(
+        "component", F.coalesce("component", "node")
+    )
+    survivors = labelled.groupBy("component").agg(F.min("node").alias(id_col))
+    return df.join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+
+
+def simhash_udf(bits: int = 64):
+    """64-bit simhash over whitespace tokens (deterministic blake2b token
+    hashes, +/-1 bit votes, sign -> bit)."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _sim(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        weights = np.zeros(bits, dtype=np.int64)
+        for s in batches:
+            out = []
+            for text in s.fillna(""):
+                weights[:] = 0
+                for tok in text.lower().split():
+                    h = int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "big",
+                    )
+                    for b in range(bits):
+                        weights[b] += 1 if (h >> b) & 1 else -1
+                val = 0
+                for b in range(bits):
+                    if weights[b] > 0:
+                        val |= 1 << b
+                # to signed 64-bit
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append(val)
+            yield pd.Series(out, dtype="int64")
+
+    return _sim
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(a, b, hamming) candidate pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: split the 64-bit simhash into ``bands`` contiguous chunks; by
+    pigeonhole, any pair within ``bands-1`` bit flips shares at least one
+    chunk — so pairing only inside chunk-match buckets is lossless for
+    max_hamming < bands. Exact hamming verification afterwards.
+    """
+    sim = simhash_udf()
+    hashed = df.select(F.col(id_col).alias("_id"),
+                       sim(F.col(text_col)).alias("_sh"))
+    width = 64 // bands
+    chunks = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("_sh"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bucketed = hashed.select(
+        "_id", "_sh", F.explode(F.array(*chunks)).alias("bk")
+    ).select("_id", "_sh", "bk.band", "bk.bh")
+
+    a = bucketed.select("band", "bh", F.col("_id").alias("a"),
+                        F.col("_sh").alias("sha"))
+    b = bucketed.select("band", "bh", F.col("_id").alias("b"),
+                        F.col("_sh").alias("shb"))
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming.alias("hamming"))
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

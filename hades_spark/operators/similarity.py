@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k for one query vector. JVM-side
+  score expression + orderBy/limit, which Catalyst executes as
+  TakeOrderedAndProject (no global sort, map-side partial top-k) — the
+  Spark restatement of the reference's brute-force path
+  (``backend.py:288-344``).
+- ``topk_join``: exact top-k for MANY queries — grouped pandas matmul
+  (one BLAS call per (query-block x candidate-partition)), then a window
+  rank to keep k per query. The many-to-many linking primitive.
+- ``lsh_topk_join``: the scale path — deterministic random-hyperplane
+  signatures bucket candidates so each query only scores its bucket
+  (IVF-style candidate pruning); exact cosine rescoring inside buckets.
+- ``neardup_pairs``: embedding-cosine near-duplicate pairs above a
+  threshold, blocked by LSH signature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vector import cosine_col
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """-> (id, score) exact cosine top-k for a single query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = cosine_col(F.col(vec_col), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    return (
+        embeddings
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    return np.asarray(
+        np.random.RandomState(seed).standard_normal((n_planes, dim)),
+        dtype=np.float32,
+    )
+
+
+def signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
+    """Deterministic random-hyperplane (SimHash-for-vectors) signature."""
+
+    @F.pandas_udf("int")
+    def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = _hyperplanes(dim, n_planes, seed)
+        for s in batches:
+            mat = np.vstack([np.asarray(v, dtype=np.float32) for v in s])
+            bits = (mat @ planes.T) > 0
+            vals = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+            yield pd.Series(vals.astype("int32"))
+
+    return _sig
+
+
+def topk_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k per query over all candidates: broadcast the (smaller)
+    query side, score with a grouped pandas matmul, window-rank to k.
+
+    -> (q_id, c_id, score, rank)
+    """
+    q = queries.select(F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    joined = candidates.select(
+        F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")
+    ).join(q)  # cartesian with broadcast side: map-side only, no shuffle
+
+    @F.pandas_udf("double")
+    def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            ma = np.vstack([np.asarray(v, dtype=np.float32) for v in a])
+            mb = np.vstack([np.asarray(v, dtype=np.float32) for v in b])
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            out = np.where(den > 0, num / np.maximum(den, 1e-30), 0.0)
+            yield pd.Series(out)
+
+    scored = joined.withColumn("score", _cos("_cv", "_qv"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(q_id), F.col("_cid").alias(c_id),
+                "score", "rank")
+    )
+
+
+def lsh_topk_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: queries only score candidates sharing their
+    hyperplane-signature bucket. Recall rises with fewer planes (bigger
+    buckets); cost falls with more planes. At 100 TB this is the join that
+    keeps ANN from being a full cross product — bucket id is the shuffle
+    key, and both sides prune to matching buckets.
+    """
+    sig = signature_udf(dim, n_planes)
+    qs = queries.select(F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv")) \
+                .withColumn("bucket", sig(F.col("_qv")))
+    cs = candidates.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")) \
+                   .withColumn("bucket", sig(F.col("_cv")))
+
+    @F.pandas_udf("double")
+    def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for a, b in it:
+            ma = np.vstack([np.asarray(v, dtype=np.float32) for v in a])
+            mb = np.vstack([np.asarray(v, dtype=np.float32) for v in b])
+            num = np.einsum("ij,ij->i", ma, mb)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            yield pd.Series(np.where(den > 0, num / np.maximum(den, 1e-30), 0.0))
+
+    scored = cs.join(qs, "bucket").withColumn("score", _cos("_cv", "_qv"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias(q_id), F.col("_cid").alias(c_id),
+                "score", "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    dim: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """(a, b, score) pairs with cosine >= threshold, a < b.
+
+    Blocking: an explicit block column (e.g. label / LSH bucket) if given,
+    else hyperplane signatures (requires ``dim``). Within-block pairing is
+    a self-join on the block key — never a global cross product.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    if block_col is None:
+        if dim is None:
+            raise ValueError("need dim for signature blocking")
+        base = base.withColumn("_blk", signature_udf(dim, n_planes)(F.col("_v")))
+
+    a = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "_blk")
+    b = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("score", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )

@@ -364,3 +364,395 @@ def u3(spark: SparkSession, sf: str) -> DataFrame:
         .join(done, "event_id", "left_anti")
         .select("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (SURVEY §2.3 J8 / §4 O1)
+# ---------------------------------------------------------------------------
+
+@register("j8_cosine_topk", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                               CAST((SELECT qv FROM q) AS DOUBLE[])), 4)
+    AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""")
+def j8(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(emb, qvec, k=10, score_decimals=4)
+
+
+@register("a5_centroid_components", """
+SELECT label, CAST(i AS INT) AS dim,
+  round(avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)), 3) + 0.0 AS mean_val
+FROM embeddings, range(8) r(i)
+GROUP BY label, i
+""")
+def a5(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .filter(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        # + 0.0 normalizes IEEE -0.0 to +0.0 (hash-stable across engines)
+        .agg((F.round(F.avg(F.col("v").cast("double")), 3) + 0.0)
+             .alias("mean_val"))
+        .select("label", F.col("dim").cast("int").alias("dim"), "mean_val")
+    )
+
+
+@register("a6_group_centrality", """
+SELECT a.vec_id,
+  round(avg(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))), 3)
+    AS centrality
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id <> b.vec_id
+GROUP BY a.vec_id
+""")
+def a6(spark: SparkSession, sf: str) -> DataFrame:
+    # grouped pairwise-similarity centrality (structural_fusion.py:289-304
+    # semantics): per label group, numpy matmul in applyInPandas
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "vec_id", "label", "embedding")
+
+    def _centrality(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.maximum(norms, 1e-30)
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, 0.0)
+        n = len(pdf)
+        cent = sims.sum(axis=1) / max(n - 1, 1)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"], "centrality": np.round(cent, 3)})
+
+    return emb.groupBy("label").applyInPandas(
+        _centrality, schema="vec_id long, centrality double")
+
+
+@register("ann_lsh_topk")  # LSH-bucketed ANN: no SQL oracle (rows-only)
+def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import lsh_topk_join
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_topk_join(queries, cands, dim=dim, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data ops)
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents
+GROUP BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+""")
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf, "documents"), "doc_id", "text")
+
+
+@register("dedup_minhash_pairs", """
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) t
+  FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') ts FROM norm),
+idx AS (SELECT doc_id, ts,
+        unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+       array_to_string(ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') s
+       FROM idx),
+pairs AS (
+  SELECT a.doc_id a, b.doc_id b, count(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+SELECT p.a, p.b,
+  round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS score
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.7
+""")
+def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import minhash_dedup_pairs
+
+    # bands == num_hashes (1 row/band): candidate-miss probability for a
+    # true pair at j >= 0.7 is (1-j)^32 ~ 1e-17, so LSH pruning is exact
+    # for oracle purposes; verification computes true Jaccard
+    pairs = minhash_dedup_pairs(
+        load_table(spark, sf, "documents"), "doc_id", "text",
+        threshold=0.7, num_hashes=32, bands=32)
+    return pairs.select("a", "b", F.round("score", 4).alias("score"))
+
+
+@register("dedup_simhash_pairs")  # blake2b token hashes: no SQL oracle
+def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(load_table(spark, sf, "documents"),
+                         "doc_id", "text", max_hamming=3, bands=4)
+
+
+@register("dedup_embedding_neardup", """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 4) AS score
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+""")
+def dedup_embedding_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.similarity import neardup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = neardup_pairs(emb, threshold=0.95, block_col="label")
+    return pairs.select("a", "b", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family (training-data ops)
+# ---------------------------------------------------------------------------
+
+@register("text_token_count", """
+SELECT doc_id,
+  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+    AS n_tokens
+FROM documents
+""")
+def text_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.text_analysis import token_count_col
+
+    return load_table(spark, sf, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+
+
+@register("text_fingerprint", """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents
+""")
+def text_fp_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.text_analysis import fingerprint_col
+
+    return load_table(spark, sf, "documents").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+
+def _occ_sql(needle: str) -> str:
+    pad = "' ' || lower(text) || ' '"
+    return (f"CAST((length({pad}) - length(replace({pad}, '{needle}', '')))"
+            f" / {len(needle)} AS INT)")
+
+
+def _lang_sql() -> str:
+    from .functions.text_analysis import LANG_MARKERS
+
+    score_exprs = {
+        lang: " + ".join(_occ_sql(m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # same fold as lang_id_col: iterate langs alphabetically, strict >
+    expr_best_lang, expr_best_score = "'und'", "0"
+    for lang in sorted(score_exprs):
+        s = f"({score_exprs[lang]})"
+        expr_best_lang = (f"CASE WHEN {s} > {expr_best_score} "
+                          f"THEN '{lang}' ELSE {expr_best_lang} END")
+        expr_best_score = (f"CASE WHEN {s} > {expr_best_score} "
+                           f"THEN {s} ELSE {expr_best_score} END")
+    return f"SELECT doc_id, {expr_best_lang} AS lang_pred FROM documents"
+
+
+@register("text_lang_id", None)  # SQL attached below (computed)
+def text_lang_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.text_analysis import lang_id_col
+
+    return load_table(spark, sf, "documents").select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+ORACLE_SQL["text_lang_id"] = _lang_sql()
+
+
+@register("text_quality_score", """
+WITH m AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+    CAST((length(text) - length(replace(text, '.', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, ',', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, '!', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, '?', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, ';', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, ':', ''))) AS INT)
+      AS n_punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents)
+SELECT doc_id, round(least(
+  0.2
+  + CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.3 ELSE 0.0 END
+  + CASE WHEN n_punct >= 1 THEN 0.2 ELSE 0.0 END
+  + CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+         BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END
+  + CASE WHEN CAST(n_upper AS DOUBLE) / greatest(n_chars, 1) <= 0.3
+         THEN 0.1 ELSE 0.0 END, 1.0), 2) AS quality
+FROM m
+""")
+def text_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.text_analysis import quality_score_col
+
+    return load_table(spark, sf, "documents").select(
+        "doc_id", F.round(quality_score_col(F.col("text")), 2).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal (SURVEY §2.3 J9/J10)
+# ---------------------------------------------------------------------------
+
+@register("j9_bfs_reachability", """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders),
+edges AS (
+  SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+  FROM ord a JOIN ord b ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+seeds AS (SELECT o_orderkey AS node FROM ord WHERE rn = 1 AND o_custkey <= 50),
+walk AS (
+  SELECT node, 0 AS depth FROM seeds
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 3)
+SELECT node, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY node
+""")
+def j9(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.graph import bfs
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordd = o.select("o_custkey", "o_orderkey",
+                    F.row_number().over(w).alias("rn"))
+    nxt = ordd.select("o_custkey", F.col("o_orderkey").alias("dst"),
+                      (F.col("rn") - 1).alias("rn"))
+    edges = ordd.join(nxt, ["o_custkey", "rn"]).select(
+        F.col("o_orderkey").alias("src"), "dst")
+    seeds = ordd.filter((F.col("rn") == 1) & (F.col("o_custkey") <= 50)) \
+                .select(F.col("o_orderkey").alias("node"))
+    out = bfs(edges, seeds, max_depth=3)
+    return out.select("node", F.col("depth").cast("int").alias("depth"))
+
+
+# ---------------------------------------------------------------------------
+# Set ops / incremental / rerank (SURVEY §2.7 / §2.9 / §2.6 T3)
+# ---------------------------------------------------------------------------
+
+@register("u2_except", """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT user_id AS custkey FROM events
+""")
+def u2(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("custkey"))
+    e = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("custkey"))
+    return o.exceptAll(e).distinct()
+
+
+@register("i1_watermark_incremental", """
+SELECT event_id, user_id, ts FROM events
+WHERE ts > TIMESTAMP '2025-06-01 00:00:00'
+""")
+def i1(spark: SparkSession, sf: str) -> DataFrame:
+    # watermark-batch incremental read (sync.py:106-135 semantics):
+    # only rows past the persisted high-water mark
+    return (
+        load_table(spark, sf, "events")
+        .filter(F.col("ts") > F.lit("2025-06-01 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register("t3_rerank_fused_score", """
+SELECT event_id,
+  round(0.7 * (value / 100.0)
+      + 0.3 * (CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6)
+    AS fused_score
+FROM events
+ORDER BY fused_score DESC, event_id ASC LIMIT 25
+""")
+def t3(spark: SparkSession, sf: str) -> DataFrame:
+    # score-composition rerank (database.py:1884-1936 hybrid blend shape):
+    # fused = alpha * base + (1 - alpha) * signal, stable sort, top-k.
+    # round(6) exceeds the data's decimal precision so both engines recover
+    # the exact decimal value (round(4) would sit on .5 boundaries where
+    # Spark's HALF_UP-on-shortest-repr and DuckDB's binary round disagree)
+    e = load_table(spark, sf, "events")
+    fused = F.round(
+        0.7 * (F.col("value") / 100.0)
+        + 0.3 * F.when(F.col("event_type") == "click", 1.0).otherwise(0.0),
+        6,
+    )
+    return (
+        e.select("event_id", fused.alias("fused_score"))
+        .orderBy(F.desc("fused_score"), F.asc("event_id"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode, real distributed path)
+# ---------------------------------------------------------------------------
+
+@register("mm_media_metadata", """
+WITH media AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+    octet_length(encode(text)) AS n
+  FROM documents)
+SELECT media_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+  CASE WHEN media_type IN ('image', 'video')
+       THEN CAST((CASE WHEN media_type = 'image' THEN 160 ELSE 320 END)
+                 + n % (CASE WHEN media_type = 'image' THEN 1920 ELSE 1600 END)
+            AS INT) END AS width,
+  CASE WHEN media_type IN ('image', 'video')
+       THEN CAST((CASE WHEN media_type = 'image' THEN 120 ELSE 240 END)
+                 + (n * 7) % (CASE WHEN media_type = 'image' THEN 1080 ELSE 840 END)
+            AS INT) END AS height,
+  CASE WHEN media_type IN ('audio', 'video')
+       THEN CAST(500 + (n * 131) % 600000 AS INT) END AS duration_ms
+FROM media
+""")
+def mm_meta_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.multimodal import extract_media_metadata
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    meta = extract_media_metadata(media)
+    return meta.select("media_id", "media_type", "n_bytes",
+                       "width", "height", "duration_ms")
