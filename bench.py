@@ -59,14 +59,22 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
         results[name] = round(time.perf_counter() - t0, 4)
         _ = n
 
-    # end-to-end KG pipeline: pages -> canonical edges
-    from hades_spark.pipeline.corpus import pages_df
+    # end-to-end KG pipeline: pages -> canonical edges. The input is a
+    # parquet pages table on disk (the sandbox stand-in for the north
+    # rule's Iceberg table) — generated once per (n_pages, richness) and
+    # reused, so the timed section measures the pipeline, not synthesis.
+    from hades_spark.pipeline.corpus import pages_df_distributed
     from hades_spark.pipeline.kg import canonical_triples, distinct_edges
 
+    richness = int(os.environ.get("BENCH_RICHNESS", "30"))
+    corpus_root = os.environ.get("BENCH_CORPUS_DIR", "/tmp/hades_bench_corpus")
+    corpus_dir = f"{corpus_root}/pages_n{n_pages}_r{richness}_s42"
     gen0 = time.perf_counter()
-    pages = pages_df(spark, n_pages, seed=42, partitions=cpus * 2,
-                     with_text=False).cache()
-    pages.count()  # corpus generation not counted in pipeline time
+    if not Path(corpus_dir, "_SUCCESS").exists():
+        pages_df_distributed(spark, n_pages, seed=42, partitions=cpus * 2,
+                             richness=richness) \
+            .write.mode("overwrite").parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
     gen_sec = time.perf_counter() - gen0
 
     t0 = time.perf_counter()
@@ -95,6 +103,7 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
         "kg_triples": n_triples,
         "kg_edges": n_edges,
         "kg_gen_sec": round(gen_sec, 2),
+        "kg_richness": richness,
         "cpus": cpus,
     }
     spark.stop()

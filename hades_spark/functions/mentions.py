@@ -233,9 +233,10 @@ def mentions_table(pages: DataFrame) -> DataFrame:
     """
     exploded = (
         pages
-        .withColumn("m", F.posexplode_outer(detect_mentions_udf("html", "text")))
-        .select("url", F.col("pos"), F.col("col.*"))
-        .filter(F.col("kind").isNotNull())
+        .select("url", F.posexplode_outer(
+            detect_mentions_udf("html", "text")).alias("pos", "m"))
+        .filter(F.col("m").isNotNull())
+        .select("url", "pos", F.col("m.*"))
     )
     return exploded.select(
         "url",

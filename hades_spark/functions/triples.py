@@ -1,21 +1,14 @@
-"""OpenIE-style SVO triple extraction over extracted page text.
+"""Spark bindings for SVO triple extraction.
 
-Pattern-based (deterministic, lexicon-driven) subject-verb-object span
-extraction: within each line, a sentence is bounded by start-of-line or a
-period+whitespace; a triple is emitted per predicate-lexicon verb with the
-non-greedy spans on either side. This restates the reference's
-field-reference edge semantics (``nl_graph_schema.py:253-467`` — fixed
-relation vocabulary, source span -> target span) and its citation triples
-over free text (``academic_citation_toolkit.py:545-665``) as a text-level
-extractor.
-
-Runs on the Python ``re`` engine inside an Arrow-batched pandas UDF
-(per input_hint: vectorized pandas/Arrow UDFs, no per-row Python UDFs).
+Pure logic in ``hades_spark.textcore.svo`` (stdlib-only); here: the Arrow
+UDF/mapInArrow wrappers and the ``raw_triples`` stage. The mapInArrow path
+is the production stage-1: it moves the page bytes JVM->python exactly once
+with no pandas materialization, decodes/extracts/emits exploded triple rows
+in a single pass, and ships back only the (tiny) triple columns.
 """
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,11 +17,10 @@ from pyspark.sql.types import (
     ArrayType, DoubleType, IntegerType, StringType, StructField, StructType,
 )
 
-# Relation vocabulary: the reference's edge-relation verbs (SURVEY §2 /
-# nl_graph_schema edge defs) — configurable per deployment.
-DEFAULT_PREDICATES: tuple[str, ...] = (
-    "uses", "extends", "replaces", "stores", "embeds", "indexes",
-    "links", "cites", "defines", "calls", "imports", "mentions",
+from ..textcore.svo import (  # noqa: F401  (re-exported public API)
+    DEFAULT_PREDICATES,
+    extract_triples,
+    extract_triples_spec,
 )
 
 RAW_TRIPLE = StructType([
@@ -39,41 +31,8 @@ RAW_TRIPLE = StructType([
     StructField("confidence", DoubleType(), True),
 ])
 
-
-def _pattern(predicates: tuple[str, ...]) -> re.Pattern:
-    alt = "|".join(re.escape(p) for p in predicates)
-    # subject: from line start or after '.'+space, non-greedy, same line,
-    # never crossing a sentence boundary ('.' + whitespace) — a '.' is only
-    # allowed inside the span when followed by a non-space (H.A.D.E.S.);
-    # object: non-greedy up to a '.' followed by whitespace or line end.
-    return re.compile(
-        rf"(?:^|(?<=\.)\s+)((?:[^.\n]|\.(?=\S))+?)\.?\s+({alt})\s+(\S[^\n]*?)\.(?=\s|$)",
-        re.MULTILINE,
-    )
-
-
-_DEFAULT_RE = _pattern(DEFAULT_PREDICATES)
-
-
-def extract_triples(text: str, pattern: re.Pattern = _DEFAULT_RE) -> list[dict]:
-    """All (subj, pred, obj) span matches in one document's text."""
-    out = []
-    for m in pattern.finditer(text or ""):
-        subj = m.group(1).strip().strip(".").strip()
-        obj = m.group(3).strip()
-        # drop degenerate spans (pure numbers, single chars)
-        if len(subj) < 2 or len(obj) < 2:
-            continue
-        # confidence: 1.0 for short clean spans, decays with span length
-        conf = max(0.5, 1.0 - 0.01 * max(0, len(subj) + len(obj) - 40))
-        out.append({
-            "subj": subj,
-            "pred": m.group(2),
-            "obj": obj,
-            "start_char": m.start(1),
-            "confidence": round(conf, 4),
-        })
-    return out
+RAW_TRIPLES_SCHEMA = ("url string, subj string, pred string, obj string, "
+                      "start_char int, confidence double")
 
 
 @F.pandas_udf(ArrayType(RAW_TRIPLE))
@@ -82,14 +41,62 @@ def extract_triples_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield s.map(lambda t: extract_triples(t))
 
 
+@F.pandas_udf(ArrayType(RAW_TRIPLE))
+def triples_from_page_udf(
+    it: Iterator[tuple[pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    """(html binary, text nullable) -> triples in one python pass (decodes
+    + extracts text only where the text column is null)."""
+    from ..textcore.html import extract_text_from_html_bytes
+
+    for html_s, text_s in it:
+        out = []
+        for h, t in zip(html_s, text_s):
+            if t is None:
+                t = extract_text_from_html_bytes(
+                    bytes(h) if h is not None else None)
+            out.append(extract_triples(t))
+        yield pd.Series(out)
+
+
+def _arrow_extract_batches(it):
+    """mapInArrow generator: pyarrow in, pyarrow out, no pandas. Imports
+    only stdlib + pyarrow inside the worker."""
+    import pyarrow as pa
+
+    from ..textcore.html import extract_text_from_html_bytes
+    from ..textcore.svo import extract_triples as _ext
+
+    for batch in it:
+        d = batch.to_pydict()
+        ou, osj, op, oo, osc, oc = [], [], [], [], [], []
+        for u, h, t in zip(d["url"], d["html"], d["text"]):
+            if t is None:
+                t = extract_text_from_html_bytes(h)
+            for tr in _ext(t):
+                ou.append(u)
+                osj.append(tr["subj"])
+                op.append(tr["pred"])
+                oo.append(tr["obj"])
+                osc.append(tr["start_char"])
+                oc.append(tr["confidence"])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ou, pa.string()), pa.array(osj, pa.string()),
+             pa.array(op, pa.string()), pa.array(oo, pa.string()),
+             pa.array(osc, pa.int32()), pa.array(oc, pa.float64())],
+            names=["url", "subj", "pred", "obj", "start_char", "confidence"],
+        )
+
+
 def raw_triples(pages: DataFrame, text_col: str = "text") -> DataFrame:
     """pages -> one row per extracted (surface) triple, with provenance url.
 
-    Narrow transform (UDF inside the scan stage) followed by explode — no
-    shuffle until someone aggregates downstream.
+    Narrow transform: mapInArrow inside the scan stage, rows already
+    exploded python-side — no array<struct> intermediate, no JVM explode,
+    and the heavy html column never comes back across the Arrow boundary.
     """
-    return (
-        pages
-        .select("url", F.explode(extract_triples_udf(F.col(text_col))).alias("t"))
-        .select("url", "t.subj", "t.pred", "t.obj", "t.start_char", "t.confidence")
+    cols = pages.select(
+        "url", "html",
+        F.col(text_col).alias("text") if text_col != "text" else F.col("text"),
     )
+    return cols.mapInArrow(_arrow_extract_batches, schema=RAW_TRIPLES_SCHEMA)

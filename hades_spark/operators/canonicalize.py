@@ -51,16 +51,32 @@ def canonical_map(
     bands: int = 16,
     max_bucket_size: int = 500,
     max_iter: int = 15,
+    work_partitions: int = 8,
+    local_threshold: int = 20_000,
 ) -> DataFrame:
     """distinct surfaces -> (surface, norm, canonical_id).
 
     canonical_id is the lexicographically-smallest normalized form in the
     surface's alias component; surfaces with no alias partner canonicalize
     to their own normalized form.
+
+    ``work_partitions`` sizes the LSH/CC stages: the distinct-surface set is
+    orders of magnitude smaller than the corpus, so after the dedup shuffle
+    the work runs on few partitions (tiny-task scheduling overhead would
+    otherwise dominate); raise it when the surface vocabulary is itself
+    huge.
+
+    Adaptive execution (same policy as connected_components): when the
+    distinct normalized vocabulary fits under ``local_threshold`` the alias
+    graph is computed driver-side (exact shingle inverted index + verified
+    containment + union-find — a candidate SUPERSET of the banded-LSH
+    path, so never less complete); the distributed LSH + CC path runs
+    above it. ``local_threshold=0`` forces distributed (tests do).
     """
     distinct = (
         surfaces.select(F.col(surface_col).alias("surface"))
         .dropDuplicates(["surface"])
+        .repartition(work_partitions)
         .withColumn("norm", normalize_surface_col(F.col("surface")))
         .withColumn("squash", squash_col(F.col("surface")))
         .filter(F.length("squash") > 0)
@@ -69,7 +85,22 @@ def canonical_map(
 
     # alias pairs between normalized forms (dedup identical norms first:
     # they cluster for free via the norm key itself)
-    norms = distinct.select("norm", "squash").dropDuplicates(["norm"])
+    norms = distinct.select("norm", "squash").dropDuplicates(["norm"]).cache()
+
+    if local_threshold > 0:
+        # count-then-collect, never limit(N).collect(): a global limit over
+        # shuffled input runs CollectLimit's incremental partition scans,
+        # whose overhead grows with partition count
+        if norms.count() <= local_threshold:
+            head = norms.collect()
+            spark = surfaces.sparkSession
+            mapping = _local_canonical(head, threshold, max_bucket_size)
+            map_df = spark.createDataFrame(
+                list(mapping.items()), "norm string, canonical_id string")
+            return distinct.join(F.broadcast(map_df), "norm", "left") \
+                .select("surface", "norm",
+                        F.coalesce("canonical_id", "norm").alias("canonical_id"))
+
     pairs = verified_pairs(
         norms, "norm", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment",
@@ -87,3 +118,88 @@ def canonical_map(
         )
     )
     return out
+
+
+def canonical_norm_map(
+    norms: DataFrame,
+    norm_col: str = "norm",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 16,
+    max_bucket_size: int = 500,
+    max_iter: int = 15,
+    local_threshold: int = 20_000,
+) -> DataFrame:
+    """distinct normalized forms -> (norm, canonical_id). The norm-level
+    core of canonical_map, for callers that normalize surfaces JVM-side
+    (one less distinct/shuffle chain on the hot path)."""
+    keyed = (
+        norms.select(F.col(norm_col).alias("norm"))
+        .dropDuplicates(["norm"])
+        .withColumn("squash", F.regexp_replace("norm", " ", ""))
+        .filter(F.length("squash") > 0)
+        .cache()
+    )
+    if local_threshold > 0 and keyed.count() <= local_threshold:
+        spark = norms.sparkSession
+        mapping = _local_canonical(keyed.collect(), threshold, max_bucket_size)
+        return spark.createDataFrame(
+            list(mapping.items()), "norm string, canonical_id string")
+
+    pairs = verified_pairs(
+        keyed, "norm", char_shingles(F.col("squash"), 3),
+        threshold=threshold, metric="containment",
+        num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, "a", "b", max_iter=max_iter)
+    return (
+        keyed.join(comp, keyed.norm == comp.node, "left")
+        .select("norm",
+                F.coalesce("component", F.col("norm")).alias("canonical_id"))
+    )
+
+
+def _local_canonical(norm_rows, threshold: float,
+                     max_bucket_size: int) -> dict[str, str]:
+    """Driver-side alias clustering over (norm, squash) rows: shingle
+    inverted index -> candidate pairs -> exact containment -> union-find.
+    Same contract as the distributed path; candidates are a superset of
+    banded LSH's."""
+    shingles = {
+        r["norm"]: {r["squash"][i: i + 3]
+                    for i in range(max(len(r["squash"]) - 2, 1))}
+        for r in norm_rows
+    }
+    index: dict[str, list[str]] = {}
+    for norm, sh in shingles.items():
+        for g in sh:
+            index.setdefault(g, []).append(norm)
+
+    parent: dict[str, str] = {n: n for n in shingles}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    seen: set[tuple[str, str]] = set()
+    for bucket in index.values():
+        if len(bucket) > max_bucket_size:
+            continue  # boilerplate shingle — skip, like the LSH bucket cap
+        for i in range(len(bucket)):
+            for j in range(i + 1, len(bucket)):
+                a, b = bucket[i], bucket[j]
+                key = (a, b) if a < b else (b, a)
+                if key in seen:
+                    continue
+                seen.add(key)
+                sa, sb = shingles[a], shingles[b]
+                inter = len(sa & sb)
+                if inter / min(len(sa), len(sb)) >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+
+    return {n: find(n) for n in shingles}

@@ -22,10 +22,29 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 15,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(a, b) undirected pairs -> (node, component) with component = min
     node id reachable (ids compared with natural ordering of the column
-    type)."""
+    type).
+
+    Adaptive execution: the verified alias/near-dup pair set is typically
+    orders of magnitude smaller than the corpus, so when it fits under
+    ``local_threshold`` pairs we collect once and run driver-side
+    union-find (identical result, zero iteration overhead); above the
+    threshold the distributed min-label loop runs. Pass
+    ``local_threshold=0`` to force the distributed path (tests do)."""
+    if local_threshold > 0:
+        # count-then-collect (a global limit over shuffled input hits
+        # CollectLimit's incremental-scan overhead, growing with partitions)
+        slim = pairs.select(F.col(a_col), F.col(b_col)).cache()
+        if slim.count() <= local_threshold:
+            a_type = pairs.schema[a_col].dataType.simpleString()
+            out = _local_components(pairs.sparkSession, slim.collect(), a_type)
+            slim.unpersist()
+            return out
+        slim.unpersist()
+
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
         .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
@@ -68,3 +87,31 @@ def connected_components(
 
     edges.unpersist()
     return labels
+
+
+def _local_components(spark, pair_rows, id_type: str = "string") -> DataFrame:
+    """Driver-side union-find over collected pairs (path compression +
+    union by min id so the representative matches the distributed path)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pair_rows:
+        a, b = r[0], r[1]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+
+    nodes = set(parent)
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return spark.createDataFrame(
+        out, f"node {id_type}, component {id_type}")

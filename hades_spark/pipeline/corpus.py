@@ -25,7 +25,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.html_text import extract_text_from_html_bytes
+from ..textcore.html import extract_text_from_html_bytes
 from ..schemas import PAGES
 
 _BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
@@ -74,7 +74,18 @@ def _svo_sentence(rng: random.Random) -> tuple[str, tuple[str, str, str]]:
     return f"{subj} {pred} {obj}.", (subj_c, pred, obj_c)
 
 
-def _make_page_html(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str, str]]]:
+_FILLER_WORDS = (
+    "data graph entity mention corpus page crawl token batch shard "
+    "schema column vector index partition shuffle join scan merge "
+    "window stream state metric lineage snapshot replica quorum cache"
+).split()
+
+
+def _make_page_html(i: int, rng: random.Random,
+                    richness: int = 1) -> tuple[str, list[tuple[str, str, str]]]:
+    """``richness`` scales the page body toward realistic Common-Crawl page
+    sizes (richness=1 ~ 0.6 KB, 10 ~ 8 KB, 40 ~ 30 KB) without changing
+    the per-sentence truth-triple structure."""
     truth: list[tuple[str, str, str]] = []
     parts = [f"<html><head><title>Doc {i}</title>",
              "<style>body { color: red; }</style>",
@@ -87,6 +98,14 @@ def _make_page_html(i: int, rng: random.Random) -> tuple[str, list[tuple[str, st
         sents.append(s)
         truth.append(t)
     parts.append("<p>" + " ".join(sents) + "</p>")
+
+    # filler prose paragraphs (no predicates, no triples) — page bulk
+    for _ in range(richness - 1):
+        words = [rng.choice(_FILLER_WORDS) for _ in range(60)]
+        parts.append("<p>" + " ".join(words) + ".</p>")
+        if rng.random() < 0.3:
+            parts.append("<div>" + " ".join(
+                rng.choice(_FILLER_WORDS) for _ in range(25)) + "</div>")
 
     if rng.random() < 0.5:
         parts.append(
@@ -121,31 +140,36 @@ def _make_page_html(i: int, rng: random.Random) -> tuple[str, list[tuple[str, st
     return "".join(parts), truth
 
 
-def gen_pages(n_pages: int, seed: int = 42, compute_text: bool = True) -> list[Page]:
+def _gen_one(i: int, seed: int = 42, compute_text: bool = True,
+             richness: int = 1) -> Page:
+    """One deterministic page — a pure function of (seed, i), so driver-side
+    and executor-side generation produce identical corpora."""
+    rng = random.Random((seed << 20) + i)
+    if rng.random() < 0.05:
+        host = _HOT_HOSTS[i % len(_HOT_HOSTS)]
+    else:
+        host = f"host{rng.randrange(256)}.example"
+    url = f"https://{host}/docs/{i}.html"
+    html_str, truth = _make_page_html(i, rng, richness)
+    lang = rng.choice(_LANGS)
+    # page 13 mod 97 gets a raw 0xE9 byte that is invalid utf-8, exercising
+    # the latin-1 decode fallback ladder
+    if i % 97 == 13:
+        html = html_str.encode("utf-8") + b"<p>caf\xe9</p>"
+    else:
+        html = html_str.encode("utf-8")
+    text = extract_text_from_html_bytes(html) if compute_text else ""
+    ts = _BASE_TS + dt.timedelta(seconds=i * 37 % 864000)
+    return Page(url, ts, html, text, lang, truth)
+
+
+def gen_pages(n_pages: int, seed: int = 42, compute_text: bool = True,
+              richness: int = 1) -> list[Page]:
     """Deterministic synthetic pages with per-page ground-truth triples.
 
     ``compute_text=False`` skips the driver-side reference extraction (the
     pipeline recomputes it distributed) — use for large bench corpora."""
-    pages: list[Page] = []
-    for i in range(n_pages):
-        rng = random.Random((seed << 20) + i)
-        if rng.random() < 0.05:
-            host = _HOT_HOSTS[i % len(_HOT_HOSTS)]
-        else:
-            host = f"host{rng.randrange(max(8, n_pages // 20))}.example"
-        url = f"https://{host}/docs/{i}.html"
-        html_str, truth = _make_page_html(i, rng)
-        lang = rng.choice(_LANGS)
-        # a few ascii-safe latin-1 pages exercise the decode fallback ladder;
-        # page 13 mod 97 gets a raw 0xE9 byte that is invalid utf-8.
-        if i % 97 == 13:
-            html = html_str.encode("utf-8") + b"<p>caf\xe9</p>"
-        else:
-            html = html_str.encode("utf-8")
-        text = extract_text_from_html_bytes(html) if compute_text else ""
-        ts = _BASE_TS + dt.timedelta(seconds=i * 37 % 864000)
-        pages.append(Page(url, ts, html, text, lang, truth))
-    return pages
+    return [_gen_one(i, seed, compute_text, richness) for i in range(n_pages)]
 
 
 def pages_df(spark: SparkSession, n_pages: int, seed: int = 42,
@@ -161,6 +185,32 @@ def pages_df(spark: SparkSession, n_pages: int, seed: int = 42,
     if partitions:
         df = df.repartition(partitions)
     return df
+
+
+def pages_df_distributed(spark: SparkSession, n_pages: int, seed: int = 42,
+                         partitions: int | None = None,
+                         with_text: bool = False,
+                         richness: int = 1) -> DataFrame:
+    """Executor-side corpus generation: each task synthesises its index
+    range (generation is a pure function of (seed, i), so the output is
+    identical to ``pages_df`` regardless of parallelism). Use for bench
+    corpora — the driver never holds the pages."""
+    import pandas as pd
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen_batch(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                p = _gen_one(int(i), seed, with_text, richness)
+                rows.append((p.url, p.warc_ts.replace(tzinfo=None), p.html,
+                             p.text if with_text else None, p.lang))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return spark.range(0, n_pages, 1, parts).mapInPandas(
+        gen_batch, schema=PAGES)
 
 
 def expected_triples(n_pages: int, seed: int = 42) -> set[tuple[str, str, str]]:

@@ -44,31 +44,42 @@ def canonical_triples(
     broadcast_map: bool = True,
 ) -> DataFrame:
     """pages -> canonical (subj, pred, obj) triples with provenance."""
-    from ..operators.canonicalize import canonical_map
+    from ..functions.triples import raw_triples
+    from ..operators.canonicalize import canonical_norm_map, normalize_surface_col
 
-    pages = ensure_text(pages)
-    raw = raw_triples(pages).cache()
-
-    surfaces = (
-        raw.select(F.col("subj").alias("surface"))
-        .unionAll(raw.select(F.col("obj").alias("surface")))
+    # one narrow mapInArrow pass (decode + extract + emit exploded triple
+    # rows), then JVM-side surface normalization; cached once
+    raw = (
+        raw_triples(pages)
+        .select(
+            "url", "pred", "confidence",
+            normalize_surface_col(F.col("subj")).alias("subj_norm"),
+            normalize_surface_col(F.col("obj")).alias("obj_norm"),
+        )
+        .cache()
     )
-    cmap = canonical_map(surfaces, threshold=threshold)
+
+    # single explode pass for the vocabulary, NOT union(select, select): a
+    # union scans the raw cache twice, and on the first (cold) pass that
+    # would re-run the extraction UDF once per branch
+    norms = raw.select(
+        F.explode(F.array("subj_norm", "obj_norm")).alias("norm"))
+    cmap = canonical_norm_map(norms, threshold=threshold).cache()
     if broadcast_map:
         cmap = F.broadcast(cmap)
 
-    subj_map = cmap.select(F.col("surface").alias("subj"),
+    subj_map = cmap.select(F.col("norm").alias("subj_norm"),
                            F.col("canonical_id").alias("subj_id"))
-    obj_map = cmap.select(F.col("surface").alias("obj"),
+    obj_map = cmap.select(F.col("norm").alias("obj_norm"),
                           F.col("canonical_id").alias("obj_id"))
 
     triples = (
-        raw.join(subj_map, "subj", "left")
-        .join(obj_map, "obj", "left")
+        raw.join(subj_map, "subj_norm", "left")
+        .join(obj_map, "obj_norm", "left")
         .select(
-            F.coalesce("subj_id", "subj").alias("subj"),
+            F.coalesce("subj_id", "subj_norm").alias("subj"),
             "pred",
-            F.coalesce("obj_id", "obj").alias("obj"),
+            F.coalesce("obj_id", "obj_norm").alias("obj"),
             "url",
             F.col("confidence"),
         )

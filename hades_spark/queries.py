@@ -756,3 +756,225 @@ def mm_meta_q(spark: SparkSession, sf: str) -> DataFrame:
     meta = extract_media_metadata(media)
     return meta.select("media_id", "media_type", "n_bytes",
                        "width", "height", "duration_ms")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (synthetic pages corpus; Python-regex UDF semantics =>
+# rows-only driver checks, no SQL oracle)
+# ---------------------------------------------------------------------------
+
+@register("kg_extract_text")
+def kg_extract_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.html_text import html_to_text_udf
+    from .pipeline.corpus import pages_df
+
+    pages = pages_df(spark, 150, seed=42, with_text=False)
+    return pages.select(
+        "url", F.length(html_to_text_udf(F.col("html"))).alias("text_len"))
+
+
+@register("kg_mentions")
+def kg_mentions_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.mentions import mentions_table
+    from .pipeline.corpus import pages_df
+
+    pages = pages_df(spark, 150, seed=42, with_text=True)
+    m = mentions_table(pages)
+    return m.groupBy("kind").agg(F.count("*").cast("bigint").alias("cnt")) \
+            .orderBy("kind")
+
+
+@register("kg_canonical_edges")
+def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .pipeline.kg import run_kg_pipeline
+
+    return run_kg_pipeline(spark, n_pages=150, seed=42)
+
+
+@register("kg_entity_linking")
+def kg_linking_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.linking import link_mentions
+    from .pipeline.corpus import ENTITIES
+
+    mentions = spark.createDataFrame(
+        [(f"m{j}", v, f"u{j}") for j, v in enumerate(
+            v for _, vs in ENTITIES for v in vs)],
+        "mention_id string, surface string, url string")
+    catalog = spark.createDataFrame(
+        [(f"e{i}", c, "kb") for i, (c, _) in enumerate(ENTITIES)],
+        "entity_id string, name string, source string")
+    return link_mentions(mentions, catalog) \
+        .select("mention_id", "surface", "entity_id", "strategy")
+
+
+@register("search_semantic_hybrid")
+def search_q(spark: SparkSession, sf: str) -> DataFrame:
+    # full cascade over the documents table: chunk -> hash-embed ->
+    # cosine top-k -> hybrid keyword re-rank -> +-1 chunk context
+    from .functions.embedding import embed_text_column
+    from .operators.chunking import chunks_table
+    from .operators.search import hybrid_rerank, semantic_topk, with_context
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunks_table(docs, chunk_size=40, overlap=10).cache()
+    emb = embed_text_column(chunks, "text", "embedding", dim=64)
+    q = "window sort merge join"
+    hits = semantic_topk(emb, q, k=10)
+    fused = hybrid_rerank(hits, chunks, q)
+    out = with_context(fused, chunks, n_context=1)
+    return out.select("doc_id", "chunk_index",
+                      F.round("fused_score", 4).alias("fused_score"),
+                      F.size("context_texts").alias("n_context"))
+
+
+# ---------------------------------------------------------------------------
+# F-family scalars: date/time (F4), JSON (F7), hashing (F8)
+# ---------------------------------------------------------------------------
+
+@register("f4_date_derivation", """
+SELECT event_id,
+  CAST(year(ts) AS INT) AS y,
+  CAST(month(ts) AS INT) AS m,
+  CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+  strftime(ts, '%Y-%m-%d') AS day_str
+FROM events
+""")
+def f4(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@register("f7_json_extract", """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""")
+def f7(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@register("f8_content_hash_keys", """
+SELECT event_id,
+  sha256(concat(CAST(user_id AS VARCHAR), '|', event_type)) AS edge_key,
+  md5(event_type) AS type_fp
+FROM events
+""")
+def f8(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.sha2(F.concat_ws("|", F.col("user_id").cast("string"),
+                           F.col("event_type")), 256).alias("edge_key"),
+        F.md5("event_type").alias("type_fp"),
+    )
+
+
+@register("x4_chunking_contract")  # python tokenizer: rows-only
+def x4(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.embedding import embed_chunks
+    from .operators.chunking import chunks_table
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunks_table(docs, chunk_size=30, overlap=10)
+    emb = embed_chunks(chunks, dim=32)
+    return chunks.join(emb, ["doc_id", "chunk_index"]).select(
+        "doc_id", "chunk_index", "chunk_id", "total_chunks",
+        "start_char", "end_char", "embedding_id")
+
+
+@register("i3_windowed_event_counts", """
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP)
+         AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+""")
+def i3(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.incremental import windowed_event_counts
+
+    e = load_table(spark, sf, "events")
+    out = windowed_event_counts(e, window_dur="10 minutes")
+    return out.select("window_start", "event_type",
+                      F.col("cnt").cast("bigint").alias("cnt"))
+
+
+@register("j10_shortest_path_length", """
+WITH RECURSIVE ord AS (
+  SELECT o_custkey, o_orderkey,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders),
+edges AS (
+  SELECT a.o_orderkey AS src, b.o_orderkey AS dst
+  FROM ord a JOIN ord b ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+endpoints AS (
+  SELECT min(CASE WHEN rn = 1 THEN o_orderkey END) AS src_node,
+         min(CASE WHEN rn = 4 THEN o_orderkey END) AS dst_node
+  FROM ord WHERE o_custkey = 1),
+walk AS (
+  SELECT src_node AS node, 0 AS depth FROM endpoints
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 8)
+SELECT CAST(min(depth) AS INT) AS path_len
+FROM walk, endpoints WHERE walk.node = endpoints.dst_node
+""")
+def j10(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.graph import shortest_path_length
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordd = o.filter(F.col("o_custkey") == 1).select(
+        "o_orderkey", F.row_number().over(w).alias("rn")).cache()
+    nxt = ordd.select(F.col("o_orderkey").alias("dst"),
+                      (F.col("rn") - 1).alias("rn"))
+    edges = ordd.join(nxt, "rn").select(F.col("o_orderkey").alias("src"), "dst")
+    src = ordd.filter(F.col("rn") == 1).first()["o_orderkey"]
+    dst_row = ordd.filter(F.col("rn") == 4).first()
+    dst = dst_row["o_orderkey"] if dst_row else -1
+    n = shortest_path_length(edges, src, dst, max_depth=8)
+    return spark.createDataFrame(
+        [( int(n) if n is not None else None, )], "path_len int")
+
+
+@register("i4_change_detection", """
+WITH old AS (
+  SELECT doc_id,
+    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM documents),
+new AS (
+  SELECT doc_id,
+    md5(lower(trim(regexp_replace(
+      CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END,
+      '\\s+', ' ', 'g')))) AS fp
+  FROM documents)
+SELECT old.doc_id FROM old JOIN new ON old.doc_id = new.doc_id
+WHERE old.fp <> new.fp
+""")
+def i4(spark: SparkSession, sf: str) -> DataFrame:
+    # change detection (codebase.py:497-531 semantics): re-process only rows
+    # whose content fingerprint changed; every 10th doc gets a simulated edit
+    from .functions.text_analysis import fingerprint_col
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+    edited = F.when(F.col("doc_id") % 10 == 0,
+                    F.concat(F.col("text"), F.lit(" updated"))) \
+        .otherwise(F.col("text"))
+    new = docs.select("doc_id", fingerprint_col(edited).alias("fp"))
+    return (
+        old.alias("a").join(new.alias("b"), "doc_id")
+        .filter(F.col("a.fp") != F.col("b.fp"))
+        .select("doc_id")
+    )

@@ -1,0 +1,96 @@
+"""Table IO abstraction: one module gating every write.
+
+On a runtime with an Iceberg catalog the same calls route to
+``df.writeTo(tbl).append()`` / ``MERGE INTO``; in this sandbox they produce
+an identical partition layout on plain parquet paths (``tbl/part=.../``),
+so the pipeline code is catalog-agnostic (SURVEY §7.0 / §7.4.5).
+
+Key behaviors re-expressed from the reference:
+- **idempotent upsert** (``onDuplicate=replace`` NDJSON import,
+  ``nl_graph_materialize.py:366-387``): ``upsert_by_key`` = read existing,
+  anti-join old rows whose key reappears, union new, atomic swap.
+- **salted repartition** (north-rule skew handling; reference is
+  single-node so had none — SURVEY §4 O12): spread hot partition keys over
+  ``n_salts`` shuffle buckets.
+- **partition-pruned reads**: filters on the partition column prune
+  directories for free.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def salted_repartition(df: DataFrame, key_col: str, n_partitions: int,
+                       n_salts: int = 8) -> DataFrame:
+    """Repartition on (key, salt) so a single hot key spreads over
+    ``n_salts`` buckets; drop the salt after the exchange."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
+    )
+    return salted.repartition(n_partitions, F.col(key_col), F.col("_salt")) \
+                 .drop("_salt")
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """MERGE-INTO semantics on a parquet path: rows in ``new_rows`` replace
+    existing rows with the same key; everything else is kept. Write goes to
+    a temp dir then atomically swaps, so a crash mid-write never leaves a
+    half table (the tmp-rename pattern of ``state_manager.py:84-117``)."""
+    p = Path(path)
+    if p.exists():
+        existing = spark.read.parquet(path)
+        keep = existing.join(
+            new_rows.select(*key_cols).dropDuplicates(key_cols),
+            key_cols, "left_anti",
+        )
+        merged = keep.unionByName(new_rows)
+    else:
+        merged = new_rows
+
+    # the merged plan lazily reads the old files, so write the temp table
+    # FIRST (materializing the merge), then swap directories atomically
+    tmp = Path(str(p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"))
+    write_table(merged, str(tmp), partition_by=partition_by)
+    bak = Path(str(p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}"))
+    if p.exists():
+        p.rename(bak)
+    tmp.rename(p)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> None:
+    """Row-level delete (``DELETE FROM tbl WHERE ...`` — S8 semantics):
+    rewrite the table without matching rows, atomic swap."""
+    p = Path(path)
+    if not p.exists():
+        return
+    remaining = spark.read.parquet(path).filter(~condition)
+    tmp = str(p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}")
+    remaining.write.mode("overwrite").parquet(tmp)
+    bak = str(p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}")
+    p.rename(bak)
+    Path(tmp).rename(p)
+    shutil.rmtree(bak, ignore_errors=True)

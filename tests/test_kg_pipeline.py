@@ -80,3 +80,40 @@ class TestPipeline:
         edges = distinct_edges(canonical_triples(pages))
         assert edges.count() == edges.select("edge_key").distinct().count()
         assert edges.filter(F.length("edge_key") != 64).count() == 0
+
+
+class TestAdaptiveExecution:
+    """The local (driver-side) fast paths must agree with the distributed
+    paths exactly."""
+
+    def test_cc_local_vs_distributed(self, spark):
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "a")],
+            "a string, b string")
+        from hades_spark.operators.components import connected_components
+
+        local = {(r["node"], r["component"])
+                 for r in connected_components(pairs).collect()}
+        dist = {(r["node"], r["component"])
+                for r in connected_components(pairs, local_threshold=0).collect()}
+        assert local == dist
+
+    def test_canonical_local_vs_distributed(self, spark):
+        from hades_spark.operators.canonicalize import canonical_map
+
+        surfaces = spark.createDataFrame(
+            [("HADES",), ("hades",), ("H.A.D.E.S.",), ("the HADES system",),
+             ("Apache Spark",), ("Spark",), ("apache spark",),
+             ("PostgreSQL",), ("Postgres",), ("unrelated thing",)],
+            "surface string")
+        local = {(r["surface"], r["canonical_id"])
+                 for r in canonical_map(surfaces).collect()}
+        dist = {(r["surface"], r["canonical_id"])
+                for r in canonical_map(surfaces, local_threshold=0).collect()}
+        assert local == dist
+        by_surface = dict(local)
+        assert by_surface["HADES"] == by_surface["the HADES system"]
+        assert by_surface["Apache Spark"] == by_surface["Spark"]
+        assert by_surface["PostgreSQL"] == by_surface["Postgres"]
+        assert by_surface["unrelated thing"] not in (
+            by_surface["HADES"], by_surface["Apache Spark"])

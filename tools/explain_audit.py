@@ -1,0 +1,82 @@
+"""Plan-shape audit: assert the physical plans we designed for.
+
+Checks (printed + exit code):
+- s1: parquet scan has PushedFilters + pruned ReadSchema (2 columns);
+- j1/j5: broadcast joins chosen (BroadcastHashJoin);
+- t1: orderBy+limit compiled to TakeOrderedAndProject;
+- a1: partial aggregation (two HashAggregate levels);
+- w1: single shuffle (one Exchange) for the window;
+- kg stage-1: no Exchange before the mapInArrow (narrow extraction).
+
+Run: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from hades_spark.queries import SPARK_QUERIES
+    from hades_spark.session import get_spark
+
+    sf = "/root/testdata/sf0.01"
+    spark = get_spark("explain_audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+
+    def check(name, df, preds):
+        plan = plan_of(df)
+        for desc, fn in preds:
+            ok = fn(plan)
+            print(f"{'ok  ' if ok else 'FAIL'} {name}: {desc}")
+            if not ok:
+                failures.append((name, desc))
+
+    q = SPARK_QUERIES
+    check("s1", q["s1_scan_project_filter"](spark, sf), [
+        ("filter pushed to scan", lambda p: "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in p),
+        ("column-pruned ReadSchema", lambda p: "l_comment" not in p and "l_shipdate" not in p),
+    ])
+    check("j1", q["j1_three_way_lookup_join"](spark, sf), [
+        ("broadcast join used", lambda p: "BroadcastHashJoin" in p),
+    ])
+    check("j5", q["j5_broadcast_dim_join"](spark, sf), [
+        ("both dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+    ])
+    check("t1", q["t1_recency_topk"](spark, sf), [
+        ("TakeOrderedAndProject (no global sort)", lambda p: "TakeOrderedAndProject" in p),
+    ])
+    check("a1", q["a1_pricing_summary"](spark, sf), [
+        ("map-side partial aggregation", lambda p: p.count("HashAggregate") >= 2),
+    ])
+    check("w1", q["w1_adjacent_context_sum"](spark, sf), [
+        # count tree nodes ("Exchange (n)"), not the detail section echoes
+        ("exactly one shuffle", lambda p: p.count("Exchange (") == 1),
+    ])
+
+    from hades_spark.functions.triples import raw_triples
+    from hades_spark.pipeline.corpus import pages_df
+
+    pages = pages_df(spark, 10, with_text=False)
+    check("kg_stage1", raw_triples(pages), [
+        ("narrow (no Exchange before extraction)", lambda p: "Exchange" not in p),
+    ])
+
+    print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
