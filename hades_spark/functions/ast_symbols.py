@@ -1,0 +1,151 @@
+"""Codebase KG pipeline: python files -> symbol nodes + defines/calls edges.
+
+The Spark restatement of the reference's ``codebase ingest`` trace
+(SURVEY §3.3 / ``codebase.py:453-741``): per-file AST extraction
+(``python_ast_extractor.py:96-383`` semantics, in textcore/pyast.py) as a
+pandas UDF, then the 3-strategy call resolution of
+``python_edge_resolver.py:190-238`` — exact qualified name,
+``self.method`` -> ``Class.method`` rewrite, bare name — expressed as
+broadcast candidate joins with a deterministic window tie-break
+(same-file preferred, then file path / line order, replacing the
+reference's index-insertion-order 'first match').
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import StringType
+
+from ..functions.keys import file_key_col, symbol_key_col
+
+
+@F.pandas_udf(StringType())
+def _extract_json_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    from ..textcore.pyast import extract_symbols
+
+    for s in batches:
+        yield s.map(lambda src: json.dumps(extract_symbols(src or "")))
+
+
+_AST_SCHEMA = (
+    "struct<symbols: array<struct<name:string, qualified_name:string,"
+    " kind:string, visibility:string, signature:string, start_line:int,"
+    " end_line:int, parent_symbol:string, decorators:array<string>,"
+    " bases:array<string>,"
+    " calls:array<struct<name:string, qualified_name:string>>>>,"
+    " imports: array<struct<module:string, name:string, alias:string>>,"
+    " error:string>"
+)
+
+
+def analyzed_files(files: DataFrame, path_col: str = "rel_path",
+                   source_col: str = "source") -> DataFrame:
+    """(rel_path, source) -> + python_ast struct column (narrow)."""
+    return files.withColumn(
+        "python_ast",
+        F.from_json(_extract_json_udf(F.col(source_col)), _AST_SCHEMA),
+    )
+
+
+def symbols_table(analyzed: DataFrame) -> DataFrame:
+    """-> codebase_symbols rows with file-scoped keys (keys.py rules)."""
+    s = analyzed.select(
+        "rel_path", F.explode("python_ast.symbols").alias("sym"))
+    return s.select(
+        symbol_key_col(F.col("rel_path"), F.col("sym.qualified_name"))
+        .alias("symbol_key"),
+        F.col("sym.name").alias("name"),
+        F.col("sym.qualified_name").alias("qualified_name"),
+        F.col("sym.kind").alias("kind"),
+        F.col("sym.visibility").alias("visibility"),
+        F.col("sym.signature").alias("signature"),
+        F.col("rel_path").alias("file_path"),
+        F.col("sym.start_line").alias("start_line"),
+        F.col("sym.end_line").alias("end_line"),
+        F.col("sym.parent_symbol").alias("parent_symbol"),
+        F.col("sym.calls").alias("calls"),
+    )
+
+
+def defines_edges(symbols: DataFrame) -> DataFrame:
+    """file -> symbol 'defines' edges (deduped)."""
+    return (
+        symbols.select(
+            F.concat(F.lit("codebase_files/"),
+                     file_key_col(F.col("file_path"))).alias("src"),
+            F.concat(F.lit("codebase_symbols/"),
+                     F.col("symbol_key")).alias("dst"),
+            F.lit("defines").alias("rel"),
+            F.col("file_path"),
+            F.col("qualified_name").alias("symbol_name"),
+        )
+        .dropDuplicates(["src", "dst", "rel"])
+    )
+
+
+def calls_edges(symbols: DataFrame) -> DataFrame:
+    """symbol -> symbol 'calls' edges via the 3-strategy ladder."""
+    index = symbols.select(
+        F.col("symbol_key").alias("t_key"),
+        F.col("qualified_name").alias("t_qname"),
+        F.col("name").alias("t_name"),
+        F.col("file_path").alias("t_file"),
+        F.col("start_line").alias("t_line"),
+    ).cache()
+    bindex = F.broadcast(index)
+
+    calls = symbols.select(
+        F.col("symbol_key").alias("caller_key"),
+        F.col("qualified_name").alias("caller_qname"),
+        F.col("file_path").alias("caller_file"),
+        F.explode("calls").alias("c"),
+    ).select(
+        "caller_key", "caller_qname", "caller_file",
+        F.col("c.name").alias("call_name"),
+        F.col("c.qualified_name").alias("call_qname"),
+    )
+
+    # strategy 1: exact qualified name
+    s1 = calls.join(bindex, calls.call_qname == bindex.t_qname) \
+        .withColumn("strategy", F.lit(1))
+    # strategy 2: self.method -> Class.method (caller must be Class.method)
+    s2 = (
+        calls.filter(F.col("call_qname").startswith("self.")
+                     & F.col("caller_qname").contains("."))
+        .withColumn(
+            "rewritten",
+            F.concat(
+                F.expr("substring(caller_qname, 1,"
+                       " length(caller_qname) - length(substring_index(caller_qname, '.', -1)) - 1)"),
+                F.lit("."), F.col("call_name")),
+        )
+        .join(bindex, F.col("rewritten") == bindex.t_qname)
+        .drop("rewritten")
+        .withColumn("strategy", F.lit(2))
+    )
+    # strategy 3: bare name
+    s3 = calls.join(bindex, calls.call_name == bindex.t_name) \
+        .withColumn("strategy", F.lit(3))
+
+    cands = s1.unionByName(s2).unionByName(s3)
+    w = Window.partitionBy("caller_key", "call_qname").orderBy(
+        F.asc("strategy"),
+        F.desc(F.col("caller_file") == F.col("t_file")),
+        F.asc("t_file"), F.asc("t_line"),
+    )
+    resolved = cands.withColumn("_rn", F.row_number().over(w)) \
+        .filter(F.col("_rn") == 1)
+    return (
+        resolved.select(
+            F.concat(F.lit("codebase_symbols/"), F.col("caller_key")).alias("src"),
+            F.concat(F.lit("codebase_symbols/"), F.col("t_key")).alias("dst"),
+            F.lit("calls").alias("rel"),
+            F.col("caller_qname").alias("caller"),
+            F.col("call_qname").alias("callee"),
+        )
+        .dropDuplicates(["src", "dst", "rel"])
+    )

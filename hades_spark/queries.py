@@ -978,3 +978,35 @@ def i4(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("a.fp") != F.col("b.fp"))
         .select("doc_id")
     )
+
+
+@register("skew_salted_host_counts", """
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY event_type
+""")
+def skew_q(spark: SparkSession, sf: str) -> DataFrame:
+    # two-phase salted aggregation (north-rule O12): result-identical to a
+    # plain groupBy/count, skew-tolerant shuffle shape
+    from .operators.skew import salted_group_count
+
+    e = load_table(spark, sf, "events").withColumnRenamed("event_type", "key")
+    return salted_group_count(e, "key", n_salts=8, spread_col="event_id")
+
+
+@register("x7_codebase_edges")  # python AST semantics: rows-only
+def x7(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.ast_symbols import (
+        analyzed_files, calls_edges, defines_edges, symbols_table)
+
+    src_a = ("def helper(x):\n    return x + 1\n\n"
+             "class Pool:\n"
+             "    def acquire(self):\n        return helper(1)\n"
+             "    def release(self):\n        self.acquire()\n")
+    src_b = ("def main():\n    p = Pool()\n    helper(2)\n")
+    files = spark.createDataFrame(
+        [("pkg/a.py", src_a), ("pkg/b.py", src_b)],
+        "rel_path string, source string")
+    syms = symbols_table(analyzed_files(files))
+    return defines_edges(syms).select("src", "dst", "rel") \
+        .unionByName(calls_edges(syms).select("src", "dst", "rel")) \
+        .orderBy("rel", "src", "dst")

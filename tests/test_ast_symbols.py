@@ -1,0 +1,80 @@
+"""Codebase KG pipeline tests (python AST symbols + defines/calls edges)."""
+
+from hades_spark.functions.ast_symbols import (
+    analyzed_files, calls_edges, defines_edges, symbols_table,
+)
+from hades_spark.textcore.pyast import extract_symbols
+
+SRC_A = '''
+import os
+from collections import OrderedDict
+
+def helper(x):
+    return x + 1
+
+class Pool:
+    def acquire(self):
+        return helper(1)
+
+    def release(self):
+        self.acquire()
+'''
+
+SRC_B = '''
+from mypkg.a import Pool
+
+def main():
+    p = Pool()
+    helper(2)
+'''
+
+
+class TestPyAst:
+    def test_symbols_and_qualified_names(self):
+        out = extract_symbols(SRC_A)
+        assert out["error"] is None
+        q = {s["qualified_name"]: s for s in out["symbols"]}
+        assert set(q) == {"helper", "Pool", "Pool.acquire", "Pool.release"}
+        assert q["Pool.acquire"]["kind"] == "method"
+        assert q["Pool.acquire"]["parent_symbol"] == "Pool"
+        assert q["helper"]["signature"] == "helper(x)"
+
+    def test_self_call_kept_verbatim(self):
+        out = extract_symbols(SRC_A)
+        rel = {s["qualified_name"]: s["calls"] for s in out["symbols"]}
+        assert {"name": "acquire", "qualified_name": "self.acquire"} in \
+            rel["Pool.release"]
+
+    def test_imports(self):
+        out = extract_symbols(SRC_A)
+        assert {"module": "os", "alias": "os"} in out["imports"]
+
+    def test_syntax_error_isolated(self):
+        out = extract_symbols("def broken(:")
+        assert out["symbols"] == [] and "SyntaxError" in out["error"]
+
+
+class TestEdges:
+    def test_defines_and_calls(self, spark):
+        files = spark.createDataFrame(
+            [("mypkg/a.py", SRC_A), ("mypkg/b.py", SRC_B)],
+            "rel_path string, source string")
+        analyzed = analyzed_files(files)
+        syms = symbols_table(analyzed).cache()
+        assert syms.count() == 5  # 4 in a.py + main in b.py
+
+        d = {(r["src"], r["dst"]) for r in defines_edges(syms).collect()}
+        assert ("codebase_files/mypkg_a_py",
+                "codebase_symbols/mypkg_a_py__helper") in d
+
+        c = {(r["caller"], r["callee"]): r for r in calls_edges(syms).collect()}
+        # strategy 2: self.acquire -> Pool.acquire (same file)
+        assert ("Pool.release", "self.acquire") in c
+        assert c[("Pool.release", "self.acquire")]["dst"] == \
+            "codebase_symbols/mypkg_a_py__Pool_acquire"
+        # strategy 3 cross-file: bare helper resolved to a.py's helper
+        assert ("main", "helper") in c
+        assert c[("main", "helper")]["dst"] == \
+            "codebase_symbols/mypkg_a_py__helper"
+        # strategy 1/3: Pool() call resolves to the class symbol
+        assert ("main", "Pool") in c
