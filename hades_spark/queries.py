@@ -1010,3 +1010,69 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
     return defines_edges(syms).select("src", "dst", "rel") \
         .unionByName(calls_edges(syms).select("src", "dst", "rel")) \
         .orderBy("rel", "src", "dst")
+
+
+@register("g1_schema_driven_edges")  # declarative materializer: rows-only
+def g1(spark: SparkSession, sf: str) -> DataFrame:
+    # schema-driven edge materialization (nl_graph_materialize semantics)
+    # over a nodes table derived from orders/customer: each order node
+    # references its customer (scalar ref) and customers carry a 'recent
+    # orders' chain
+    from pyspark.sql import Window
+
+    from .plans.edge_defs import EdgeDef, materialize_edges
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 500)
+    c = load_table(spark, sf, "customer")
+    order_nodes = o.select(
+        F.concat(F.lit("orders/"), F.col("o_orderkey")).alias("node_id"),
+        F.lit("orders").alias("node_type"),
+        F.map_from_arrays(
+            F.array(F.lit("placed_by")),
+            F.array(F.concat(F.lit("customers/"), F.col("o_custkey"))),
+        ).alias("props"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chains = (
+        o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+        .groupBy("o_custkey")
+        .agg(F.concat_ws(",", F.collect_list(
+            F.concat(F.lit("orders/"), F.col("o_orderkey")))).alias("chain"))
+    )
+    cust_nodes = (
+        c.join(chains, c.c_custkey == chains.o_custkey, "left")
+        .select(
+            F.concat(F.lit("customers/"), F.col("c_custkey")).alias("node_id"),
+            F.lit("customers").alias("node_type"),
+            F.map_from_arrays(F.array(F.lit("chain")),
+                              F.array(F.coalesce("chain", F.lit("")))).alias("props"),
+        )
+    )
+    nodes = order_nodes.unionByName(cust_nodes)
+    edges, _stats = materialize_edges(nodes, [
+        EdgeDef("placed_by", "placed_by", ("orders",)),
+        EdgeDef("order_seq", "chain", ("customers",), kind="chain"),
+    ])
+    return edges.orderBy("rel", "edge_key")
+
+
+@register("st_sessionize", """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+              > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def st_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(load_table(spark, sf, "events"), gap_minutes=30)

@@ -1,0 +1,74 @@
+"""Schema-driven edge materializer tests (reference semantics:
+tests/core/database/test_nl_graph_materialize.py cases restated)."""
+
+from pyspark.sql import functions as F
+
+from hades_spark.plans.edge_defs import (
+    EdgeDef, build_chain_edges, build_standard_edges, materialize_edges,
+    named_graph_view,
+)
+
+
+def _nodes(spark):
+    rows = [
+        # (node_id, node_type, props)
+        ("papers/p1", "papers", {"cites": "papers/p2, papers/p3",
+                                 "year": "2020"}),
+        ("papers/p2", "papers", {"cites": "papers/p3"}),
+        ("papers/p3", "papers", {}),
+        ("papers/p4", "papers", {"cites": "papers/MISSING"}),  # bad target
+        ("lineages/l1", "lineages", {"chain": "papers/p1, papers/p2, papers/p3"}),
+        ("authors/a1", "authors", {"cites": "papers/p1"}),  # wrong type
+    ]
+    return spark.createDataFrame(
+        rows, "node_id string, node_type string, props map<string,string>")
+
+
+CITES = EdgeDef("cites", "cites", ("papers",), edge_attributes=("year",))
+CHAIN = EdgeDef("lineage_step", "chain", ("lineages",), kind="chain")
+
+
+class TestStandardEdges:
+    def test_explode_resolve_validate(self, spark):
+        edges = build_standard_edges(_nodes(spark), CITES).collect()
+        got = {(r["src"], r["dst"]) for r in edges}
+        # p1->p2, p1->p3, p2->p3; p4->MISSING skipped; authors/a1 not scanned
+        assert got == {("papers/p1", "papers/p2"), ("papers/p1", "papers/p3"),
+                       ("papers/p2", "papers/p3")}
+
+    def test_edge_attributes_copied(self, spark):
+        edges = {(r["src"], r["dst"]): r for r in
+                 build_standard_edges(_nodes(spark), CITES).collect()}
+        assert edges[("papers/p1", "papers/p2")]["year"] == "2020"
+        assert edges[("papers/p2", "papers/p3")]["year"] is None
+
+    def test_composite_dedup_key(self, spark):
+        edges = build_standard_edges(_nodes(spark), CITES).collect()
+        keys = {r["edge_key"] for r in edges}
+        assert "papers_p1__papers_p2" in keys
+        assert len(keys) == len(edges)  # idempotent re-materialization
+
+
+class TestChainEdges:
+    def test_sequential_and_membership(self, spark):
+        edges = build_chain_edges(_nodes(spark), CHAIN).collect()
+        seq = {(r["src"], r["dst"], r["chain_position"])
+               for r in edges if "step" in r["edge_key"]}
+        mem = {(r["src"], r["dst"], r["chain_position"])
+               for r in edges if "member" in r["edge_key"]}
+        assert seq == {("papers/p1", "papers/p2", 0),
+                       ("papers/p2", "papers/p3", 1)}
+        assert mem == {("lineages/l1", "papers/p1", 0),
+                       ("lineages/l1", "papers/p2", 1),
+                       ("lineages/l1", "papers/p3", 2)}
+
+
+class TestMaterializeAll:
+    def test_union_and_stats_and_views(self, spark):
+        edges, stats = materialize_edges(_nodes(spark), [CITES, CHAIN])
+        assert stats["cites"].edges_created == 3
+        assert stats["lineage_step"].edges_created == 5
+        view = named_graph_view(edges, ["cites"])
+        assert view.count() == 3
+        assert {r["rel"] for r in edges.select("rel").distinct().collect()} \
+            == {"cites", "lineage_step"}
