@@ -123,3 +123,55 @@ def with_context(
         F.collect_list("text").over(w).alias("context_texts"),
     )
     return hits.join(ctx, [doc_col, idx_col], "left")
+
+
+def structural_rerank(
+    hits: DataFrame,
+    node_features: DataFrame,
+    alpha: float = 0.7,
+    join_cols: tuple[str, ...] = ("doc_id", "chunk_index"),
+    feature_col: str = "centrality",
+    score_col: str = "score",
+) -> DataFrame:
+    """Structural-fusion re-rank (``structural_fusion.py:260-326``): blend a
+    per-node structural signal (e.g. pairwise-similarity centrality, A6)
+    into the retrieval score — fused = alpha*score + (1-alpha)*signal,
+    missing signals contribute 0 (the reference's fallback)."""
+    feats = F.broadcast(node_features)
+    return (
+        hits.join(feats, list(join_cols), "left")
+        .withColumn(
+            "structural_score",
+            alpha * F.col(score_col)
+            + (1 - alpha) * F.coalesce(F.col(feature_col), F.lit(0.0)),
+        )
+        .orderBy(F.desc("structural_score"), *[F.asc(c) for c in join_cols])
+    )
+
+
+def centrality_features(
+    embeddings: DataFrame,
+    group_col: str,
+    id_cols: tuple[str, ...],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group pairwise-cosine centrality (``structural_fusion.py:289-304``):
+    normalize rows, sims = E @ E.T, zero diagonal, row mean."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} string" for c in id_cols] + ["centrality double"])
+
+    def _cent(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        sims = unit @ unit.T
+        np.fill_diagonal(sims, 0.0)
+        cent = sims.sum(axis=1) / max(len(pdf) - 1, 1)
+        data = {c: pdf[c].astype(str) for c in id_cols}
+        data["centrality"] = cent
+        return pd.DataFrame(data)
+
+    return embeddings.groupBy(group_col).applyInPandas(_cent, out_schema)

@@ -117,3 +117,30 @@ class TestAdaptiveExecution:
         assert by_surface["PostgreSQL"] == by_surface["Postgres"]
         assert by_surface["unrelated thing"] not in (
             by_surface["HADES"], by_surface["Apache Spark"])
+
+
+class TestRealisticPages:
+    def test_pr_holds_on_rich_pages(self, spark):
+        """Precision/recall on Common-Crawl-sized pages (filler prose,
+        tables, citations) — guards against spurious triples from page
+        bulk."""
+        from hades_spark.pipeline.corpus import gen_pages
+        from hades_spark.pipeline.kg import canonical_triples, distinct_edges
+        from hades_spark.operators.canonicalize import normalize_surface
+        from hades_spark.pipeline.corpus import ENTITIES
+        from hades_spark.schemas import PAGES
+
+        n = 80
+        pages = gen_pages(n, seed=21, compute_text=False, richness=25)
+        df = spark.createDataFrame(
+            [(p.url, p.warc_ts, p.html, None, p.lang) for p in pages], PAGES)
+        got = {(r["subj"], r["pred"], r["obj"]) for r in
+               distinct_edges(canonical_triples(df))
+               .select("subj", "pred", "obj").collect()}
+        canon_id = {c: min(normalize_surface(v) for v in vs)
+                    for c, vs in ENTITIES}
+        want = {(canon_id[s], p, canon_id[o])
+                for pg in pages for (s, p, o) in pg.truth}
+        tp = len(got & want)
+        assert tp / max(len(got), 1) >= 0.95, sorted(got - want)[:8]
+        assert tp / len(want) >= 0.95, sorted(want - got)[:8]

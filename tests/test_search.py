@@ -50,3 +50,22 @@ class TestSearch:
         hits = semantic_topk(emb, "window functions", k=1)
         ctx = with_context(hits, emb.drop("embedding"), n_context=1).collect()[0]
         assert len(ctx["context_texts"]) == 2  # chunk 2 has left neighbor only
+
+
+class TestStructuralRerank:
+    def test_centrality_blend(self, spark):
+        from hades_spark.operators.search import (
+            centrality_features, structural_rerank)
+
+        emb = _chunks(spark)
+        feats = centrality_features(
+            emb.withColumn("grp", F.lit("g")), "grp",
+            ("doc_id",), vec_col="embedding") \
+            .groupBy("doc_id").agg(F.avg("centrality").alias("centrality"))
+        hits = semantic_topk(emb, "spark", k=5).withColumn(
+            "doc_id", F.col("doc_id").cast("string"))
+        out = structural_rerank(
+            hits, feats, join_cols=("doc_id",)).collect()
+        assert len(out) == 5
+        scores = [r["structural_score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
