@@ -25,8 +25,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.html_text import with_extracted_text
 from ..functions.keys import edge_content_key_col
-from ..functions.mentions import mentions_table
-from ..functions.triples import raw_triples
 from .corpus import pages_df
 
 
@@ -40,7 +38,7 @@ def ensure_text(pages: DataFrame) -> DataFrame:
 
 def canonical_triples(
     pages: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = 0.8,
     broadcast_map: bool = True,
 ) -> DataFrame:
     """pages -> canonical (subj, pred, obj) triples with provenance."""
