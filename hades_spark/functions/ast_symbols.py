@@ -149,3 +149,66 @@ def calls_edges(symbols: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["src", "dst", "rel"])
     )
+
+
+def resolve_imports(
+    imports: DataFrame,
+    module_index: DataFrame,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Resolve dotted imports against a module index with hierarchical
+    parent-module fallback (``import_resolver.py:31-86``): try the full
+    dotted path, then each parent prefix, keeping the LONGEST prefix that
+    resolves. Spark-first: explode the prefix ladder, broadcast-join the
+    module index, window-rank by prefix length.
+
+    imports:      (src_file string, module string)
+    module_index: (module string, rel_path string)  — the prebuilt
+                  dotted-module -> file map (broadcast dimension)
+    -> (src_file, module, resolved_path, matched_prefix)
+    """
+    # prefix ladder: 'a.b.c' -> ['a.b.c', 'a.b', 'a'] (source order kept)
+    parts = F.split(F.col("module"), r"\.")
+    ladder = F.transform(
+        F.sequence(F.size(parts), F.lit(1), F.lit(-1)),
+        lambda n: F.concat_ws(".", F.slice(parts, 1, n)),
+    )
+    cands = imports.select(
+        "src_file", "module", F.explode(ladder).alias("prefix"))
+
+    idx = F.broadcast(module_index.select(
+        F.col("module").alias("prefix"), F.col("rel_path")))
+    hits = cands.join(idx, "prefix")
+
+    w = Window.partitionBy("src_file", "module").orderBy(
+        F.desc(F.length("prefix")), F.asc("rel_path"))
+    return (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("src_file", "module",
+                F.col("rel_path").alias("resolved_path"),
+                F.col("prefix").alias("matched_prefix"))
+    )
+
+
+def imports_edges(analyzed: DataFrame, module_index: DataFrame) -> DataFrame:
+    """file -> file 'imports' edges from resolved imports (deduped,
+    ``codebase.py:620-635`` edge shape)."""
+    imps = analyzed.select(
+        F.col("rel_path").alias("src_file"),
+        F.explode("python_ast.imports").alias("imp"),
+    ).select("src_file", F.col("imp.module").alias("module")) \
+     .filter(F.col("module") != "")
+    resolved = resolve_imports(imps, module_index)
+    return (
+        resolved.select(
+            F.concat(F.lit("codebase_files/"),
+                     file_key_col(F.col("src_file"))).alias("src"),
+            F.concat(F.lit("codebase_files/"),
+                     file_key_col(F.col("resolved_path"))).alias("dst"),
+            F.lit("imports").alias("rel"),
+            F.col("module"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst", "rel"])
+    )

@@ -78,3 +78,41 @@ class TestEdges:
             "codebase_symbols/mypkg_a_py__helper"
         # strategy 1/3: Pool() call resolves to the class symbol
         assert ("main", "Pool") in c
+
+
+class TestImportResolution:
+    def test_prefix_ladder_longest_match(self, spark):
+        from hades_spark.functions.ast_symbols import resolve_imports
+
+        imports = spark.createDataFrame(
+            [("x.py", "mypkg.sub.mod"), ("x.py", "mypkg.other.deep.thing"),
+             ("x.py", "unknown.module")],
+            "src_file string, module string")
+        index = spark.createDataFrame(
+            [("mypkg", "mypkg/__init__.py"),
+             ("mypkg.sub.mod", "mypkg/sub/mod.py"),
+             ("mypkg.other", "mypkg/other/__init__.py")],
+            "module string, rel_path string")
+        out = {r["module"]: r for r in
+               resolve_imports(imports, index).collect()}
+        # exact match wins over parent prefixes
+        assert out["mypkg.sub.mod"]["resolved_path"] == "mypkg/sub/mod.py"
+        # hierarchical fallback: deepest existing parent
+        assert out["mypkg.other.deep.thing"]["matched_prefix"] == "mypkg.other"
+        # unresolvable imports are absent
+        assert "unknown.module" not in out
+
+    def test_imports_edges(self, spark):
+        from hades_spark.functions.ast_symbols import (
+            analyzed_files, imports_edges)
+
+        files = spark.createDataFrame(
+            [("pkg/b.py", "from pkg.a import Pool\nimport os\n"),
+             ("pkg/a.py", "x = 1\n")],
+            "rel_path string, source string")
+        index = spark.createDataFrame(
+            [("pkg.a", "pkg/a.py"), ("pkg.b", "pkg/b.py")],
+            "module string, rel_path string")
+        edges = {(r["src"], r["dst"]) for r in
+                 imports_edges(analyzed_files(files), index).collect()}
+        assert edges == {("codebase_files/pkg_b_py", "codebase_files/pkg_a_py")}
