@@ -26,6 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 HEADLINE = [
     "a1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "j1_three_way_lookup_join",
     "j2_decorrelated_count_join",
     "w1_adjacent_context_sum",

@@ -1076,3 +1076,75 @@ def st_sessionize_q(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming.sessionize import sessionize_batch
 
     return sessionize_batch(load_table(spark, sf, "events"), gap_minutes=30)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped composite queries (multi-join + agg + sort benchmarks)
+# ---------------------------------------------------------------------------
+
+@register("q3_shipping_priority", """
+SELECT l.l_orderkey,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+  o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey LIMIT 20
+""")
+def q3(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    li = load_table(spark, sf, "lineitem") \
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))), 2) + 0.0)
+             .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+@register("q5_local_supplier_volume", """
+SELECT n.n_name,
+  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def q5(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.join(F.broadcast(r),
+                                 n.n_regionkey == r.r_regionkey)),
+              c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg((F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))), 2) + 0.0)
+             .alias("revenue"))
+    )
