@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType
 
 from ..schemas import MENTION
-from .html_text import html_to_text, unescape_html
+from .html_text import decode_html_bytes, html_to_text, unescape_html
 
 # --- HTML structural mentions ------------------------------------------------
 
@@ -216,9 +216,13 @@ def detect_mentions(html: str, text: str) -> list[dict[str, Any]]:
 @F.pandas_udf(ArrayType(MENTION))
 def detect_mentions_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
     for html_s, text_s in it:
+        # decode_html_bytes = the SAME utf-8 -> latin-1 ladder the text
+        # extraction uses, so mention surfaces match the extracted text
+        # byte-for-byte on invalid-utf8 pages (no U+FFFD divergence)
         yield pd.Series([
             detect_mentions(
-                h.decode("utf-8", "replace") if isinstance(h, (bytes, bytearray)) else (h or ""),
+                decode_html_bytes(h) if isinstance(h, (bytes, bytearray)) or h is None
+                else h,
                 t or "",
             )
             for h, t in zip(html_s, text_s)

@@ -22,7 +22,7 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-from .components import connected_components
+from .components import alternating_components
 from .lsh import char_shingles, verified_pairs
 
 _NON_ALNUM = re.compile(r"[^a-z0-9]+")
@@ -108,7 +108,9 @@ def canonical_map(
         max_bucket_size=max_bucket_size,
     )
 
-    comp = connected_components(pairs, "a", "b", max_iter=max_iter)
+    # large-star/small-star: O(log^2 n) rounds regardless of alias-chain
+    # diameter (min-label is O(diameter) and raises past max_iter)
+    comp = alternating_components(pairs, "a", "b", max_iter=max(max_iter, 50))
 
     out = (
         distinct.join(comp, distinct.norm == comp.node, "left")
@@ -151,7 +153,7 @@ def canonical_norm_map(
         threshold=threshold, metric="containment",
         num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size,
     )
-    comp = connected_components(pairs, "a", "b", max_iter=max_iter)
+    comp = alternating_components(pairs, "a", "b", max_iter=max(max_iter, 50))
     return (
         keyed.join(comp, keyed.norm == comp.node, "left")
         .select("norm",

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .components import connected_components
+from .components import alternating_components
 from .lsh import token_shingles, verified_pairs
 
 
@@ -80,7 +80,9 @@ def minhash_dedup(
     """Survivor set: one representative (min id) per near-dup component,
     plus all rows that matched nothing."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, **kw)
-    comp = connected_components(pairs, "a", "b")
+    # large-star/small-star: near-dup boilerplate chains can have large
+    # diameter at web scale; alternation converges in O(log^2 n) rounds
+    comp = alternating_components(pairs, "a", "b")
     ids = df.select(F.col(id_col).alias("node"))
     labelled = ids.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", "node")

@@ -35,11 +35,17 @@ def salted_group_count(
     count_alias: str = "cnt",
 ) -> DataFrame:
     """groupBy(key).count() with two-phase salting. Result-identical to
-    the direct aggregation."""
-    spread = (F.col(spread_col) if spread_col
-              else F.monotonically_increasing_id())
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(spread.cast("string")), n_salts))
+    the direct aggregation.
+
+    Salt is a hash of stable row content (``spread_col`` if given, else all
+    columns) — NEVER ``monotonically_increasing_id()``, which re-assigns
+    rows to different shuffle partitions when a task is retried (duplicate/
+    loss hazard on nondeterministic repartition)."""
+    if spread_col:
+        salt = F.pmod(F.xxhash64(F.col(spread_col).cast("string")), n_salts)
+    else:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salts)
+    salted = df.withColumn("_salt", salt)
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count("*").alias("_partial"))
     return partial.groupBy(key_col).agg(
@@ -51,15 +57,17 @@ def salted_join_big_to_skewed(
     small: DataFrame,
     key: str,
     n_salts: int = 8,
+    spread_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join where ``big`` has skewed keys: replicate ``small``
     n_salts times with an explicit salt column, salt ``big`` rows
-    deterministically, join on (key, salt)."""
+    deterministically (content hash over ``spread_cols``, default all of
+    ``big``'s columns — stable under task retry), join on (key, salt)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
+    cols = spread_cols if spread_cols else big.columns
     big_salted = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
-        .cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), n_salts).cast("int"),
     )
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")

@@ -110,3 +110,117 @@ def run_kg_pipeline(spark, n_pages: int = 200, seed: int = 42,
     pages = pages_df(spark, n_pages, seed=seed, partitions=partitions,
                      with_text=False)
     return distinct_edges(canonical_triples(pages))
+
+
+def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
+                           stage_dir: str = "/tmp/hades_kg_oracle_stage",
+                           threshold: float = 0.8) -> DataFrame:
+    """run_kg_pipeline, but staging the two post-UDF intermediates to
+    parquet so the driver's DuckDB oracle can recompute the ENTIRE
+    distributed tail (connected components via recursive CTE, canonical
+    join, edge aggregation + sha256 keys) from identical inputs:
+
+      <stage_dir>/raw/    (url, pred, confidence, subj_norm, obj_norm)
+      <stage_dir>/pairs/  (a, b) verified alias pairs
+
+    The Python-regex extraction itself stays covered by the fuzz/corpus
+    equivalence tests (it cannot be expressed in SQL); everything AFTER the
+    UDF boundary is hash-verified. The Spark side reads the staged files
+    back, so oracle and query aggregate byte-identical inputs.
+    """
+    from ..functions.triples import raw_triples
+    from ..operators.canonicalize import normalize_surface_col
+    from ..operators.components import alternating_components
+    from ..operators.lsh import char_shingles, verified_pairs
+
+    pages = pages_df(spark, n_pages, seed=seed, with_text=False)
+    raw = raw_triples(pages).select(
+        "url", "pred", "confidence",
+        normalize_surface_col(F.col("subj")).alias("subj_norm"),
+        normalize_surface_col(F.col("obj")).alias("obj_norm"),
+    )
+    raw.write.mode("overwrite").parquet(f"{stage_dir}/raw")
+    raw = spark.read.parquet(f"{stage_dir}/raw")
+
+    keyed = (
+        raw.select(F.explode(F.array("subj_norm", "obj_norm")).alias("norm"))
+        .dropDuplicates(["norm"])
+        .withColumn("squash", F.regexp_replace("norm", " ", ""))
+        .filter(F.length("squash") > 0)
+    )
+    pairs = verified_pairs(
+        keyed, "norm", char_shingles(F.col("squash"), 3),
+        threshold=threshold, metric="containment",
+        num_hashes=16, bands=16, max_bucket_size=500,
+    ).select("a", "b")
+    pairs.write.mode("overwrite").parquet(f"{stage_dir}/pairs")
+    pairs = spark.read.parquet(f"{stage_dir}/pairs")
+
+    comp = alternating_components(pairs, "a", "b")
+    cmap = F.broadcast(
+        comp.select(F.col("node").alias("norm"),
+                    F.col("component").alias("canonical_id")))
+    triples = (
+        raw.join(cmap.withColumnRenamed("norm", "subj_norm")
+                     .withColumnRenamed("canonical_id", "subj_id"),
+                 "subj_norm", "left")
+        .join(cmap.withColumnRenamed("norm", "obj_norm")
+                  .withColumnRenamed("canonical_id", "obj_id"),
+              "obj_norm", "left")
+        .select(
+            F.coalesce("subj_id", "subj_norm").alias("subj"), "pred",
+            F.coalesce("obj_id", "obj_norm").alias("obj"),
+            "url", "confidence",
+        )
+        .withColumn("edge_key", edge_content_key_col(
+            F.col("subj"), F.col("obj"), F.col("pred")))
+        .withColumn("chain_position", F.lit(None).cast("int"))
+        .select("subj", "pred", "obj", "url", "edge_key",
+                "confidence", "chain_position")
+    )
+    return distinct_edges(triples)
+
+
+def kg_edges_oracle_sql(stage_dir: str = "/tmp/hades_kg_oracle_stage") -> str:
+    """DuckDB twin of run_kg_pipeline_staged's distributed tail: recursive-
+    CTE transitive closure -> min-label components over the staged verified
+    pairs, canonical join onto the staged raw triples, sha256 edge keys and
+    the distinct-edge aggregation."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM read_parquet('{stage_dir}/pairs/*.parquet')
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION
+  SELECT b AS s, a AS d FROM pairs
+),
+walk AS (
+  SELECT s AS node, d AS reach FROM edges
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+),
+comp AS (
+  SELECT node, least(node, min(reach)) AS component FROM walk GROUP BY node
+),
+raw AS (
+  SELECT url, pred, confidence, subj_norm, obj_norm
+  FROM read_parquet('{stage_dir}/raw/*.parquet')
+),
+triples AS (
+  SELECT coalesce(cs.component, r.subj_norm) AS subj,
+         r.pred,
+         coalesce(co.component, r.obj_norm) AS obj,
+         r.url, r.confidence
+  FROM raw r
+  LEFT JOIN comp cs ON cs.node = r.subj_norm
+  LEFT JOIN comp co ON co.node = r.obj_norm
+)
+SELECT subj, pred, obj,
+       sha256(subj || '|' || obj || '|' || pred) AS edge_key,
+       max(confidence) AS confidence,
+       min(url) AS url,
+       CAST(count(*) AS BIGINT) AS support
+FROM triples
+GROUP BY 1, 2, 3, 4
+"""

@@ -674,7 +674,11 @@ def u2(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"))
     e = load_table(spark, sf, "events").select(
         F.col("user_id").alias("custkey"))
-    return o.exceptAll(e).distinct()
+    # DataFrame.subtract IS SQL EXCEPT (distinct): a custkey present in both
+    # sides is removed unconditionally, regardless of multiplicities.
+    # (exceptAll().distinct() would be multiset difference, which keeps a key
+    # whose left multiplicity exceeds its right multiplicity.)
+    return o.subtract(e)
 
 
 @register("i1_watermark_incremental", """
@@ -784,11 +788,19 @@ def kg_mentions_q(spark: SparkSession, sf: str) -> DataFrame:
             .orderBy("kind")
 
 
-@register("kg_canonical_edges")
-def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
-    from .pipeline.kg import run_kg_pipeline
+from .pipeline.kg import kg_edges_oracle_sql as _kg_oracle  # noqa: E402
 
-    return run_kg_pipeline(spark, n_pages=150, seed=42)
+
+@register("kg_canonical_edges", _kg_oracle())
+def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
+    # staged variant: writes the post-UDF intermediates (raw normalized
+    # triples, verified alias pairs) to parquet so the DuckDB oracle can
+    # recompute the whole distributed tail — recursive-CTE connected
+    # components, canonical join, sha256 edge keys, distinct-edge agg —
+    # from byte-identical inputs. Flagship KG correctness is hash-checked.
+    from .pipeline.kg import run_kg_pipeline_staged
+
+    return run_kg_pipeline_staged(spark, n_pages=150, seed=42)
 
 
 @register("kg_entity_linking")
@@ -879,7 +891,54 @@ def f8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("x4_chunking_contract")  # python tokenizer: rows-only
+@register("x4_chunking_contract", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+spans AS (
+  -- documents.text is strictly single-space tokenized, so char offsets are
+  -- prefix sums: start(tok_i) = sum(len(tok_j)+1, j<i)
+  SELECT doc_id, i,
+         CAST(coalesce(sum(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS start_char,
+         CAST(coalesce(sum(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + length(tok) AS INT) AS end_char
+  FROM toks
+),
+doc_n AS (
+  SELECT doc_id, CAST(max(i) AS INT) AS n FROM spans GROUP BY doc_id
+),
+chunks AS (
+  -- chunk_size=30, overlap=10 => step=20; remainder window kept
+  SELECT d.doc_id, k.k AS chunk_index,
+         k.k * 20 + 1 AS tok_start,
+         least(k.k * 20 + 30, d.n) AS tok_end,
+         CAST(CASE WHEN d.n <= 30 THEN 1
+              ELSE CAST(ceil((d.n - 30) / 20.0) AS INT) + 1 END AS INT)
+           AS total_chunks
+  FROM doc_n d,
+       LATERAL (SELECT unnest(generate_series(0,
+          CASE WHEN d.n <= 30 THEN 0
+               ELSE CAST(ceil((d.n - 30) / 20.0) AS INT) END)) AS k) k
+)
+SELECT CAST(c.doc_id AS VARCHAR) AS doc_id,
+       CAST(c.chunk_index AS INT) AS chunk_index,
+       CAST(c.doc_id AS VARCHAR) || '_chunk_' || c.chunk_index AS chunk_id,
+       c.total_chunks,
+       s1.start_char, s2.end_char,
+       CAST(c.doc_id AS VARCHAR) || '_chunk_' || c.chunk_index || '_emb'
+         AS embedding_id
+FROM chunks c
+JOIN spans s1 ON s1.doc_id = c.doc_id AND s1.i = c.tok_start
+JOIN spans s2 ON s2.doc_id = c.doc_id AND s2.i = c.tok_end
+""")
 def x4(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.embedding import embed_chunks
     from .operators.chunking import chunks_table

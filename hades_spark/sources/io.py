@@ -38,11 +38,19 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, key_col: str, n_partitions: int,
-                       n_salts: int = 8) -> DataFrame:
+                       n_salts: int = 8,
+                       salt_cols: list[str] | None = None) -> DataFrame:
     """Repartition on (key, salt) so a single hot key spreads over
-    ``n_salts`` buckets; drop the salt after the exchange."""
+    ``n_salts`` buckets; drop the salt after the exchange.
+
+    The salt is a hash of row CONTENT (``salt_cols``, default: every
+    column), never ``monotonically_increasing_id()``: a content hash gives
+    the same partition assignment when an upstream task is retried, so a
+    mid-write retry can't duplicate/lose rows (the classic nondeterministic-
+    repartition hazard)."""
+    cols = salt_cols if salt_cols else df.columns
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), n_salts)
     )
     return salted.repartition(n_partitions, F.col(key_col), F.col("_salt")) \
                  .drop("_salt")
@@ -87,7 +95,11 @@ def delete_where(spark: SparkSession, path: str, condition) -> None:
     p = Path(path)
     if not p.exists():
         return
-    remaining = spark.read.parquet(path).filter(~condition)
+    # SQL DELETE removes only rows where the predicate is TRUE; rows where
+    # it evaluates to NULL are KEPT (NOT NULL is NULL and would be filtered
+    # out by a bare ~condition).
+    remaining = spark.read.parquet(path).filter(
+        ~F.coalesce(condition, F.lit(False)))
     tmp = str(p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}")
     remaining.write.mode("overwrite").parquet(tmp)
     bak = str(p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}")

@@ -73,10 +73,15 @@ def run_stage_with_resume(
     n_units: int = 16,
     partition_by: list[str] | None = None,
 ) -> None:
-    """Run ``transform(unit_df) -> DataFrame`` per pending unit, appending
-    output and recording completion per unit. A re-run after a crash
-    processes only units without a completion record, and appends exactly
-    the missing outputs (exact resume — FIXTURES.md §7 test contract).
+    """Run ``transform(unit_df) -> DataFrame`` per pending unit, writing each
+    unit's output to its own ``unit=<u>/`` partition directory with
+    mode=overwrite, then recording completion. A crash BETWEEN the write and
+    the manifest record is safe: the resume re-runs the unit and the
+    overwrite replaces the orphaned output instead of appending a duplicate
+    (the committed-but-unrecorded window an append-based design has).
+    ``spark.read.parquet(out_path)`` discovers ``unit`` as a partition
+    column, so downstream readers also get the lineage of which bucket each
+    row came from for free.
 
     Unit-granular, not row-granular: at 100 TB the manifest stays tiny
     (n_units rows per stage) while still bounding recomputation to one
@@ -89,9 +94,9 @@ def run_stage_with_resume(
         unit_df = keyed.filter(F.col("unit") == u).drop("unit")
         out = transform(unit_df).cache()
         n = out.count()  # materializes the cache; write reuses it
-        w = out.write.mode("append")
+        w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(out_path)
+        w.parquet(f"{out_path}/unit={u}")
         out.unpersist()
         manifest.record(stage, u, "completed", rows_out=n)

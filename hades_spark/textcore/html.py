@@ -114,14 +114,21 @@ def html_to_text_spec(content: str) -> str:
 #   cannot contain '</p>' since [^>]* excludes '>'), and their outputs
 #   (newlines) can never create a new tag match => any pass order,
 #   including fused alternation, yields identical bytes.
-# - named entities: one alternation pass with a map lookup. Sequential
-#   replaces only differ from a single pass when an earlier replacement's
-#   OUTPUT forms a later needle; the outputs (< > & " ' space em/en-dash
-#   ellipsis (c)(r)(tm)) contain no '&xxx;' needle, and the one creative
-#   output '&' (from &amp;) is never rescanned by EARLIER passes in the
-#   sequential order either — both strategies are no-rescan left-to-right.
-#   '&#39;' stays in the named table BEFORE the numeric passes, as in the
-#   reference.
+# - named entities: one alternation pass with a map lookup, then ONE rescan
+#   pass restricted to entities listed AFTER '&amp;' in the table. Sequential
+#   replaces differ from a single pass exactly when an earlier replacement's
+#   OUTPUT forms a later needle. The only output character that can begin a
+#   needle is '&' (from &amp;); in the sequential spec the text it produces
+#   IS seen by every later pass (quot/apos/#39/nbsp/mdash/ndash/hellip/
+#   copy/reg/trade) but NOT by the earlier lt/gt passes. So after the fused
+#   pass, '&amp;quot;' has become '&quot;' and must be rescanned to '"',
+#   while '&amp;lt;' has become '&lt;' and must stay. The rescan alternation
+#   therefore contains exactly the post-amp table suffix. The rescan runs
+#   BEFORE the numeric passes (spec order: all named, then numeric), so
+#   '&#38;quot;' still yields '&quot;' (numeric-created '&' is never
+#   rescanned by named passes, in either implementation). Rescan outputs
+#   (" ' space dashes ellipsis (c)(r)(tm)) contain no '&', so one level of
+#   rescan is sufficient; equivalence is fuzz-verified against the spec.
 # - script/style stay as two sequential passes: fusing them changes
 #   behavior on adversarially interleaved <script>/<style> nesting.
 
@@ -129,15 +136,23 @@ _RE_BLOCK_NN = re.compile(r"</p>|</h[1-6]>", re.IGNORECASE)
 _RE_BLOCK_N = re.compile(r"<br[^>]*>|</div>|</li>|</tr>", re.IGNORECASE)
 _NAMED_MAP = dict(_NAMED_ENTITIES)
 _RE_NAMED = re.compile("|".join(re.escape(e) for e, _ in _NAMED_ENTITIES))
+_AMP_IDX = next(i for i, (e, _) in enumerate(_NAMED_ENTITIES) if e == "&amp;")
+_POST_AMP = _NAMED_ENTITIES[_AMP_IDX + 1:]
+_RE_NAMED_POST_AMP = re.compile("|".join(re.escape(e) for e, _ in _POST_AMP))
 
 
 def unescape_html(text: str) -> str:
     """Optimized entity unescape — byte-identical to unescape_html_spec."""
     if "&" in text:
         text = _RE_NAMED.sub(lambda m: _NAMED_MAP[m.group(0)], text)
-        text = _RE_DEC_ENTITY.sub(lambda m: _safe_chr(int(m.group(1))), text)
-        text = _RE_HEX_ENTITY.sub(
-            lambda m: _safe_chr(int(m.group(1), 16)), text)
+        if "&" in text:
+            # rescan ONLY post-&amp; entities: '&amp;quot;' -> '&quot;' -> '"'
+            text = _RE_NAMED_POST_AMP.sub(
+                lambda m: _NAMED_MAP[m.group(0)], text)
+            text = _RE_DEC_ENTITY.sub(
+                lambda m: _safe_chr(int(m.group(1))), text)
+            text = _RE_HEX_ENTITY.sub(
+                lambda m: _safe_chr(int(m.group(1), 16)), text)
     return text
 
 

@@ -17,7 +17,10 @@ TAGS = ["<p>", "</p>", "<div>", "</div>", "<br>", "<br/>", "<h1>", "</h1>",
         "</a>", "<span", ">"]
 ENTS = ["&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&#39;", "&nbsp;",
         "&mdash;", "&hellip;", "&amp;lt;", "&amp;amp;", "&#65;", "&#x42;",
-        "&#999999999;", "&#xFFFFFFFF;", "&", ";", "&amp;#65;"]
+        "&#999999999;", "&#xFFFFFFFF;", "&", ";", "&amp;#65;",
+        "&amp;quot;", "&amp;apos;", "&amp;nbsp;", "&amp;mdash;",
+        "&amp;hellip;", "&amp;trade;", "&amp;amp;quot;", "&#38;quot;",
+        "&amp;gt;", "&amp;#39;", "&amp;quo", "quot;", "&amp;&quot;"]
 FRAGS = st.lists(
     st.one_of(
         st.sampled_from(TAGS),
@@ -37,9 +40,33 @@ class TestEquivalence:
         assert html_to_text(s) == html_to_text_spec(s)
 
     @settings(max_examples=400, deadline=None)
-    @given(st.text(alphabet="&ampltgqunbsmdhex;#0123456789abcdefABCDEF x", max_size=60))
+    @given(st.text(
+        alphabet="&ampltgqunbsmdhexorticpyv;#0123456789abcdefABCDEF x",
+        max_size=60))
     def test_fuzz_unescape(self, s):
+        # alphabet covers every named-entity letter (quot/apos/nbsp/mdash/
+        # ndash/hellip/copy/reg/trade) so double-escapes are reachable
         assert unescape_html(s) == unescape_html_spec(s)
+
+    def test_double_escaped_entities(self):
+        # the round-1 regression: '&amp;X;' where X is a post-&amp; entity
+        # must cascade exactly as the sequential spec does
+        cases = {
+            "&amp;quot;": '"', "&amp;apos;": "'", "&amp;nbsp;": " ",
+            "&amp;mdash;": "—", "&amp;ndash;": "–", "&amp;hellip;": "…",
+            "&amp;copy;": "©", "&amp;reg;": "®", "&amp;trade;": "™",
+            # entities BEFORE &amp; in the table must NOT cascade
+            "&amp;lt;": "&lt;", "&amp;gt;": "&gt;", "&amp;amp;": "&amp;",
+            # numeric-created '&' is never rescanned by named passes
+            "&#38;quot;": "&quot;",
+            # amp output + numeric tail IS consumed by the numeric passes
+            "&amp;#65;": "A", "&amp;#x42;": "B", "&amp;#39;": "'",
+            # double-amp chains don't over-replace
+            "&amp;amp;quot;": "&amp;quot;",
+        }
+        for s, want in cases.items():
+            assert unescape_html_spec(s) == want, s
+            assert unescape_html(s) == want, s
 
     def test_corpus_equivalence(self):
         from hades_spark.pipeline.corpus import gen_pages

@@ -59,13 +59,31 @@ class TestManifestResume:
         keyed = with_unit(inp, "key", 4)
         for u in (0, 1):
             part = keyed.filter(F.col("unit") == u).drop("unit")
-            xform(part).write.mode("append").parquet(f"{tmp}/resumed")
+            xform(part).write.mode("overwrite").parquet(f"{tmp}/resumed/unit={u}")
             m2.record("s", u, "completed", rows_out=part.count())
 
         run_stage_with_resume(m2, "s", inp, xform, f"{tmp}/resumed", "key",
                               n_units=4)
         resumed = {tuple(r) for r in spark.read.parquet(f"{tmp}/resumed").collect()}
         assert resumed == full
+
+    def test_crash_between_write_and_record_no_duplicates(self, spark, tmp):
+        # the committed-but-unrecorded window: unit 0's output hit disk but
+        # the manifest record did NOT. The resume must re-run unit 0 and
+        # OVERWRITE the orphan, not append a second copy.
+        inp = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(40)], "key string, v int")
+        keyed = with_unit(inp, "key", 4)
+        part = keyed.filter(F.col("unit") == 0).drop("unit")
+        part.write.mode("overwrite").parquet(f"{tmp}/out/unit=0")
+        # no manifest.record(...) -- this is the crash point
+
+        m = Manifest(spark, f"{tmp}/m", "runD")
+        run_stage_with_resume(m, "s", inp, lambda d: d, f"{tmp}/out", "key",
+                              n_units=4)
+        got = spark.read.parquet(f"{tmp}/out")
+        assert got.count() == 40
+        assert got.select("key").distinct().count() == 40
 
     def test_rerun_is_noop(self, spark, tmp):
         inp = spark.createDataFrame([(f"u{i}", i) for i in range(10)],

@@ -220,3 +220,124 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             real_decode(b"x", "image")
+
+
+class TestAlternatingComponents:
+    """large-star/small-star must agree with min-label / local union-find."""
+
+    def _cc_sets(self, rows):
+        comp = {}
+        for node, c in rows:
+            comp.setdefault(c, set()).add(node)
+        return {frozenset(v) for v in comp.values()}
+
+    def test_equiv_random_graphs(self, spark):
+        import random
+
+        from hades_spark.operators.components import (
+            alternating_components, connected_components)
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 40
+            pairs = [(f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+                     for _ in range(30)]
+            df = spark.createDataFrame(pairs, "a string, b string")
+            alt = alternating_components(df, local_threshold=0).collect()
+            ml = connected_components(df, local_threshold=0, max_iter=50).collect()
+            assert {(r["node"], r["component"]) for r in alt} == \
+                   {(r["node"], r["component"]) for r in ml}
+
+    def test_long_chain_bounded_rounds(self, spark):
+        # a 512-node chain has diameter 511: min-label would need ~511
+        # rounds; alternation must finish within ~2*log2(n)+C rounds.
+        from hades_spark.operators.components import alternating_components
+
+        n = 512
+        pairs = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(n - 1)]
+        df = spark.createDataFrame(pairs, "a string, b string")
+        out = alternating_components(df, max_iter=25, local_threshold=0)
+        rows = [(r["node"], r["component"]) for r in out.collect()]
+        assert len(rows) == n
+        assert {c for _, c in rows} == {"c0000"}
+
+    def test_local_vs_distributed_alternating(self, spark):
+        from hades_spark.operators.components import alternating_components
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "a")],
+            "a string, b string")
+        local = {(r["node"], r["component"])
+                 for r in alternating_components(pairs).collect()}
+        dist = {(r["node"], r["component"])
+                for r in alternating_components(pairs, local_threshold=0).collect()}
+        assert local == dist
+
+    def test_minlabel_raises_past_max_iter(self, spark):
+        import pytest as _pytest
+
+        from hades_spark.operators.components import connected_components
+
+        pairs = spark.createDataFrame(
+            [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(30)],
+            "a string, b string")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, local_threshold=0, max_iter=3).collect()
+
+
+class TestDecodeConsistency:
+    def test_mention_surfaces_match_text_on_latin1_page(self, spark):
+        # page i%97==13 carries a raw 0xE9 byte (invalid utf-8): the mention
+        # UDF must use the SAME utf-8 -> latin-1 ladder as text extraction,
+        # so surfaces never contain U+FFFD where the text has 'é'
+        from hades_spark.functions.mentions import detect_mentions
+        from hades_spark.textcore.html import (
+            decode_html_bytes, extract_text_from_html_bytes)
+
+        html = ("<p>see <a href='https://x.example/a'>café page</a></p>"
+                .encode("utf-8") + b"<p>caf\xe9</p>")
+        text = extract_text_from_html_bytes(html)
+        assert "café" in text and "�" not in text
+        ms = detect_mentions(decode_html_bytes(html), text)
+        link = [m for m in ms if m["kind"] == "link"][0]
+        assert "�" not in link["surface"]
+
+    def test_udf_path_matches(self, spark):
+        from hades_spark.functions.mentions import mentions_table
+        from hades_spark.functions.html_text import with_extracted_text
+
+        html = b"<a href='https://x.example/a'>caf\xe9 link text here</a>"
+        pages = spark.createDataFrame(
+            [("u1", bytearray(html))], "url string, html binary")
+        out = mentions_table(with_extracted_text(pages)).collect()
+        surfaces = [r["surface"] for r in out if r["kind"] == "link"]
+        assert surfaces == ["café link text here"]
+
+
+class TestSaltDeterminism:
+    def test_salted_repartition_stable_assignment(self, spark):
+        # same input => byte-identical partition assignment across two runs
+        # (content-hash salt; monotonically_increasing_id would differ)
+        from hades_spark.sources.io import salted_repartition
+
+        df = spark.createDataFrame(
+            [(f"k{i % 3}", f"v{i}") for i in range(100)],
+            "key string, val string")
+
+        def assignment(d):
+            out = salted_repartition(d, "key", 8).withColumn(
+                "pid", F.spark_partition_id())
+            return sorted((r["key"], r["val"], r["pid"]) for r in out.collect())
+
+        assert assignment(df) == assignment(df)
+
+    def test_salted_group_count_matches_plain(self, spark):
+        from hades_spark.operators.skew import salted_group_count
+
+        df = spark.createDataFrame(
+            [(f"k{i % 5}", i) for i in range(200)], "key string, v int")
+        got = {(r["key"], r["cnt"])
+               for r in salted_group_count(df, "key", n_salts=4).collect()}
+        want = {(r["key"], r["cnt"]) for r in
+                df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+        assert got == want

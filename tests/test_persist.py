@@ -43,7 +43,8 @@ class TestMaterialize:
         keyed = with_unit(pages, "url", 4)
         for u in (0, 2):
             part = keyed.filter(F.col("unit") == u).drop("unit")
-            _stage1(part).write.mode("append").parquet(f"{crash_dir}/stage1")
+            _stage1(part).write.mode("overwrite") \
+                .parquet(f"{crash_dir}/stage1/unit={u}")
             man.record("extract", u, "completed", rows_out=part.count())
 
         materialize_kg(spark, pages, crash_dir, n_units=4)
