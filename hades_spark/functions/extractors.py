@@ -15,29 +15,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 
-from ..textcore.html import decode_html_bytes, html_to_text
-from ..textcore.markdown import markdown_to_text
-
-
-def detect_format(url: str | None, content: str) -> str:
-    """Extension first (reference rule), content sniff as fallback."""
-    u = (url or "").lower().split("?")[0]
-    if u.endswith((".html", ".htm")):
-        return "html"
-    if u.endswith((".md", ".markdown")):
-        return "markdown"
-    head = content[:256].lstrip().lower()
-    if head.startswith(("<!doctype", "<html")):
-        return "html"
-    return "markdown"
-
-
-def extract_text(url: str | None, raw: bytes | str | None) -> str:
-    content = decode_html_bytes(raw) if isinstance(raw, (bytes, bytearray)) \
-        else (raw or "")
-    if detect_format(url, content) == "html":
-        return html_to_text(content)
-    return markdown_to_text(content)
+from ..textcore.route import (  # noqa: F401  (re-exported public API)
+    detect_format,
+    extract_text,
+)
 
 
 @F.pandas_udf(StringType())

@@ -165,14 +165,8 @@ def parse_citation(entry_text: str) -> dict[str, Any] | None:
 
 # --- unified mention rows ------------------------------------------------------
 
-def detect_mentions(html: str, text: str) -> list[dict[str, Any]]:
-    """All mention kinds for one page, as MENTION-schema dicts.
-
-    Emission order is deterministic: links, code, tables, citation ids found
-    in the extracted text.
-    """
+def _html_structural_mentions(html: str) -> list[dict[str, Any]]:
     mentions: list[dict[str, Any]] = []
-
     for lk in extract_links(html):
         mentions.append({
             "surface": lk["text"], "kind": "link",
@@ -195,8 +189,80 @@ def detect_mentions(html: str, text: str) -> list[dict[str, Any]]:
             },
             "confidence": 1.0,
         })
+    return mentions
 
-    # citation ids with character spans over the extracted text
+
+def _markdown_structural_mentions(content: str) -> list[dict[str, Any]]:
+    """md links / code / tables as mention rows (same kinds as HTML, so the
+    downstream tables are format-agnostic)."""
+    from ..textcore.markdown import md_code_blocks, md_links, md_tables
+
+    mentions: list[dict[str, Any]] = []
+    for lk in md_links(content):
+        mentions.append({
+            "surface": lk["text"] or lk["href"], "kind": "link",
+            "start_char": None, "end_char": None,
+            "attrs": {"href": lk["href"], "link_type": lk["type"]},
+            "confidence": 1.0,
+        })
+    for cb in md_code_blocks(content):
+        mentions.append({
+            "surface": cb["code"][:200], "kind": "code",
+            "start_char": None, "end_char": None,
+            "attrs": {"language": cb["language"]}, "confidence": 1.0,
+        })
+    for i, tb in enumerate(md_tables(content)):
+        mentions.append({
+            "surface": " | ".join(tb["headers"])[:200] or f"table_{i}",
+            "kind": "table", "start_char": None, "end_char": None,
+            "attrs": {
+                "row_count": str(len(tb["rows"])),
+                "column_count": str(len(tb["headers"]) or (len(tb["rows"][0]) if tb["rows"] else 0)),
+            },
+            "confidence": 1.0,
+        })
+    return mentions
+
+
+def _latex_structural_mentions(content: str) -> list[dict[str, Any]]:
+    """equations / tables+captions / cite keys / sections as mentions."""
+    from ..textcore.latex import (
+        latex_cite_keys, latex_equations, latex_sections, latex_tables)
+
+    mentions: list[dict[str, Any]] = []
+    for eq in latex_equations(content):
+        mentions.append({
+            "surface": eq["latex"][:200], "kind": "equation",
+            "start_char": None, "end_char": None,
+            "attrs": {"eq_type": eq["type"], "label": eq["label"] or ""},
+            "confidence": 1.0,
+        })
+    for i, tb in enumerate(latex_tables(content)):
+        mentions.append({
+            "surface": (tb["caption"] or f"table_{i}")[:200], "kind": "table",
+            "start_char": None, "end_char": None,
+            "attrs": {"label": tb["label"] or "",
+                      "column_spec": tb["column_spec"] or ""},
+            "confidence": 1.0,
+        })
+    for key in latex_cite_keys(content):
+        mentions.append({
+            "surface": key, "kind": "citation",
+            "start_char": None, "end_char": None,
+            "attrs": {"cite_key": key}, "confidence": 1.0,
+        })
+    for sec in latex_sections(content):
+        mentions.append({
+            "surface": sec["title"][:200], "kind": "section",
+            "start_char": sec["position"], "end_char": None,
+            "attrs": {"level": sec["level"]}, "confidence": 1.0,
+        })
+    return mentions
+
+
+def _citation_id_mentions(text: str) -> list[dict[str, Any]]:
+    """citation ids with character spans over the extracted text."""
+    mentions: list[dict[str, Any]] = []
     for kind, rex, attr in (
         ("citation", _RE_ARXIV, "arxiv_id"),
         ("citation", _RE_DOI, "doi"),
@@ -213,9 +279,74 @@ def detect_mentions(html: str, text: str) -> list[dict[str, Any]]:
     return mentions
 
 
+_HAS_MACHINE_ID = (_RE_ARXIV, _RE_DOI, _RE_PMID)
+
+
+def _bibliography_mentions(text: str) -> list[dict[str, Any]]:
+    """id-less bibliography entries: detect the references section, split
+    entries, parse each with the standard rubric; entries that carry a
+    machine id are skipped (already surfaced by the span scan)."""
+    from ..textcore.bibliography import (
+        find_bibliography_section, split_bibliography_entries)
+
+    section = find_bibliography_section(text)
+    if not section:
+        return []
+    mentions: list[dict[str, Any]] = []
+    for num, raw in split_bibliography_entries(section):
+        if any(rex.search(raw) for rex in _HAS_MACHINE_ID):
+            continue
+        parsed = parse_citation(raw)
+        if parsed is None:
+            continue
+        mentions.append({
+            "surface": (parsed["title"] or raw[:120]).strip()[:200],
+            "kind": "citation",
+            "start_char": None, "end_char": None,
+            "attrs": {
+                "entry_number": num,
+                "title": parsed["title"] or "",
+                "year": str(parsed["year"] or ""),
+                "venue": parsed["venue"] or "",
+                "authors": "; ".join(parsed["authors"]),
+            },
+            "confidence": parsed["confidence"],
+        })
+    return mentions
+
+
+def detect_mentions(content: str, text: str,
+                    url: str | None = None) -> list[dict[str, Any]]:
+    """All mention kinds for one page, as MENTION-schema dicts.
+
+    Format-routed (reference extension-dispatch rule,
+    ``extractors_markdown.py:93-103``): HTML pages get the HTML structural
+    extractors, markdown gets md links/code/tables, .tex gets
+    equations/tables/cites/sections. All formats then get citation-id span
+    detection over the extracted text plus id-less bibliography entries.
+    Emission order is deterministic per format.
+    """
+    from .extractors import detect_format
+
+    fmt = detect_format(url, content)
+
+    if fmt == "latex":
+        mentions = _latex_structural_mentions(content)
+    elif fmt == "markdown":
+        mentions = _markdown_structural_mentions(content)
+    else:
+        mentions = _html_structural_mentions(content)
+
+    mentions.extend(_citation_id_mentions(text))
+    mentions.extend(_bibliography_mentions(text))
+    return mentions
+
+
 @F.pandas_udf(ArrayType(MENTION))
-def detect_mentions_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-    for html_s, text_s in it:
+def detect_mentions_udf(
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+) -> Iterator[pd.Series]:
+    for url_s, html_s, text_s in it:
         # decode_html_bytes = the SAME utf-8 -> latin-1 ladder the text
         # extraction uses, so mention surfaces match the extracted text
         # byte-for-byte on invalid-utf8 pages (no U+FFFD divergence)
@@ -224,8 +355,9 @@ def detect_mentions_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[p
                 decode_html_bytes(h) if isinstance(h, (bytes, bytearray)) or h is None
                 else h,
                 t or "",
+                url=u,
             )
-            for h, t in zip(html_s, text_s)
+            for u, h, t in zip(url_s, html_s, text_s)
         ])
 
 
@@ -238,7 +370,7 @@ def mentions_table(pages: DataFrame) -> DataFrame:
     exploded = (
         pages
         .select("url", F.posexplode_outer(
-            detect_mentions_udf("html", "text")).alias("pos", "m"))
+            detect_mentions_udf("url", "html", "text")).alias("pos", "m"))
         .filter(F.col("m").isNotNull())
         .select("url", "pos", F.col("m.*"))
     )

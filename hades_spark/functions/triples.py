@@ -43,18 +43,18 @@ def extract_triples_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 @F.pandas_udf(ArrayType(RAW_TRIPLE))
 def triples_from_page_udf(
-    it: Iterator[tuple[pd.Series, pd.Series]],
+    it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
 ) -> Iterator[pd.Series]:
-    """(html binary, text nullable) -> triples in one python pass (decodes
-    + extracts text only where the text column is null)."""
-    from ..textcore.html import extract_text_from_html_bytes
+    """(url, html binary, text nullable) -> triples in one python pass
+    (decodes + format-routed extraction only where the text column is
+    null)."""
+    from ..textcore.route import extract_text as _route_extract
 
-    for html_s, text_s in it:
+    for url_s, html_s, text_s in it:
         out = []
-        for h, t in zip(html_s, text_s):
+        for u, h, t in zip(url_s, html_s, text_s):
             if t is None:
-                t = extract_text_from_html_bytes(
-                    bytes(h) if h is not None else None)
+                t = _route_extract(u, bytes(h) if h is not None else None)
             out.append(extract_triples(t))
         yield pd.Series(out)
 
@@ -64,7 +64,7 @@ def _arrow_extract_batches(it):
     only stdlib + pyarrow inside the worker."""
     import pyarrow as pa
 
-    from ..textcore.html import extract_text_from_html_bytes
+    from ..textcore.route import extract_text as _route_extract
     from ..textcore.svo import extract_triples as _ext
 
     for batch in it:
@@ -72,7 +72,7 @@ def _arrow_extract_batches(it):
         ou, osj, op, oo, osc, oc = [], [], [], [], [], []
         for u, h, t in zip(d["url"], d["html"], d["text"]):
             if t is None:
-                t = extract_text_from_html_bytes(h)
+                t = _route_extract(u, h)
             for tr in _ext(t):
                 ou.append(u)
                 osj.append(tr["subj"])

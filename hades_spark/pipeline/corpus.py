@@ -25,7 +25,7 @@ from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..textcore.html import extract_text_from_html_bytes
+from ..textcore.route import extract_text as route_extract_text
 from ..schemas import PAGES
 
 _BASE_TS = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
@@ -140,25 +140,83 @@ def _make_page_html(i: int, rng: random.Random,
     return "".join(parts), truth
 
 
+def _make_page_md(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str, str]]]:
+    """Markdown page: heading + SVO sentences + link/code/table features."""
+    truth: list[tuple[str, str, str]] = []
+    parts = [f"# Document {i}\n"]
+    sents = []
+    for _ in range(2 + rng.randrange(4)):
+        s, t = _svo_sentence(rng)
+        sents.append(s)
+        truth.append(t)
+    parts.append(" ".join(sents) + "\n")
+    if rng.random() < 0.6:
+        parts.append(
+            f"See [related doc {i}](https://ref.example/doc{rng.randrange(200)}.md) "
+            f"and <https://auto.example/p{rng.randrange(50)}>.\n")
+    if rng.random() < 0.4:
+        parts.append("```python\ndef g(n):\n    return n * 2\n```\n")
+    if rng.random() < 0.3:
+        parts.append("| name | value |\n|------|-------|\n"
+                     f"| alpha | {rng.randrange(100)} |\n| beta | x |\n")
+    return "\n".join(parts), truth
+
+
+def _make_page_tex(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str, str]]]:
+    """LaTeX page: sections + SVO sentences + equation/table/cite features."""
+    truth: list[tuple[str, str, str]] = []
+    parts = ["\\documentclass{article}\n\\begin{document}",
+             f"\\section{{Document {i}}}"]
+    sents = []
+    for _ in range(2 + rng.randrange(4)):
+        s, t = _svo_sentence(rng)
+        sents.append(s)
+        truth.append(t)
+    parts.append(" ".join(sents))
+    if rng.random() < 0.5:
+        parts.append("\\begin{equation}\\label{eq:%d}\nE = mc^2\n"
+                     "\\end{equation}" % (i % 10))
+    if rng.random() < 0.35:
+        parts.append(
+            "\\begin{table}\\caption{Results table}\\label{tab:r}\n"
+            "\\begin{tabular}{lr}\nalpha & 1 \\\\\nbeta & 2\n"
+            "\\end{tabular}\\end{table}")
+    if rng.random() < 0.5:
+        parts.append("Prior work \\cite{smith2019,jones2021} applies.")
+    parts.append("\\end{document}")
+    return "\n".join(parts), truth
+
+
 def _gen_one(i: int, seed: int = 42, compute_text: bool = True,
              richness: int = 1) -> Page:
     """One deterministic page — a pure function of (seed, i), so driver-side
-    and executor-side generation produce identical corpora."""
+    and executor-side generation produce identical corpora. Most pages are
+    HTML; i%11==3 pages are markdown, i%23==7 pages are LaTeX (the
+    format-routing fixtures)."""
     rng = random.Random((seed << 20) + i)
     if rng.random() < 0.05:
         host = _HOT_HOSTS[i % len(_HOT_HOSTS)]
     else:
         host = f"host{rng.randrange(256)}.example"
-    url = f"https://{host}/docs/{i}.html"
-    html_str, truth = _make_page_html(i, rng, richness)
-    lang = rng.choice(_LANGS)
-    # page 13 mod 97 gets a raw 0xE9 byte that is invalid utf-8, exercising
-    # the latin-1 decode fallback ladder
-    if i % 97 == 13:
-        html = html_str.encode("utf-8") + b"<p>caf\xe9</p>"
+    if i % 11 == 3:
+        url = f"https://{host}/docs/{i}.md"
+        body, truth = _make_page_md(i, rng)
+        html = body.encode("utf-8")
+    elif i % 23 == 7:
+        url = f"https://{host}/docs/{i}.tex"
+        body, truth = _make_page_tex(i, rng)
+        html = body.encode("utf-8")
     else:
-        html = html_str.encode("utf-8")
-    text = extract_text_from_html_bytes(html) if compute_text else ""
+        url = f"https://{host}/docs/{i}.html"
+        html_str, truth = _make_page_html(i, rng, richness)
+        # page 13 mod 97 gets a raw 0xE9 byte that is invalid utf-8,
+        # exercising the latin-1 decode fallback ladder
+        if i % 97 == 13:
+            html = html_str.encode("utf-8") + b"<p>caf\xe9</p>"
+        else:
+            html = html_str.encode("utf-8")
+    lang = rng.choice(_LANGS)
+    text = route_extract_text(url, html) if compute_text else ""
     ts = _BASE_TS + dt.timedelta(seconds=i * 37 % 864000)
     return Page(url, ts, html, text, lang, truth)
 

@@ -23,17 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.html_text import with_extracted_text
+from ..functions.extractors import extract_text_routed_udf
 from ..functions.keys import edge_content_key_col
 from .corpus import pages_df
 
 
 def ensure_text(pages: DataFrame) -> DataFrame:
-    """Fill the text column where missing (idempotent re-extraction)."""
-    extracted = with_extracted_text(pages, "html", "_extracted")
-    return extracted.withColumn(
-        "text", F.coalesce(F.col("text"), F.col("_extracted"))
-    ).drop("_extracted")
+    """Fill the text column where missing (idempotent re-extraction,
+    format-routed by url: html / markdown / latex)."""
+    return pages.withColumn(
+        "text",
+        F.coalesce(F.col("text"),
+                   extract_text_routed_udf(F.col("url"), F.col("html"))),
+    )
 
 
 def canonical_triples(

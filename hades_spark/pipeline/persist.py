@@ -38,7 +38,7 @@ def _stage1(unit_df: DataFrame) -> DataFrame:
     pages = ensure_text(unit_df)
     return pages.select(
         "url", "warc_ts", "lang", "text",
-        detect_mentions_udf("html", "text").alias("mentions"),
+        detect_mentions_udf("url", "html", "text").alias("mentions"),
         extract_triples_udf("text").alias("triples"),
     )
 

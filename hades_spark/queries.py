@@ -769,12 +769,14 @@ def mm_meta_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("kg_extract_text")
 def kg_extract_q(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.html_text import html_to_text_udf
+    from .functions.extractors import extract_text_routed_udf
     from .pipeline.corpus import pages_df
 
     pages = pages_df(spark, 150, seed=42, with_text=False)
     return pages.select(
-        "url", F.length(html_to_text_udf(F.col("html"))).alias("text_len"))
+        "url",
+        F.length(extract_text_routed_udf(F.col("url"), F.col("html")))
+         .alias("text_len"))
 
 
 @register("kg_mentions")
@@ -1068,6 +1070,50 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
     syms = symbols_table(analyzed_files(files))
     return defines_edges(syms).select("src", "dst", "rel") \
         .unionByName(calls_edges(syms).select("src", "dst", "rel")) \
+        .orderBy("rel", "src", "dst")
+
+
+@register("x8_polyglot_edges")  # regex-grammar symbols: rows-only
+def x8(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.polyglot_symbols import (
+        polyglot_defines_edges, polyglot_import_edges, polyglot_symbols_table)
+
+    files = spark.createDataFrame([
+        ("src/app.ts",
+         "import { x } from './x';\n"
+         "export interface Shape { area(): number }\n"
+         "export class Circle extends Base {\n}\n"
+         "export async function render(s: Shape) {\n}\n"
+         "const fmt = (n: number) => n.toFixed(2);\n"),
+        ("src/main.go",
+         "package main\n\nimport (\n\t\"fmt\"\n\t\"os\"\n)\n\n"
+         "type Pool struct{}\n\ntype Runner interface{}\n\n"
+         "const MaxSize = 10\n\n"
+         "func (p *Pool) Acquire() error {\n\treturn nil\n}\n\n"
+         "func main() {\n\tfmt.Println(os.Args)\n}\n"),
+        ("src/lib.rs",
+         "use std::collections::HashMap;\n\n"
+         "pub struct Graph {}\n\npub enum Kind { A, B }\n\n"
+         "pub trait Walk {}\n\n"
+         "pub async fn traverse(g: &Graph) {}\n\n"
+         "fn helper() {}\n"),
+        ("src/App.java",
+         "import java.util.List;\n\n"
+         "public class App {\n"
+         "    public static void main(String[] args) {\n    }\n"
+         "    private List<String> names() {\n        return null;\n    }\n"
+         "}\n\ninterface Greeter {}\n"),
+        ("src/util.c",
+         "#include <stdio.h>\n#define MAX_LEN 64\n\n"
+         "struct node { int v; };\n\n"
+         "static int add_one(int x) {\n    return x + 1;\n}\n"),
+        ("src/tool.py",
+         "import os\n\ndef run(n):\n    return n\n\nclass Tool:\n"
+         "    def go(self):\n        return run(1)\n"),
+    ], "rel_path string, source string")
+    syms = polyglot_symbols_table(files)
+    return polyglot_defines_edges(syms) \
+        .unionByName(polyglot_import_edges(syms)) \
         .orderBy("rel", "src", "dst")
 
 

@@ -68,6 +68,10 @@ def upsert_by_key(
     a temp dir then atomically swaps, so a crash mid-write never leaves a
     half table (the tmp-rename pattern of ``state_manager.py:84-117``)."""
     p = Path(path)
+    if p.exists() and partition_by:
+        _upsert_partition_scoped(spark, new_rows, p, key_cols, partition_by)
+        return
+
     if p.exists():
         existing = spark.read.parquet(path)
         keep = existing.join(
@@ -87,6 +91,53 @@ def upsert_by_key(
         p.rename(bak)
     tmp.rename(p)
     shutil.rmtree(bak, ignore_errors=True)
+
+
+def _upsert_partition_scoped(
+    spark: SparkSession,
+    new_rows,
+    p: Path,
+    key_cols: list[str],
+    partition_by: list[str],
+) -> None:
+    """MERGE INTO on a partitioned table, touching ONLY the partitions that
+    appear in ``new_rows`` (Iceberg dynamic-overwrite semantics; the seam
+    where ``df.writeTo(tbl).overwritePartitions()`` plugs in). At 100 TB a
+    one-partition upsert reads and rewrites one partition, not the table.
+
+    Steps: (1) semi-join the existing table to the new rows' partition
+    values — Catalyst prunes the scan to those directories; (2) anti-join
+    out replaced keys, union the new rows; (3) write the merged affected
+    partitions to a temp dir; (4) swap ONLY the partition dirs present in
+    the temp output (Spark's own dir naming, so escaping/null partitions
+    match exactly). Untouched partition directories are never read, never
+    rewritten.
+    """
+    affected = new_rows.select(*partition_by).dropDuplicates(partition_by)
+    existing = spark.read.parquet(str(p)).join(
+        F.broadcast(affected), partition_by, "left_semi")
+    keep = existing.join(
+        new_rows.select(*key_cols).dropDuplicates(key_cols),
+        key_cols, "left_anti",
+    )
+    merged = keep.unionByName(new_rows.select(*existing.columns))
+
+    tmp = p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"
+    write_table(merged, str(tmp), partition_by=partition_by)
+
+    # leaf partition dirs in the temp output, e.g. "pred=uses/lang=en"
+    depth = len(partition_by)
+    pattern = "/".join(["*=*"] * depth)
+    for tmp_leaf in sorted(tmp.glob(pattern)):
+        rel = tmp_leaf.relative_to(tmp)
+        live_leaf = p / rel
+        live_leaf.parent.mkdir(parents=True, exist_ok=True)
+        bak = live_leaf.parent / f".{live_leaf.name}.bak-{uuid.uuid4().hex[:8]}"
+        if live_leaf.exists():
+            live_leaf.rename(bak)
+        tmp_leaf.rename(live_leaf)
+        shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def delete_where(spark: SparkSession, path: str, condition) -> None:

@@ -96,13 +96,25 @@ class TestSparkUdf:
         df = spark.createDataFrame(
             [(p.url, p.html) for p in pages], "url string, html binary"
         )
+        from hades_spark.functions.extractors import extract_text_routed_udf
         from hades_spark.functions.html_text import html_to_text_udf
         from pyspark.sql import functions as F
 
+        # routed UDF = the corpus invariant for every format
         got = {r["url"]: r["t"] for r in
-               df.select("url", html_to_text_udf(F.col("html")).alias("t")).collect()}
+               df.select("url", extract_text_routed_udf(
+                   F.col("url"), F.col("html")).alias("t")).collect()}
         for p in pages:
             assert got[p.url] == p.text, f"byte mismatch for {p.url}"
+
+        # the HTML-only UDF must agree on the .html pages (byte-identical
+        # per-url contract)
+        got_html = {r["url"]: r["t"] for r in
+                    df.select("url", html_to_text_udf(
+                        F.col("html")).alias("t")).collect()}
+        for p in pages:
+            if p.url.endswith(".html"):
+                assert got_html[p.url] == p.text, f"byte mismatch {p.url}"
 
     def test_udf_is_arrow_batched(self):
         # the UDF must be a pandas (Arrow) UDF, never a row-at-a-time one

@@ -190,3 +190,54 @@ class TestSessionize:
         assert cnt >= 0  # plan ran; rows appear once timeouts fire
         assert spark.table("sessions").columns == \
             ["user_id", "session_start", "session_end", "n_events"]
+
+
+class TestPartitionScopedUpsert:
+    def test_untouched_partitions_not_rewritten(self, spark, tmp):
+        import glob
+        import os
+
+        path = f"{tmp}/pt"
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a"), ("k2", 2, "a"), ("k3", 3, "b"), ("k4", 4, "c")],
+            "k string, v int, part string"), path, partition_by=["part"])
+
+        before = {f: os.stat(f).st_mtime_ns
+                  for f in glob.glob(f"{path}/part=b/*.parquet")
+                  + glob.glob(f"{path}/part=c/*.parquet")}
+        assert before
+
+        # upsert touches only part=a (replace k2, add k9)
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k2", 20, "a"), ("k9", 90, "a")],
+            "k string, v int, part string"), path, ["k"],
+            partition_by=["part"])
+
+        after = {f: os.stat(f).st_mtime_ns
+                 for f in glob.glob(f"{path}/part=b/*.parquet")
+                 + glob.glob(f"{path}/part=c/*.parquet")}
+        assert after == before  # same files, same mtimes: never rewritten
+
+        got = {(r["k"], r["v"], r["part"])
+               for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", 1, "a"), ("k2", 20, "a"), ("k9", 90, "a"),
+                       ("k3", 3, "b"), ("k4", 4, "c")}
+
+    def test_new_partition_created(self, spark, tmp):
+        path = f"{tmp}/pt2"
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a")], "k string, v int, part string"),
+            path, partition_by=["part"])
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k5", 5, "z")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        got = {(r["k"], r["part"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", "a"), ("k5", "z")}
+
+    def test_idempotent(self, spark, tmp):
+        path = f"{tmp}/pt3"
+        new = spark.createDataFrame(
+            [("a", 1, "p")], "k string, v int, part string")
+        upsert_by_key(spark, new, path, ["k"], partition_by=["part"])
+        upsert_by_key(spark, new, path, ["k"], partition_by=["part"])
+        assert spark.read.parquet(path).count() == 1
