@@ -70,7 +70,9 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
 
     richness = int(os.environ.get("BENCH_RICHNESS", "30"))
     corpus_root = os.environ.get("BENCH_CORPUS_DIR", "/tmp/hades_bench_corpus")
-    corpus_dir = f"{corpus_root}/pages_n{n_pages}_r{richness}_s42"
+    # v2: corpus generator now emits markdown/latex pages too —
+    # version tag invalidates round-1 cached corpora
+    corpus_dir = f"{corpus_root}/pages_v2_n{n_pages}_r{richness}_s42"
     gen0 = time.perf_counter()
     if not Path(corpus_dir, "_SUCCESS").exists():
         pages_df_distributed(spark, n_pages, seed=42, partitions=cpus * 2,

@@ -10,13 +10,27 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-# tiny per-language stopword marker sets (padded-space occurrence counting —
-# the replace-based count is expressible identically in any SQL dialect)
+# per-language stopword marker sets (padded-space occurrence counting — the
+# replace-based count is expressible identically in any SQL dialect). The
+# words are the highest-frequency function words of each language; shared
+# forms (e.g. fr/es 'la', pt/es 'que') are fine — identification is an
+# argmax over SUMS, and each language keeps enough unique markers to win on
+# its own text. All markers are space-delimited whole words.
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": [" the ", " and ", " is ", " of ", " to "],
-    "de": [" der ", " und ", " die ", " ist ", " das "],
-    "fr": [" le ", " la ", " et ", " est ", " les "],
-    "es": [" el ", " los ", " es ", " y ", " que "],
+    "en": [" the ", " and ", " is ", " of ", " to ", " in ", " that ",
+           " it ", " was ", " for ", " with ", " are ", " this ", " have "],
+    "de": [" der ", " und ", " die ", " ist ", " das ", " nicht ", " ein ",
+           " mit ", " auf ", " sich ", " dem ", " eine ", " auch ", " werden "],
+    "fr": [" le ", " la ", " et ", " est ", " les ", " des ", " une ",
+           " dans ", " qui ", " pas ", " pour ", " ce ", " sont ", " vous "],
+    "es": [" el ", " los ", " es ", " y ", " que ", " en ", " las ",
+           " una ", " por ", " con ", " para ", " del ", " se ", " como "],
+    "it": [" il ", " che ", " di ", " è ", " non ", " per ", " sono ",
+           " della ", " una ", " con ", " gli ", " nel ", " anche ", " come "],
+    "pt": [" o ", " que ", " de ", " é ", " não ", " uma ", " os ",
+           " para ", " com ", " do ", " da ", " em ", " mais ", " como "],
+    "nl": [" de ", " het ", " een ", " van ", " en ", " dat ", " niet ",
+           " zijn ", " op ", " voor ", " met ", " maar ", " ook ", " naar "],
 }
 
 

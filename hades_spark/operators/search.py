@@ -17,6 +17,7 @@ Stages (each optional, score composition mirrors
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.embedding import HashEmbedder
@@ -74,6 +75,40 @@ def hybrid_rerank(
     )
 
 
+_SPLIT_PATTERNS = (
+    r"\s+and\s+", r"\s+or\s+", r"\s+with\s+", r"\s+vs\.?\s+",
+    r"\s+versus\s+", r",\s*", r";\s*",
+)
+
+
+def decompose_query(query: str) -> list[str]:
+    """Rule-based compound-query splitting (X9;
+    ``database.py:1939-1995``): split on conjunctions/punctuation in
+    pattern order, strip, drop short single words, dedupe
+    case-insensitively, fall back to the original query."""
+    import re
+
+    query = " ".join(query.split())
+    sub_queries = [query]
+    for pattern in _SPLIT_PATTERNS:
+        new_subs: list[str] = []
+        for sq in sub_queries:
+            new_subs.extend(re.split(pattern, sq, flags=re.IGNORECASE))
+        sub_queries = new_subs
+
+    cleaned: list[str] = []
+    seen: set[str] = set()
+    for sq in sub_queries:
+        sq = sq.strip()
+        if not sq or (len(sq.split()) == 1 and len(sq) < 4):
+            continue
+        low = sq.lower()
+        if low not in seen:
+            seen.add(low)
+            cleaned.append(sq)
+    return cleaned or [query]
+
+
 def decompose_merge(
     embeddings: DataFrame,
     sub_queries: list[str],
@@ -83,17 +118,26 @@ def decompose_merge(
     dim: int = 64,
 ) -> DataFrame:
     """Per sub-query top-k, merged: max score per chunk + multi-hit boost
-    (capped fused score, the reference's multi-query bonus)."""
-    per = [
-        semantic_topk(embeddings, q, k=k, id_cols=id_cols, dim=dim)
-        .withColumn("q_idx", F.lit(i))
-        for i, q in enumerate(sub_queries)
-    ]
-    allhits = per[0]
-    for p in per[1:]:
-        allhits = allhits.unionByName(p)
+    (capped fused score, the reference's multi-query bonus).
+
+    ONE scan of the embeddings table regardless of sub-query count: all Q
+    query vectors are scored in a single select (array of cosines +
+    posexplode), then one window ranks per-query top-k — instead of Q
+    separate scans + unions."""
+    qvs = [HashEmbedder(dim).encode([q])[0].tolist() for q in sub_queries]
+    score_arr = F.array(*[
+        cosine_col(F.col("embedding"),
+                   F.array(*[F.lit(float(x)) for x in qv]))
+        for qv in qvs
+    ])
+    scored = embeddings.select(
+        *id_cols, F.posexplode(score_arr).alias("q_idx", "score"))
+    w = Window.partitionBy("q_idx").orderBy(
+        F.desc("score"), *[F.asc(c) for c in id_cols])
+    topk = scored.withColumn("rn", F.row_number().over(w)) \
+                 .filter(F.col("rn") <= k).drop("rn")
     return (
-        allhits.groupBy(*id_cols)
+        topk.groupBy(*id_cols)
         .agg(F.max("score").alias("score"),
              F.countDistinct("q_idx").alias("n_queries"))
         .withColumn(
@@ -146,6 +190,107 @@ def structural_rerank(
             + (1 - alpha) * F.coalesce(F.col(feature_col), F.lit(0.0)),
         )
         .orderBy(F.desc("structural_score"), *[F.asc(c) for c in join_cols])
+    )
+
+
+def anchor_rerank(
+    hits: DataFrame,
+    embeddings: DataFrame,
+    anchor_id,
+    alpha: float = 0.6,
+    join_cols: tuple[str, ...] = ("doc_id", "chunk_index"),
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Re-rank by similarity to a user-named anchor node
+    (``structural_fusion.py:334-400``): fused = alpha * score +
+    (1-alpha) * max(0, cos(result, anchor)); results without an embedding
+    contribute 0 (the reference's fallback). If the anchor has no
+    embedding, hits pass through unchanged except for zero columns.
+
+    The anchor lookup is a point query (one row collected); result vectors
+    come from a broadcast-joined slice of the embeddings table — no
+    per-result queries.
+    """
+    anchor_rows = (
+        embeddings.filter(F.col(id_col) == F.lit(anchor_id))
+        .select(vec_col).limit(1).collect()
+    )
+    if not anchor_rows or anchor_rows[0][0] is None:
+        return (
+            hits.withColumn("anchor_similarity", F.lit(0.0))
+            .withColumn("anchor_fused_score", F.col(score_col))
+        )
+    av = [float(x) for x in anchor_rows[0][0]]
+    a = F.array(*[F.lit(x) for x in av])
+    vecs = embeddings.select(
+        *join_cols, cosine_col(F.col(vec_col), a).alias("_anchor_sim"))
+    return (
+        hits.join(F.broadcast(vecs), list(join_cols), "left")
+        .withColumn(
+            "anchor_similarity",
+            F.round(F.coalesce(F.col("_anchor_sim"), F.lit(0.0)), 4))
+        .drop("_anchor_sim")
+        .withColumn(
+            "anchor_fused_score",
+            F.round(
+                alpha * F.col(score_col)
+                + (1 - alpha) * F.greatest(F.lit(0.0),
+                                           F.col("anchor_similarity")), 4))
+        .orderBy(F.desc("anchor_fused_score"),
+                 *[F.asc(c) for c in join_cols])
+    )
+
+
+def _default_pair_scorer(pairs):
+    """Deterministic stand-in for a cross-encoder's (query, passage) batch
+    scorer: token-interaction score = weighted overlap of query terms with
+    passage positions (earlier hits score higher) — NOT a trained model
+    (sentence_transformers is unavailable in this environment; inject a
+    real model's ``predict`` via ``scorer``). Same batch-in/scores-out
+    contract as ``CrossEncoder.predict``."""
+    out = []
+    for q, passage in pairs:
+        terms = [t for t in q.lower().split() if t]
+        toks = passage.lower().split()
+        pos = {t: i for i, t in enumerate(reversed(toks))}
+        n = max(len(toks), 1)
+        s = 0.0
+        for t in terms:
+            if t in pos:
+                s += 0.5 + 0.5 * (pos[t] + 1) / n  # earlier => higher
+        out.append(s / max(len(terms), 1))
+    return out
+
+
+def crossencoder_rerank(
+    hits: DataFrame,
+    query_text: str,
+    limit: int = 10,
+    text_col: str = "text",
+    join_cols: tuple[str, ...] = ("doc_id", "chunk_index"),
+    scorer=None,
+) -> DataFrame:
+    """Cross-encoder stage shape (``database.py:2102-2158``): score
+    (query, passage) pairs TOGETHER in Arrow batches, sort by the pair
+    score, cut to ``limit``. ``scorer`` is the model seam — a callable
+    ``list[(q, passage)] -> list[float]``; the default is a deterministic
+    lexical-interaction stand-in (documented stub)."""
+    score_fn = scorer or _default_pair_scorer
+
+    @F.pandas_udf("double")
+    def _pair_score(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            score_fn([(query_text, t or "") for t in texts]))
+
+    return (
+        hits.withColumn(
+            "cross_encoder_score",
+            F.round(_pair_score(F.col(text_col)), 4))
+        .orderBy(F.desc("cross_encoder_score"),
+                 *[F.asc(c) for c in join_cols])
+        .limit(limit)
     )
 
 

@@ -140,7 +140,8 @@ def _make_page_html(i: int, rng: random.Random,
     return "".join(parts), truth
 
 
-def _make_page_md(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str, str]]]:
+def _make_page_md(i: int, rng: random.Random,
+                  richness: int = 1) -> tuple[str, list[tuple[str, str, str]]]:
     """Markdown page: heading + SVO sentences + link/code/table features."""
     truth: list[tuple[str, str, str]] = []
     parts = [f"# Document {i}\n"]
@@ -150,6 +151,9 @@ def _make_page_md(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str,
         sents.append(s)
         truth.append(t)
     parts.append(" ".join(sents) + "\n")
+    for _ in range(richness - 1):
+        parts.append(" ".join(rng.choice(_FILLER_WORDS)
+                              for _ in range(60)) + ".\n")
     if rng.random() < 0.6:
         parts.append(
             f"See [related doc {i}](https://ref.example/doc{rng.randrange(200)}.md) "
@@ -162,7 +166,8 @@ def _make_page_md(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str,
     return "\n".join(parts), truth
 
 
-def _make_page_tex(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str, str]]]:
+def _make_page_tex(i: int, rng: random.Random,
+                   richness: int = 1) -> tuple[str, list[tuple[str, str, str]]]:
     """LaTeX page: sections + SVO sentences + equation/table/cite features."""
     truth: list[tuple[str, str, str]] = []
     parts = ["\\documentclass{article}\n\\begin{document}",
@@ -173,6 +178,9 @@ def _make_page_tex(i: int, rng: random.Random) -> tuple[str, list[tuple[str, str
         sents.append(s)
         truth.append(t)
     parts.append(" ".join(sents))
+    for _ in range(richness - 1):
+        parts.append(" ".join(rng.choice(_FILLER_WORDS)
+                              for _ in range(60)) + ".")
     if rng.random() < 0.5:
         parts.append("\\begin{equation}\\label{eq:%d}\nE = mc^2\n"
                      "\\end{equation}" % (i % 10))
@@ -200,11 +208,11 @@ def _gen_one(i: int, seed: int = 42, compute_text: bool = True,
         host = f"host{rng.randrange(256)}.example"
     if i % 11 == 3:
         url = f"https://{host}/docs/{i}.md"
-        body, truth = _make_page_md(i, rng)
+        body, truth = _make_page_md(i, rng, richness)
         html = body.encode("utf-8")
     elif i % 23 == 7:
         url = f"https://{host}/docs/{i}.tex"
-        body, truth = _make_page_tex(i, rng)
+        body, truth = _make_page_tex(i, rng, richness)
         html = body.encode("utf-8")
     else:
         url = f"https://{host}/docs/{i}.html"

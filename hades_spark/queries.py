@@ -1073,6 +1073,43 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("rel", "src", "dst")
 
 
+@register("t3_cascade_full")  # six-stage cascade: rows-only
+def t3_full(spark: SparkSession, sf: str) -> DataFrame:
+    # the reference's complete `hades db query` cascade: decompose ->
+    # retrieve(merged) -> hybrid keyword re-rank -> structural(centrality)
+    # -> anchor re-rank -> cross-encoder (deterministic stand-in) -> context
+    from .functions.embedding import embed_text_column
+    from .operators.chunking import chunks_table
+    from .operators.search import (
+        anchor_rerank, centrality_features, crossencoder_rerank,
+        decompose_merge, decompose_query, hybrid_rerank, structural_rerank,
+        with_context)
+
+    docs = load_table(spark, sf, "documents")
+    chunks = chunks_table(docs, chunk_size=40, overlap=10).cache()
+    emb = embed_text_column(chunks, "text", "embedding", dim=64).cache()
+    q = "window sort merge join, shuffle partition skew"
+    subs = decompose_query(q)
+    hits = decompose_merge(emb, subs, k=20) \
+        .withColumnRenamed("merged_score", "score0") \
+        .withColumn("score", F.col("score0"))
+    fused = hybrid_rerank(hits, chunks, q)
+    cent = centrality_features(emb, "doc_id", ("doc_id", "chunk_index"))
+    cent = cent.withColumn("chunk_index", F.col("chunk_index").cast("int"))
+    structural = structural_rerank(
+        fused, cent, score_col="fused_score")
+    anchored = anchor_rerank(
+        structural, emb, anchor_id="0", score_col="structural_score")
+    reranked = crossencoder_rerank(anchored, q, limit=10)
+    out = with_context(reranked, chunks, n_context=1)
+    return out.select(
+        "doc_id", "chunk_index",
+        F.round("fused_score", 4).alias("fused_score"),
+        F.round("structural_score", 4).alias("structural_score"),
+        "anchor_fused_score", "cross_encoder_score",
+        F.size("context_texts").alias("n_context"))
+
+
 @register("x8_polyglot_edges")  # regex-grammar symbols: rows-only
 def x8(spark: SparkSession, sf: str) -> DataFrame:
     from .functions.polyglot_symbols import (

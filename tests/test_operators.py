@@ -341,3 +341,82 @@ class TestSaltDeterminism:
         want = {(r["key"], r["cnt"]) for r in
                 df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
         assert got == want
+
+
+class TestTraversalParity:
+    def _edges(self, spark):
+        return spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "d"),
+             ("x", "a")],
+            "src string, dst string")
+
+    def test_bfs_directions(self, spark):
+        from hades_spark.operators.graph import bfs
+
+        e = self._edges(spark)
+        seeds = spark.createDataFrame([("a",)], ["node"])
+        out = {r["node"]: r["depth"]
+               for r in bfs(e, seeds, 4, direction="outbound").collect()}
+        assert out == {"a": 0, "b": 1, "e": 1, "c": 2, "d": 2}
+        inb = {r["node"]: r["depth"]
+               for r in bfs(e, seeds, 4, direction="inbound").collect()}
+        assert inb == {"a": 0, "x": 1}
+        any_ = {r["node"]: r["depth"]
+                for r in bfs(e, seeds, 4, direction="any").collect()}
+        assert any_ == {"a": 0, "b": 1, "e": 1, "x": 1, "c": 2, "d": 2}
+
+    def test_shortest_path_vertices(self, spark):
+        from hades_spark.operators.graph import (
+            shortest_path, shortest_path_length)
+
+        e = self._edges(spark)
+        # two 2-hop routes a->d: via b? no (b->c->d is 3); via e (a->e->d)
+        assert shortest_path_length(e, "a", "d") == 2
+        assert shortest_path(e, "a", "d") == ["a", "e", "d"]
+        # unreachable within bound / direction
+        assert shortest_path(e, "d", "a") is None
+        assert shortest_path(e, "d", "a", direction="any") == \
+            ["d", "e", "a"]  # min-parent tie-break: 'e' < 'c'? c->d so d's
+        # parents are c,e -> min 'c'... verify deterministically below
+
+    def test_shortest_path_deterministic_tie_break(self, spark):
+        from hades_spark.operators.graph import shortest_path
+
+        # two equal-length routes s->t: s->a->t and s->b->t; min parent 'a'
+        e = spark.createDataFrame(
+            [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t")],
+            "src string, dst string")
+        assert shortest_path(e, "s", "t") == ["s", "a", "t"]
+
+    def test_source_equals_target(self, spark):
+        from hades_spark.operators.graph import shortest_path
+
+        e = self._edges(spark)
+        assert shortest_path(e, "a", "a") == ["a"]
+
+
+class TestLangId:
+    def test_seven_languages(self, spark):
+        from hades_spark.functions.text_analysis import lang_id_col
+
+        samples = [
+            ("en", "the cat sat on the mat and it was happy with this"),
+            ("de", "der hund ist nicht mit der katze auf dem sofa und das"),
+            ("fr", "le chat est dans la maison et les enfants sont pour vous"),
+            ("es", "el perro es una mascota que vive en las casas por años"),
+            ("it", "il gatto è un animale che non vive per sempre con gli"),
+            ("pt", "o cachorro é um animal que não vive em uma casa do mar"),
+            ("nl", "de hond is een dier dat niet van de kat op het erf"),
+        ]
+        df = spark.createDataFrame(samples, "want string, text string")
+        got = {r["want"]: r["got"] for r in
+               df.select("want", lang_id_col(F.col("text")).alias("got"))
+                 .collect()}
+        assert got == {w: w for w, _ in samples}
+
+    def test_und_for_no_markers(self, spark):
+        from hades_spark.functions.text_analysis import lang_id_col
+
+        df = spark.createDataFrame([("xyzzy plugh 12345",)], "text string")
+        assert df.select(lang_id_col(F.col("text")).alias("l")) \
+                 .collect()[0]["l"] == "und"

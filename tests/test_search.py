@@ -69,3 +69,128 @@ class TestStructuralRerank:
         assert len(out) == 5
         scores = [r["structural_score"] for r in out]
         assert scores == sorted(scores, reverse=True)
+
+
+class TestDecomposeQuery:
+    def test_splits_conjunctions_and_punctuation(self):
+        from hades_spark.operators.search import decompose_query
+
+        assert decompose_query("window joins and shuffle skew") == \
+            ["window joins", "shuffle skew"]
+        assert decompose_query("hash agg, sort merge; broadcast join") == \
+            ["hash agg", "sort merge", "broadcast join"]
+        assert decompose_query("spark vs. flink throughput") == \
+            ["spark", "flink throughput"]
+
+    def test_short_single_words_dropped_and_dedup(self):
+        from hades_spark.operators.search import decompose_query
+
+        # 'ml' is a <4-char single word -> dropped; dedupe case-insensitive
+        assert decompose_query("ml and Window Sort and window sort") == \
+            ["Window Sort"]
+
+    def test_fallback_to_original(self):
+        from hades_spark.operators.search import decompose_query
+
+        # every fragment is a short single word -> falls back to original
+        assert decompose_query("ml, ai; db") == ["ml, ai; db"]
+
+
+class TestCascadeTail:
+    def _emb(self, spark):
+        from hades_spark.functions.embedding import embed_text_column
+
+        chunks = spark.createDataFrame(
+            [("d1", 0, "window sort merge join strategies"),
+             ("d1", 1, "partition skew salting tricks"),
+             ("d2", 0, "unrelated cooking recipe text here"),
+             ("d3", 0, "window functions and sort order")],
+            "doc_id string, chunk_index int, text string")
+        return chunks, embed_text_column(chunks, "text", "embedding", dim=32)
+
+    def test_anchor_rerank_blends_and_sorts(self, spark):
+        from hades_spark.operators.search import anchor_rerank, semantic_topk
+
+        chunks, emb = self._emb(spark)
+        hits = semantic_topk(emb, "window sort", k=4, dim=32)
+        out = anchor_rerank(hits, emb, anchor_id="d1", alpha=0.6).collect()
+        assert [c in out[0].asDict() for c in
+                ("anchor_similarity", "anchor_fused_score")] == [True, True]
+        # fused = 0.6*score + 0.4*max(0, sim), verified on one row
+        r = out[0]
+        assert abs(r["anchor_fused_score"]
+                   - round(0.6 * r["score"]
+                           + 0.4 * max(0.0, r["anchor_similarity"]), 4)) < 2e-4
+        scores = [r["anchor_fused_score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_anchor_missing_passthrough(self, spark):
+        from hades_spark.operators.search import anchor_rerank, semantic_topk
+
+        chunks, emb = self._emb(spark)
+        hits = semantic_topk(emb, "window sort", k=2, dim=32)
+        out = anchor_rerank(hits, emb, anchor_id="nope").collect()
+        assert all(r["anchor_similarity"] == 0.0 for r in out)
+        assert all(abs(r["anchor_fused_score"] - r["score"]) < 1e-9
+                   for r in out)
+
+    def test_crossencoder_standin_orders_by_pair_score(self, spark):
+        from hades_spark.operators.search import (
+            crossencoder_rerank, semantic_topk)
+
+        chunks, emb = self._emb(spark)
+        hits = semantic_topk(emb, "window sort", k=4, dim=32) \
+            .join(chunks, ["doc_id", "chunk_index"])
+        out = crossencoder_rerank(hits, "window sort", limit=3).collect()
+        assert len(out) == 3
+        scores = [r["cross_encoder_score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        # the chunk containing both query terms must beat the recipe chunk
+        assert out[0]["doc_id"] in ("d1", "d3")
+
+    def test_crossencoder_scorer_seam(self, spark):
+        from hades_spark.operators.search import (
+            crossencoder_rerank, semantic_topk)
+
+        chunks, emb = self._emb(spark)
+        hits = semantic_topk(emb, "window", k=4, dim=32) \
+            .join(chunks, ["doc_id", "chunk_index"])
+        # injected scorer: reverse-alphabetical by doc_id, proving the seam
+        def scorer(pairs):
+            return [float(ord(p[1][0])) for p in pairs]
+        out = crossencoder_rerank(hits, "q", limit=4, scorer=scorer).collect()
+        assert [r["cross_encoder_score"] for r in out] == \
+            sorted([r["cross_encoder_score"] for r in out], reverse=True)
+
+    def test_six_stage_cascade_composes(self, spark, sf_dir):
+        from hades_spark.queries import SPARK_QUERIES
+
+        out = SPARK_QUERIES["t3_cascade_full"](spark, sf_dir)
+        rows = out.collect()
+        assert 0 < len(rows) <= 10
+        cols = set(rows[0].asDict())
+        assert {"fused_score", "structural_score", "anchor_fused_score",
+                "cross_encoder_score", "n_context"} <= cols
+        # final order is the cross-encoder stage's (documented score order)
+        ce = [r["cross_encoder_score"] for r in rows]
+        assert ce == sorted(ce, reverse=True)
+
+    def test_decompose_merge_one_pass_matches_per_query(self, spark):
+        from hades_spark.functions.embedding import HashEmbedder
+        from hades_spark.operators.search import (
+            decompose_merge, semantic_topk)
+
+        chunks, emb = self._emb(spark)
+        subs = ["window sort", "partition skew"]
+        got = {(r["doc_id"], r["chunk_index"]):
+               (round(r["score"], 6), r["n_queries"])
+               for r in decompose_merge(emb, subs, k=3, dim=32).collect()}
+        # reference computation: per-query top-3 then merge
+        per = {}
+        for i, q in enumerate(subs):
+            for r in semantic_topk(emb, q, k=3, dim=32).collect():
+                key = (r["doc_id"], r["chunk_index"])
+                s, qs = per.get(key, (0.0, set()))
+                per[key] = (max(s, r["score"]), qs | {i})
+        want = {k: (round(s, 6), len(qs)) for k, (s, qs) in per.items()}
+        assert got == want
