@@ -779,13 +779,35 @@ def kg_extract_q(spark: SparkSession, sf: str) -> DataFrame:
          .alias("text_len"))
 
 
-@register("kg_mentions")
+_MENTIONS_STAGE = "/tmp/hades_mentions_oracle_stage"
+
+_MENTIONS_ORACLE = f"""
+WITH pages AS (
+  SELECT * FROM read_parquet('{_MENTIONS_STAGE}/with_mentions/*.parquet')),
+ex AS (SELECT url, unnest(mentions) AS m FROM pages)
+SELECT (m).kind AS kind, CAST(count(*) AS BIGINT) AS cnt
+FROM ex WHERE m IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("kg_mentions", _MENTIONS_ORACLE)
 def kg_mentions_q(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions.mentions import mentions_table
+    # staged: the per-page mention ARRAYS go to parquet; the oracle unnests
+    # and recomputes the kind histogram, verifying the explode + null-filter
+    # + aggregation tail (detection itself is python-regex, unit-tested)
+    from .functions.mentions import detect_mentions_udf, mentions_table
     from .pipeline.corpus import pages_df
 
     pages = pages_df(spark, 150, seed=42, with_text=True)
-    m = mentions_table(pages)
+    pages.select(
+        "url", detect_mentions_udf("url", "html", "text").alias("mentions")
+    ).write.mode("overwrite").parquet(f"{_MENTIONS_STAGE}/with_mentions")
+    staged = spark.read.parquet(f"{_MENTIONS_STAGE}/with_mentions")
+    m = (
+        staged.select("url", F.posexplode_outer("mentions").alias("pos", "m"))
+        .filter(F.col("m").isNotNull())
+        .select("url", F.col("m.kind").alias("kind"))
+    )
     return m.groupBy("kind").agg(F.count("*").cast("bigint").alias("cnt")) \
             .orderBy("kind")
 
@@ -805,8 +827,55 @@ def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
     return run_kg_pipeline_staged(spark, n_pages=150, seed=42)
 
 
-@register("kg_entity_linking")
+_LINK_STAGE = "/tmp/hades_link_oracle_stage"
+
+_LINK_ORACLE = f"""
+WITH m AS (SELECT * FROM read_parquet('{_LINK_STAGE}/mentions/*.parquet')),
+c AS (SELECT * FROM read_parquet('{_LINK_STAGE}/catalog/*.parquet')),
+s AS (SELECT * FROM read_parquet('{_LINK_STAGE}/scores/*.parquet')),
+mn AS (
+  SELECT mention_id, surface, url,
+         trim(regexp_replace(lower(surface), '[^a-z0-9]+', ' ', 'g')) AS mnorm
+  FROM m),
+mn2 AS (SELECT *, (string_split(mnorm, ' '))[-1] AS mbare FROM mn),
+cn AS (
+  SELECT entity_id, name, source,
+         trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS enorm
+  FROM c),
+cn2 AS (SELECT *, (string_split(enorm, ' '))[-1] AS ebare FROM cn),
+cands AS (
+  SELECT mn2.mention_id, mn2.surface, mn2.url,
+         cn2.entity_id, cn2.name, cn2.source, 1 AS strategy
+  FROM mn2 JOIN cn2 ON mn2.surface = cn2.name
+  UNION ALL
+  SELECT mn2.mention_id, mn2.surface, mn2.url,
+         cn2.entity_id, cn2.name, cn2.source, 2
+  FROM mn2 JOIN cn2 ON mn2.mnorm = cn2.enorm
+  UNION ALL
+  SELECT mn2.mention_id, mn2.surface, mn2.url,
+         cn2.entity_id, cn2.name, cn2.source, 3
+  FROM mn2 JOIN cn2 ON mn2.mbare = cn2.ebare),
+scored AS (
+  SELECT cands.*, s.score,
+         CASE WHEN cands.url = cands.source THEN 1 ELSE 0 END AS same_source
+  FROM cands JOIN s ON s.surface = cands.surface AND s.ename = cands.name
+  WHERE s.score >= 0)
+SELECT mention_id, surface, entity_id, CAST(strategy AS INT) AS strategy
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY mention_id
+        ORDER BY strategy ASC, same_source DESC, score DESC, entity_id ASC
+      ) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("kg_entity_linking", _LINK_ORACLE)
 def kg_linking_q(spark: SparkSession, sf: str) -> DataFrame:
+    # staged variant: mentions, catalog, and the deterministic hash-embedding
+    # pair scores go to parquet; the DuckDB oracle recomputes the strategy
+    # ladder (exact / normalized / bare-name joins) and the window tie-break
+    # from identical inputs — the linking tail is hash-verified.
+    from .functions.embedding import HashEmbedder
     from .operators.linking import link_mentions
     from .pipeline.corpus import ENTITIES
 
@@ -817,22 +886,90 @@ def kg_linking_q(spark: SparkSession, sf: str) -> DataFrame:
     catalog = spark.createDataFrame(
         [(f"e{i}", c, "kb") for i, (c, _) in enumerate(ENTITIES)],
         "entity_id string, name string, source string")
+    mentions.write.mode("overwrite").parquet(f"{_LINK_STAGE}/mentions")
+    catalog.write.mode("overwrite").parquet(f"{_LINK_STAGE}/catalog")
+
+    # all-pairs scores (superset of every strategy's candidates): the same
+    # einsum the linking UDF computes, staged driver-side (tiny dims)
+    import numpy as np
+
+    emb = HashEmbedder(64)
+    surfaces = [v for _, vs in ENTITIES for v in vs]
+    names = [c for c, _ in ENTITIES]
+    ms = emb.encode(surfaces)
+    es = emb.encode(names)
+    rows = [(s, n, float(np.dot(ms[i], es[j])))
+            for i, s in enumerate(surfaces) for j, n in enumerate(names)]
+    spark.createDataFrame(rows, "surface string, ename string, score double") \
+        .dropDuplicates(["surface", "ename"]) \
+        .write.mode("overwrite").parquet(f"{_LINK_STAGE}/scores")
+
+    mentions = spark.read.parquet(f"{_LINK_STAGE}/mentions")
+    catalog = spark.read.parquet(f"{_LINK_STAGE}/catalog")
     return link_mentions(mentions, catalog) \
         .select("mention_id", "surface", "entity_id", "strategy")
 
 
-@register("search_semantic_hybrid")
+_SEARCH_STAGE = "/tmp/hades_search_oracle_stage"
+_SEARCH_TERMS = ["window", "sort", "merge", "join"]
+
+_SEARCH_ORACLE = f"""
+WITH ch AS (SELECT * FROM read_parquet('{_SEARCH_STAGE}/chunks/*.parquet')),
+emb AS (SELECT * FROM read_parquet('{_SEARCH_STAGE}/embeddings/*.parquet')),
+q AS (SELECT qv FROM read_parquet('{_SEARCH_STAGE}/query/*.parquet')),
+scored AS (
+  SELECT doc_id, chunk_index,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                CAST((SELECT qv FROM q) AS DOUBLE[])) AS score
+  FROM emb),
+topk AS (
+  SELECT * FROM scored
+  ORDER BY score DESC, doc_id ASC, chunk_index ASC LIMIT 10),
+fused AS (
+  SELECT t.doc_id, t.chunk_index,
+         0.7 * t.score + 0.3 * ((
+           {" + ".join(f"CASE WHEN contains(lower(c.text), '{t}') THEN 1 ELSE 0 END"
+                       for t in _SEARCH_TERMS)}
+         ) / {float(len(_SEARCH_TERMS))}) AS fused_score
+  FROM topk t JOIN ch c
+    ON c.doc_id = t.doc_id AND c.chunk_index = t.chunk_index)
+SELECT f.doc_id, f.chunk_index,
+       round(f.fused_score, 4) AS fused_score,
+       CAST((SELECT count(*) FROM ch c2
+             WHERE c2.doc_id = f.doc_id
+               AND c2.chunk_index BETWEEN f.chunk_index - 1
+                                      AND f.chunk_index + 1) AS INT)
+         AS n_context
+FROM fused f
+"""
+
+
+@register("search_semantic_hybrid", _SEARCH_ORACLE)
 def search_q(spark: SparkSession, sf: str) -> DataFrame:
     # full cascade over the documents table: chunk -> hash-embed ->
-    # cosine top-k -> hybrid keyword re-rank -> +-1 chunk context
-    from .functions.embedding import embed_text_column
+    # cosine top-k -> hybrid keyword re-rank -> +-1 chunk context.
+    # Staged: chunks, embeddings and the query vector go to parquet so the
+    # DuckDB oracle recomputes cosine top-k + keyword fusion + context
+    # counts from byte-identical inputs (python chunker/embedder are the
+    # only unverifiable steps; they're covered by unit tests).
+    from .functions.embedding import HashEmbedder, embed_text_column
     from .operators.chunking import chunks_table
     from .operators.search import hybrid_rerank, semantic_topk, with_context
 
+    q = " ".join(_SEARCH_TERMS)
     docs = load_table(spark, sf, "documents")
-    chunks = chunks_table(docs, chunk_size=40, overlap=10).cache()
-    emb = embed_text_column(chunks, "text", "embedding", dim=64)
-    q = "window sort merge join"
+    chunks_table(docs, chunk_size=40, overlap=10) \
+        .select("doc_id", "chunk_index", "text") \
+        .write.mode("overwrite").parquet(f"{_SEARCH_STAGE}/chunks")
+    chunks = spark.read.parquet(f"{_SEARCH_STAGE}/chunks")
+    embed_text_column(chunks, "text", "embedding", dim=64) \
+        .select("doc_id", "chunk_index", "embedding") \
+        .write.mode("overwrite").parquet(f"{_SEARCH_STAGE}/embeddings")
+    emb = spark.read.parquet(f"{_SEARCH_STAGE}/embeddings")
+    qv = [float(x) for x in HashEmbedder(64).encode([q])[0]]
+    spark.createDataFrame([(qv,)], "qv array<float>") \
+        .write.mode("overwrite").parquet(f"{_SEARCH_STAGE}/query")
+
     hits = semantic_topk(emb, q, k=10)
     fused = hybrid_rerank(hits, chunks, q)
     out = with_context(fused, chunks, n_context=1)
@@ -1071,6 +1208,27 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
     return defines_edges(syms).select("src", "dst", "rel") \
         .unionByName(calls_edges(syms).select("src", "dst", "rel")) \
         .orderBy("rel", "src", "dst")
+
+
+@register("s4_catalog_scan", """
+SELECT table_name AS name
+FROM information_schema.tables
+WHERE table_name IN ('region','nation','customer','supplier','part',
+                     'orders','lineitem','events','documents','embeddings')
+ORDER BY 1
+""")
+def s4(spark: SparkSession, sf: str) -> DataFrame:
+    # S4: enumerate the catalog as a DataFrame (the reference's
+    # list-collections admin call, SURVEY §2.1). Temp views registered for
+    # the sf tables, then a real spark.catalog.listTables() scan filtered
+    # to them — same rows the DuckDB information_schema oracle sees.
+    names = ["region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings"]
+    for t in names:
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    listed = [t.name for t in spark.catalog.listTables() if t.name in names]
+    return spark.createDataFrame(
+        [(n,) for n in sorted(listed)], "name string")
 
 
 @register("t3_cascade_full")  # six-stage cascade: rows-only

@@ -157,3 +157,38 @@ def delete_where(spark: SparkSession, path: str, condition) -> None:
     p.rename(bak)
     Path(tmp).rename(p)
     shutil.rmtree(bak, ignore_errors=True)
+
+
+def drain_batches(df, key_col: str, n_batches: int):
+    """I5 paginated draining (``sync.py`` keyset pagination semantics):
+    yield ``n_batches`` disjoint, collectively-exhaustive DataFrame slices
+    of ``df``, each a predicate on the key — so every batch is an
+    independent pushed-down scan, exactly like the reference's
+    'start after last key, LIMIT n' drain loop but without a serial cursor.
+
+    Numeric keys get true key-RANGE pages (approxQuantile bounds: each
+    batch is a contiguous key interval, the keyset-pagination shape);
+    non-numeric keys fall back to deterministic hash buckets
+    (``pmod(xxhash64(key), n)`` — same stability guarantee, no ordering).
+    Ranges are half-open ``(lo, hi]`` with the first batch left-unbounded,
+    so rows are never duplicated or dropped regardless of bound ties.
+    """
+    dt = dict(df.dtypes)[key_col]
+    numeric = dt in ("tinyint", "smallint", "int", "bigint",
+                     "float", "double", "decimal")
+    if numeric and n_batches > 1:
+        qs = [i / n_batches for i in range(1, n_batches)]
+        bounds = df.stat.approxQuantile(key_col, qs, 0.001)
+        edges = [None] + bounds + [None]
+        for i in range(n_batches):
+            lo, hi = edges[i], edges[i + 1]
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(key_col) > F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(key_col) <= F.lit(hi))
+            yield df.filter(cond)
+    else:
+        for i in range(n_batches):
+            yield df.filter(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_batches)) == i)

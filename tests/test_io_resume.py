@@ -241,3 +241,60 @@ class TestPartitionScopedUpsert:
         upsert_by_key(spark, new, path, ["k"], partition_by=["part"])
         upsert_by_key(spark, new, path, ["k"], partition_by=["part"])
         assert spark.read.parquet(path).count() == 1
+
+
+class TestDrainBatches:
+    def test_numeric_keyset_ranges_cover_exactly(self, spark):
+        from hades_spark.sources.io import drain_batches
+
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "k int, v string")
+        batches = list(drain_batches(df, "k", 4))
+        assert len(batches) == 4
+        union = batches[0]
+        for b in batches[1:]:
+            union = union.unionByName(b)
+        assert union.count() == 200
+        assert union.select("k").distinct().count() == 200  # no dups
+        # ranges are contiguous: every batch's keys form an interval
+        for b in batches:
+            ks = sorted(r["k"] for r in b.select("k").collect())
+            if ks:
+                assert ks == list(range(ks[0], ks[-1] + 1))
+
+    def test_string_keys_hash_buckets(self, spark):
+        from hades_spark.sources.io import drain_batches
+
+        df = spark.createDataFrame(
+            [(f"u{i}", i) for i in range(100)], "k string, v int")
+        batches = list(drain_batches(df, "k", 5))
+        total = sum(b.count() for b in batches)
+        assert total == 100
+        # deterministic: same batch assignment across two runs
+        first = [sorted(r["k"] for r in b.select("k").collect())
+                 for b in drain_batches(df, "k", 5)]
+        second = [sorted(r["k"] for r in b.select("k").collect())
+                  for b in drain_batches(df, "k", 5)]
+        assert first == second
+
+
+class TestIdentifierValidation:
+    def test_safe_and_unsafe_names(self):
+        import pytest as _pytest
+
+        from hades_spark.functions.identifiers import validate_table_name
+
+        assert validate_table_name("chunks_v2") == "chunks_v2"
+        assert validate_table_name("a-b_c9") == "a-b_c9"
+        for bad in ("x; DROP", "a/b", "", "x" * 257, "a b", "tbl'"):
+            with _pytest.raises(ValueError):
+                validate_table_name(bad)
+
+    def test_key_column_filter(self, spark):
+        from hades_spark.functions.identifiers import valid_key_col
+
+        df = spark.createDataFrame(
+            [("ok_key-1",), ("has/slash",), ("",), (None,), ("a.b@c",)],
+            "k string")
+        good = [r["k"] for r in df.filter(valid_key_col(F.col("k"))).collect()]
+        assert good == ["ok_key-1", "a.b@c"]

@@ -144,3 +144,28 @@ class TestRealisticPages:
         tp = len(got & want)
         assert tp / max(len(got), 1) >= 0.95, sorted(got - want)[:8]
         assert tp / len(want) >= 0.95, sorted(want - got)[:8]
+
+
+class TestCanonicalizeCutover:
+    def test_cutover_above_local_threshold(self, spark):
+        # the adaptive local/distributed switch itself: a vocabulary larger
+        # than local_threshold must take the distributed LSH+CC path and
+        # produce the same clusters the local path produces
+        from hades_spark.operators.canonicalize import canonical_norm_map
+
+        # 300 unique norms + 3 alias groups
+        base = [(f"uniq token {i:04d}",) for i in range(300)]
+        aliases = [("apache spark",), ("apachespark",),
+                   ("postgre sql",), ("postgresql",),
+                   ("common crawl",), ("commoncrawl",)]
+        norms = spark.createDataFrame(base + aliases, "norm string")
+
+        local = {(r["norm"], r["canonical_id"]) for r in
+                 canonical_norm_map(norms, local_threshold=100_000).collect()}
+        dist = {(r["norm"], r["canonical_id"]) for r in
+                canonical_norm_map(norms, local_threshold=100).collect()}
+        assert dist == local
+        # the alias pairs actually merged
+        d = dict(dist)
+        assert d["apachespark"] == d["apache spark"]
+        assert d["postgresql"] == d["postgre sql"]
