@@ -121,6 +121,70 @@ def embed_chunks(
     return cols.mapInPandas(_embed, schema=out_schema)
 
 
+def mean_pool_l2(token_matrix: np.ndarray) -> np.ndarray:
+    """Token-matrix (n_tokens, dim) -> one L2-normalized mean-pooled row —
+    the reference's late-pooling contract (``embedders_jina.py:904-914``:
+    per-token embeddings averaged then normalized). Pure function, shared
+    by the distributed path and tests."""
+    if token_matrix.size == 0:
+        return np.zeros(token_matrix.shape[-1] if token_matrix.ndim == 2
+                        else 0, dtype=np.float32)
+    pooled = token_matrix.mean(axis=0)
+    n = np.linalg.norm(pooled)
+    return (pooled / n if n > 0 else pooled).astype(np.float32)
+
+
+def pooled_embed_chunks(
+    chunks: DataFrame,
+    backend_factory=HashEmbedder,
+    dim: int = 64,
+    text_col: str = "text",
+    model_name: str = "hash-pooled-v1",
+) -> DataFrame:
+    """A7: REAL token pooling — embed each whitespace token, mean-pool the
+    token matrix per chunk, L2-normalize (vs ``embed_chunks``, which encodes
+    the whole chunk text as one string). ``mapInPandas``; backend built once
+    per task; per-batch token lists are flattened into ONE ``encode`` call
+    so the backend sees large batches (the reference's batched forward
+    pass), then split back by chunk."""
+    out_schema = (
+        "doc_id string, chunk_index int, embedding_id string, "
+        "embedding array<float>, n_tokens int, model string"
+    )
+    cols = chunks.select(
+        F.col("doc_id").cast("string"),
+        F.col("chunk_index").cast("int"),
+        F.col("chunk_id"),
+        F.col(text_col).alias("_text"),
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = backend_factory(dim)
+        for pdf in batches:
+            token_lists = [
+                (t or "").split() for t in pdf["_text"].fillna("")]
+            flat = [tok for toks in token_lists for tok in toks]
+            mat = (backend.encode(flat) if flat
+                   else np.zeros((0, backend.dim), dtype=np.float32))
+            vecs, i = [], 0
+            for toks in token_lists:
+                chunk_mat = mat[i: i + len(toks)]
+                i += len(toks)
+                vecs.append(mean_pool_l2(
+                    chunk_mat if len(toks)
+                    else np.zeros((0, backend.dim), dtype=np.float32)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "chunk_index": pdf["chunk_index"],
+                "embedding_id": pdf["chunk_id"] + "_emb",
+                "embedding": [v.tolist() for v in vecs],
+                "n_tokens": [len(t) for t in token_lists],
+                "model": model_name,
+            })
+
+    return cols.mapInPandas(_embed, schema=out_schema)
+
+
 def embed_text_column(df: DataFrame, text_col: str, out_col: str = "embedding",
                       dim: int = 64) -> DataFrame:
     """Attach a deterministic embedding column to any DataFrame (used by

@@ -1210,6 +1210,74 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("rel", "src", "dst")
 
 
+_POOL_STAGE = "/tmp/hades_pool_oracle_stage"
+
+_POOL_ORACLE = f"""
+WITH tok AS (
+  SELECT * FROM read_parquet('{_POOL_STAGE}/token_embeddings/*.parquet')),
+flat AS (
+  SELECT doc_id, chunk_index,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM tok),
+agg AS (
+  SELECT doc_id, chunk_index, d, avg(CAST(v AS DOUBLE)) AS mv
+  FROM flat GROUP BY 1, 2, 3),
+nrm AS (
+  SELECT doc_id, chunk_index, sqrt(sum(mv * mv)) AS n
+  FROM agg GROUP BY 1, 2)
+SELECT a.doc_id, CAST(a.chunk_index AS INT) AS chunk_index,
+       CAST(a.d - 1 AS INT) AS dim,
+       round(a.mv / CASE WHEN nrm.n > 0 THEN nrm.n ELSE 1 END, 4) + 0.0
+         AS val
+FROM agg a JOIN nrm ON nrm.doc_id = a.doc_id
+                   AND nrm.chunk_index = a.chunk_index
+"""
+
+
+@register("a7_token_pooling", _POOL_ORACLE)
+def a7(spark: SparkSession, sf: str) -> DataFrame:
+    # A7 mean-pool + L2 per chunk over REAL token embeddings. Stage the
+    # token-level embedding table; the oracle recomputes per-dim mean,
+    # the L2 norm, and the normalized components (rounded) in SQL.
+    from .functions.embedding import embed_text_column
+    from .operators.chunking import chunks_table
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunks_table(docs, chunk_size=30, overlap=10).cache()
+    tokens = (
+        chunks.select(
+            "doc_id", "chunk_index",
+            F.explode(F.filter(F.split("text", " "),
+                               lambda t: t != "")).alias("token"))
+    )
+    embed_text_column(tokens, "token", "embedding", dim=16) \
+        .select("doc_id", "chunk_index", "embedding") \
+        .write.mode("overwrite").parquet(f"{_POOL_STAGE}/token_embeddings")
+
+    # distributed pooling in float64 DataFrame ops over the staged token
+    # table (per-dim mean -> L2 norm -> normalized components), the exact
+    # twin of the SQL oracle; the mapInPandas fast path
+    # (pooled_embed_chunks) is equivalence-tested in pytest
+    tok = spark.read.parquet(f"{_POOL_STAGE}/token_embeddings")
+    flat = tok.select(
+        "doc_id", "chunk_index",
+        F.posexplode("embedding").alias("dim", "v"))
+    agg = flat.groupBy("doc_id", "chunk_index", "dim") \
+              .agg(F.avg(F.col("v").cast("double")).alias("mv"))
+    nrm = agg.groupBy("doc_id", "chunk_index") \
+             .agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("n"))
+    return (
+        agg.join(nrm, ["doc_id", "chunk_index"])
+        .select(
+            "doc_id", F.col("chunk_index").cast("int").alias("chunk_index"),
+            F.col("dim").cast("int").alias("dim"),
+            (F.round(F.col("mv") / F.when(F.col("n") > 0, F.col("n"))
+                     .otherwise(F.lit(1.0)), 4) + 0.0).alias("val"),
+        )
+    )
+
+
 @register("s4_catalog_scan", """
 SELECT table_name AS name
 FROM information_schema.tables

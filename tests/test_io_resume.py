@@ -298,3 +298,31 @@ class TestIdentifierValidation:
             "k string")
         good = [r["k"] for r in df.filter(valid_key_col(F.col("k"))).collect()]
         assert good == ["ok_key-1", "a.b@c"]
+
+
+class TestStreamingKgStage1:
+    def test_stream_drains_and_resumes(self, spark, tmp):
+        from hades_spark.pipeline.corpus import pages_df
+        from hades_spark.streaming.kg_stream import stream_extract
+
+        pages_dir = f"{tmp}/pages_in"
+        # first drop of files
+        pages_df(spark, 20, seed=3, with_text=False) \
+            .write.mode("overwrite").parquet(pages_dir)
+        q = stream_extract(spark, pages_dir, f"{tmp}/stage1_out",
+                           f"{tmp}/ckpt")
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(f"{tmp}/stage1_out").count()
+        assert n1 == 20
+
+        # second drop: only the NEW files are processed on restart
+        pages_df(spark, 30, seed=3, with_text=False) \
+            .filter(F.xxhash64("url") % 1 == 0) \
+            .write.mode("append").parquet(pages_dir)
+        q2 = stream_extract(spark, pages_dir, f"{tmp}/stage1_out",
+                            f"{tmp}/ckpt")
+        q2.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/stage1_out")
+        assert out.count() == 50  # 20 + appended 30, no reprocessing dups
+        cols = set(out.columns)
+        assert {"url", "text", "mentions", "triples"} <= cols

@@ -420,3 +420,55 @@ class TestLangId:
         df = spark.createDataFrame([("xyzzy plugh 12345",)], "text string")
         assert df.select(lang_id_col(F.col("text")).alias("l")) \
                  .collect()[0]["l"] == "und"
+
+
+class TestTokenPooling:
+    def test_mean_pool_l2_pure(self):
+        import numpy as np
+
+        from hades_spark.functions.embedding import HashEmbedder, mean_pool_l2
+
+        emb = HashEmbedder(16)
+        toks = ["alpha", "beta", "gamma"]
+        mat = emb.encode(toks)
+        v = mean_pool_l2(mat)
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+        want = mat.mean(axis=0)
+        want = want / np.linalg.norm(want)
+        assert np.allclose(v, want, atol=1e-6)
+
+    def test_pooled_embed_chunks_matches_token_mean(self, spark):
+        import numpy as np
+
+        from hades_spark.functions.embedding import (
+            HashEmbedder, pooled_embed_chunks)
+
+        chunks = spark.createDataFrame(
+            [("d1", 0, "d1_chunk_0", "alpha beta gamma"),
+             ("d1", 1, "d1_chunk_1", "delta"),
+             ("d2", 0, "d2_chunk_0", "x y z w longer token list here")],
+            "doc_id string, chunk_index int, chunk_id string, text string")
+        got = {(r["doc_id"], r["chunk_index"]):
+               (np.array(r["embedding"]), r["n_tokens"])
+               for r in pooled_embed_chunks(chunks, dim=16).collect()}
+        emb = HashEmbedder(16)
+        for (doc, idx, _cid, text) in chunks.collect():
+            toks = text.split()
+            want = emb.encode(toks).mean(axis=0)
+            want = want / np.linalg.norm(want)
+            v, n = got[(doc, idx)]
+            assert n == len(toks)
+            assert np.allclose(v, want, atol=1e-5), (doc, idx)
+
+    def test_pooled_l2_norm_is_one(self, spark):
+        import numpy as np
+
+        from hades_spark.functions.embedding import pooled_embed_chunks
+
+        chunks = spark.createDataFrame(
+            [("d", i, f"d_chunk_{i}", f"tok{i} tok{i+1} filler words")
+             for i in range(5)],
+            "doc_id string, chunk_index int, chunk_id string, text string")
+        for r in pooled_embed_chunks(chunks, dim=32).collect():
+            assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-5
