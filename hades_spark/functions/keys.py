@@ -55,6 +55,21 @@ def edge_content_key(src: str, dst: str, rel: str) -> str:
     return hashlib.sha256(f"{src}|{dst}|{rel}".encode()).hexdigest()
 
 
+_ARXIV_YYMM = re.compile(r"^(\d{2})(\d{2})\.")
+
+
+def arxiv_year_month(arxiv_id: str) -> tuple[int, int] | None:
+    """Year/month from a modern ``YYMM.NNNNN`` arXiv id
+    (``sync.py:617-625`` semantics): 2301.12345 -> (2023, 1)."""
+    m = _ARXIV_YYMM.match(arxiv_id or "")
+    if not m:
+        return None
+    yy, mm = int(m.group(1)), int(m.group(2))
+    if not 1 <= mm <= 12:
+        return None
+    return 2000 + yy, mm
+
+
 # --- Spark column expressions (JVM-side; stay in whole-stage codegen) -------
 
 def normalize_document_key_col(c: Column) -> Column:

@@ -33,6 +33,33 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_col(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def link_score_col(a: Column, b: Column) -> Column:
+    """Dot-product link score squashed with a sigmoid — the reference's
+    link-prediction scoring (``core/graph/model.py:139-149``:
+    ``sigmoid(src · dst)``), as a JVM column expression."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-dot_col(a, b)))
+
+
+def weighted_blend_col(a: Column, b: Column, alpha: float = 0.7,
+                       cast_float: bool = True) -> Column:
+    """alpha * a + (1-alpha) * b element-wise; ``cast_float=False`` keeps
+    float64 components (oracle parity for scale-invariant consumers)."""
+    def blend(x, y):
+        v = (F.lit(alpha) * x.cast("double")
+             + F.lit(1.0 - alpha) * y.cast("double"))
+        return v.cast("float") if cast_float else v
+
+    return F.zip_with(a, b, blend)
+
+
+def late_fusion_col(text_vec: Column, struct_vec: Column,
+                    alpha: float = 0.7) -> Column:
+    """Weighted late-fusion blend of two L2-normalized vectors
+    (``embedders_jina.py:441-465``): out = l2_normalize(alpha * a +
+    (1-alpha) * b). Element-wise zip + renormalize, all JVM-side."""
+    return l2_normalize_col(weighted_blend_col(text_vec, struct_vec, alpha))
+
+
 def l2_normalize_col(a: Column) -> Column:
     n = norm_col(a)
     return F.when(

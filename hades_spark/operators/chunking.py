@@ -60,6 +60,123 @@ def chunk_text(text: str, chunk_size: int = 500, overlap: int = 200) -> list[dic
     return out
 
 
+_RE_PARA = re.compile(r"\n\n+")
+_RE_SENT = re.compile(r"(?<=[.!?])\s+")
+_RE_HSPACE = re.compile(r"[ \t]+")
+
+
+def clean_text(text: str) -> str:
+    """Whitespace normalization for chunking. DOCUMENTED DEVIATION from the
+    reference's ``_clean_text`` (``chunking_strategies.py:96-106``): the
+    reference collapses ALL whitespace (including newlines), which erases
+    the very paragraph boundaries its semantic splitter then looks for —
+    we collapse only horizontal whitespace so paragraph splitting works as
+    the strategy's contract describes."""
+    text = _RE_HSPACE.sub(" ", text.replace("\x00", ""))
+    return text.strip()
+
+
+def split_paragraphs(text: str) -> list[str]:
+    return [p.strip() for p in _RE_PARA.split(text) if p.strip()]
+
+
+def split_sentences(text: str) -> list[str]:
+    return [s.strip() for s in _RE_SENT.split(text) if s.strip()]
+
+
+def semantic_chunks(
+    text: str,
+    max_chunk_size: int = 1500,
+    min_chunk_size: int = 100,
+    respect_sentences: bool = True,
+) -> list[dict]:
+    """Structure-respecting chunking (``chunking_strategies.py:241-475``
+    semantics): accumulate paragraphs up to ``max_chunk_size`` tokens;
+    oversized paragraphs split at sentence boundaries (or token-forced);
+    undersized trailing chunks merge back into the previous chunk when the
+    merge stays under the cap. Char offsets are cumulative estimates, as in
+    the reference."""
+    text = clean_text(text)
+    if not text:
+        return []
+    out: list[dict] = []
+    cur = ""
+    pos = 0
+
+    def flush():
+        nonlocal cur, pos
+        if not cur:
+            return
+        if len(cur.split()) < min_chunk_size and out:
+            merged = out[-1]["text"] + "\n\n" + cur
+            if len(merged.split()) <= max_chunk_size:
+                out[-1] = {"text": merged, "start_char": out[-1]["start_char"],
+                           "end_char": out[-1]["start_char"] + len(merged)}
+                pos += len(cur) + 1
+                cur = ""
+                return
+        out.append({"text": cur, "start_char": pos,
+                    "end_char": pos + len(cur)})
+        pos += len(cur) + 1
+        cur = ""
+
+    for para in split_paragraphs(text):
+        p_tokens = len(para.split())
+        if p_tokens > max_chunk_size:
+            flush()
+            pieces = (split_sentences(para) if respect_sentences
+                      else [para])
+            for piece in pieces:
+                words = piece.split()
+                if len(words) > max_chunk_size:
+                    flush()
+                    for i in range(0, len(words), max_chunk_size):
+                        cur = " ".join(words[i: i + max_chunk_size])
+                        flush()
+                elif len(cur.split()) + len(words) > max_chunk_size:
+                    flush()
+                    cur = piece
+                else:
+                    cur = (cur + " " + piece).strip()
+        elif len(cur.split()) + p_tokens <= max_chunk_size:
+            cur = (cur + "\n\n" + para).strip()
+        else:
+            flush()
+            cur = para
+    flush()
+    return out
+
+
+def hybrid_chunks(
+    text: str,
+    max_chunk_size: int = 1500,
+    min_chunk_size: int = 100,
+    min_overlap_tokens: int = 50,
+    respect_sentences: bool = True,
+) -> list[dict]:
+    """Semantic boundaries + guaranteed overlap
+    (``chunking_strategies.py:604-757``): chunk semantically, then prepend
+    the last ``min_overlap_tokens`` tokens of each previous chunk so no
+    boundary loses context."""
+    if min_overlap_tokens < 0:
+        raise ValueError("min_overlap_tokens must be non-negative")
+    base = semantic_chunks(text, max_chunk_size, min_chunk_size,
+                           respect_sentences)
+    if len(base) <= 1 or min_overlap_tokens == 0:
+        return base
+    out = [base[0]]
+    for prev, chunk in zip(base, base[1:]):
+        tail = " ".join(prev["text"].split()[-min_overlap_tokens:])
+        out.append({
+            "text": (tail + " " + chunk["text"]).strip(),
+            # span still points at the chunk's own content; the prepended
+            # overlap is context, not provenance
+            "start_char": chunk["start_char"],
+            "end_char": chunk["end_char"],
+        })
+    return out
+
+
 def make_chunk_udf(chunk_size: int, overlap: int):
     @F.pandas_udf(ArrayType(CHUNK_SPAN))
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -68,13 +185,44 @@ def make_chunk_udf(chunk_size: int, overlap: int):
     return _udf
 
 
+def make_strategy_udf(strategy: str, **kw):
+    """Chunker UDF for any strategy: token (windowed), semantic
+    (boundary-respecting), hybrid (semantic + guaranteed overlap)."""
+    if strategy == "token":
+        return make_chunk_udf(kw.get("chunk_size", 500),
+                              kw.get("overlap", 200))
+    if strategy == "semantic":
+        fn = lambda t: semantic_chunks(  # noqa: E731
+            t or "", kw.get("max_chunk_size", 1500),
+            kw.get("min_chunk_size", 100),
+            kw.get("respect_sentences", True))
+    elif strategy == "hybrid":
+        fn = lambda t: hybrid_chunks(  # noqa: E731
+            t or "", kw.get("max_chunk_size", 1500),
+            kw.get("min_chunk_size", 100),
+            kw.get("min_overlap_tokens", 50),
+            kw.get("respect_sentences", True))
+    else:
+        raise ValueError(f"unknown chunking strategy: {strategy}")
+
+    @F.pandas_udf(ArrayType(CHUNK_SPAN))
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(fn)
+    return _udf
+
+
 def chunks_table(docs: DataFrame, doc_id_col: str = "doc_id",
                  text_col: str = "text",
-                 chunk_size: int = 500, overlap: int = 200) -> DataFrame:
+                 chunk_size: int = 500, overlap: int = 200,
+                 strategy: str = "token", **strategy_kw) -> DataFrame:
     """documents -> chunks(doc_id, chunk_index, chunk_id, text, spans,
     total_chunks). One narrow UDF + posexplode; total_chunks comes from the
     array size (no second pass / no window shuffle)."""
-    udf = make_chunk_udf(chunk_size, overlap)
+    if strategy == "token":
+        udf = make_chunk_udf(chunk_size, overlap)
+    else:
+        udf = make_strategy_udf(strategy, **strategy_kw)
     with_arr = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         udf(F.col(text_col)).alias("_chunks"),

@@ -1210,6 +1210,47 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("rel", "src", "dst")
 
 
+@register("f5_link_score_fusion", """
+WITH pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(a.embedding AS DOUBLE[]) AS av,
+         CAST(b.embedding AS DOUBLE[]) AS bv
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < 50)
+SELECT src, dst,
+  round(1.0 / (1.0 + exp(-list_inner_product(av, bv))), 4) AS link_score,
+  round(list_cosine_similarity(
+    list_transform(range(1, len(av) + 1),
+                   i -> 0.7 * av[i] + 0.3 * bv[i]), av), 4) AS fused_vs_src
+FROM pairs
+""")
+def f5(spark: SparkSession, sf: str) -> DataFrame:
+    # F5 tail: sigmoid link score (model.py:139-149) + weighted late-fusion
+    # blend (embedders_jina.py:441-465), both as JVM column expressions;
+    # the oracle recomputes with DuckDB list functions
+    from .functions.vector import (
+        cosine_col, link_score_col, weighted_blend_col)
+
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("av"))
+    b = emb.select((F.col("vec_id") - 1).alias("src"),
+                   F.col("vec_id").alias("dst"),
+                   F.col("embedding").alias("bv"))
+    pairs = a.join(b, "src")
+    # cosine is scale-invariant, so the unnormalized float64 blend equals
+    # late_fusion_col's normalized output under cosine — and matches the
+    # oracle's float64 list math exactly
+    fused = weighted_blend_col(F.col("av"), F.col("bv"), alpha=0.7,
+                               cast_float=False)
+    return pairs.select(
+        "src", "dst",
+        F.round(link_score_col(F.col("av"), F.col("bv")), 4)
+         .alias("link_score"),
+        F.round(cosine_col(fused, F.col("av")), 4).alias("fused_vs_src"),
+    )
+
+
 _POOL_STAGE = "/tmp/hades_pool_oracle_stage"
 
 _POOL_ORACLE = f"""

@@ -72,3 +72,49 @@ class TestMaterializeAll:
         assert view.count() == 3
         assert {r["rel"] for r in edges.select("rel").distinct().collect()} \
             == {"cites", "lineage_step"}
+
+
+class TestVectorTail:
+    def test_link_score_sigmoid(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from hades_spark.functions.vector import link_score_col
+
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [-1.0, 0.0])],
+            "a array<float>, b array<float>")
+        got = [r["s"] for r in
+               df.select(link_score_col(F.col("a"), F.col("b")).alias("s"))
+                 .collect()]
+        assert abs(got[0] - 1 / (1 + math.exp(-1))) < 1e-9
+        assert abs(got[1] - 1 / (1 + math.exp(1))) < 1e-9
+
+    def test_late_fusion_normalized(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from hades_spark.functions.vector import late_fusion_col
+
+        df = spark.createDataFrame(
+            [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0])],
+            "a array<float>, b array<float>")
+        v = df.select(late_fusion_col(F.col("a"), F.col("b"), 0.7)
+                      .alias("v")).collect()[0]["v"]
+        arr = np.array(v)
+        assert abs(np.linalg.norm(arr) - 1.0) < 1e-6
+        want = np.array([0.7, 0.3, 0.0])
+        want = want / np.linalg.norm(want)
+        assert np.allclose(arr, want, atol=1e-6)
+
+
+class TestArxivYearMonth:
+    def test_parse(self):
+        from hades_spark.functions.keys import arxiv_year_month
+
+        assert arxiv_year_month("2301.12345") == (2023, 1)
+        assert arxiv_year_month("0912.0042v2") == (2009, 12)
+        assert arxiv_year_month("2313.00001") is None  # month 13
+        assert arxiv_year_month("math/0211159") is None  # old-style id
+        assert arxiv_year_month("") is None

@@ -472,3 +472,78 @@ class TestTokenPooling:
             "doc_id string, chunk_index int, chunk_id string, text string")
         for r in pooled_embed_chunks(chunks, dim=32).collect():
             assert abs(np.linalg.norm(r["embedding"]) - 1.0) < 1e-5
+
+
+class TestChunkingStrategies:
+    PARA = ("First paragraph with several words in it.\n\n"
+            "Second paragraph also has words. It has two sentences.\n\n"
+            + " ".join(f"w{i}" for i in range(40)) + ".\n\n"
+            "Tail paragraph.")
+
+    def test_semantic_respects_paragraphs_and_cap(self):
+        from hades_spark.operators.chunking import semantic_chunks
+
+        out = semantic_chunks(self.PARA, max_chunk_size=20, min_chunk_size=2)
+        assert out
+        for c in out:
+            assert len(c["text"].split()) <= 20 or \
+                " " not in c["text"]  # single oversized token edge
+        # every source word survives, order preserved
+        all_words = " ".join(c["text"].replace("\n\n", " ") for c in out).split()
+        src_words = " ".join(self.PARA.replace("\n\n", " ").split()).split()
+        assert all_words == src_words
+
+    def test_semantic_oversized_paragraph_sentence_split(self):
+        from hades_spark.operators.chunking import semantic_chunks
+
+        text = ("Sentence one is here. Sentence two is longer with words. "
+                "Sentence three closes.")
+        out = semantic_chunks(text, max_chunk_size=8, min_chunk_size=1)
+        assert len(out) >= 2
+        for c in out:
+            assert len(c["text"].split()) <= 8
+
+    def test_small_tail_merges_into_previous(self):
+        from hades_spark.operators.chunking import semantic_chunks
+
+        text = (" ".join(f"a{i}" for i in range(10)) + ".\n\ntiny.")
+        out = semantic_chunks(text, max_chunk_size=20, min_chunk_size=5)
+        assert len(out) == 1  # 'tiny.' merged back
+        assert out[0]["text"].endswith("tiny.")
+
+    def test_hybrid_guarantees_overlap(self):
+        from hades_spark.operators.chunking import hybrid_chunks
+
+        text = "\n\n".join(
+            " ".join(f"p{k}w{i}" for i in range(12)) + "."
+            for k in range(4))
+        out = hybrid_chunks(text, max_chunk_size=15, min_chunk_size=2,
+                            min_overlap_tokens=3)
+        assert len(out) >= 2
+        for prev, cur in zip(out, out[1:]):
+            prev_tail = prev["text"].split()[-3:]
+            # the previous chunk's own tail tokens must open the next chunk
+            assert cur["text"].split()[:len(prev_tail)] == prev_tail or \
+                set(prev_tail) <= set(cur["text"].split()[:6])
+
+    def test_strategy_routing_in_chunks_table(self, spark):
+        from hades_spark.operators.chunking import chunks_table
+
+        docs = spark.createDataFrame(
+            [("d1", self.PARA)], "doc_id string, text string")
+        sem = chunks_table(docs, strategy="semantic",
+                           max_chunk_size=20, min_chunk_size=2)
+        hyb = chunks_table(docs, strategy="hybrid", max_chunk_size=20,
+                           min_chunk_size=2, min_overlap_tokens=3)
+        tok = chunks_table(docs, chunk_size=20, overlap=5)
+        ns, nh, nt = sem.count(), hyb.count(), tok.count()
+        assert ns > 0 and nh > 0 and nt > 0
+        assert set(sem.columns) == set(tok.columns) == set(hyb.columns)
+
+    def test_unknown_strategy_raises(self, spark):
+        import pytest as _pytest
+
+        from hades_spark.operators.chunking import make_strategy_udf
+
+        with _pytest.raises(ValueError):
+            make_strategy_udf("nope")
