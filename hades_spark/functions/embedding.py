@@ -63,6 +63,22 @@ class HashEmbedder(EmbedderBackend):
         return out
 
 
+_BACKEND_CACHE: dict = {}
+
+
+def get_backend(factory, dim: int) -> EmbedderBackend:
+    """Executor-global lazy singleton (O7 — the reference's persistent
+    embedder daemon, ``embedder_service.py:111-147``): one backend instance
+    per python worker PROCESS, reused across tasks and Arrow batches, so a
+    heavy model would load once per executor rather than once per task."""
+    key = (factory, dim)
+    b = _BACKEND_CACHE.get(key)
+    if b is None:
+        b = factory(dim)
+        _BACKEND_CACHE[key] = b
+    return b
+
+
 class ModelEmbedder(EmbedderBackend):
     """Real-model backend stub — the container has no model libraries.
 
@@ -103,7 +119,7 @@ def embed_chunks(
     )
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backend = backend_factory(dim)  # once per task, reused per batch
+        backend = get_backend(backend_factory, dim)  # once per WORKER (O7)
         for pdf in batches:
             texts = pdf["_text"].fillna("").tolist()
             vecs = []
@@ -159,7 +175,7 @@ def pooled_embed_chunks(
     )
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backend = backend_factory(dim)
+        backend = get_backend(backend_factory, dim)  # once per WORKER (O7)
         for pdf in batches:
             token_lists = [
                 (t or "").split() for t in pdf["_text"].fillna("")]
