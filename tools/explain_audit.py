@@ -73,6 +73,62 @@ def main() -> int:
         ("narrow (no Exchange before extraction)", lambda p: "Exchange" not in p),
     ])
 
+    # decompose_merge: ALL sub-queries scored in ONE embeddings scan
+    from hades_spark.functions.embedding import embed_text_column
+    from hades_spark.operators.chunking import chunks_table
+    from hades_spark.operators.search import decompose_merge
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = embed_text_column(
+        chunks_table(docs, chunk_size=40, overlap=10),
+        "text", "embedding", dim=32)
+    dm = decompose_merge(emb, ["window sort", "hash join", "skew salt"], k=5,
+                         dim=32)
+    import re as _re
+
+    check("decompose_merge", dm, [
+        # count distinct scan NODES ("(n) Scan parquet" detail headers),
+        # not tree echoes
+        ("one embeddings scan for 3 sub-queries",
+         lambda p: len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1),
+    ])
+
+    # entity linking: catalog joins are all broadcast (map-side ladder)
+    from hades_spark.operators.linking import link_mentions
+
+    mentions = spark.createDataFrame(
+        [("m1", "Apache Spark", "u1"), ("m2", "spark", "u2")],
+        "mention_id string, surface string, url string")
+    catalog = spark.createDataFrame(
+        [("e1", "Apache Spark", "kb")],
+        "entity_id string, name string, source string")
+    check("linking", link_mentions(mentions, catalog), [
+        ("3-strategy ladder all broadcast",
+         lambda p: p.count("BroadcastHashJoin") >= 3
+         and "SortMergeJoin" not in p),
+    ])
+
+    # partition-scoped upsert reads only affected partitions
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        from hades_spark.sources.io import write_table
+
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a"), ("k2", 2, "b")],
+            "k string, v int, part string"), f"{td}/t",
+            partition_by=["part"])
+        new = spark.createDataFrame([("k9", 9, "a")],
+                                    "k string, v int, part string")
+        affected = new.select("part").dropDuplicates(["part"])
+        pruned = spark.read.parquet(f"{td}/t").join(
+            F.broadcast(affected), ["part"], "left_semi")
+        check("upsert_prune", pruned, [
+            ("partition filters reach the scan",
+             lambda p: "PartitionFilters" in p and
+             "dynamicpruning" in p.lower() or "PartitionFilters: [" in p),
+        ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
