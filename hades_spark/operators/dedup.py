@@ -142,6 +142,23 @@ def simhash_pairs(
     sim = simhash_udf()
     hashed = df.select(F.col(id_col).alias("_id"),
                        sim(F.col(text_col)).alias("_sh"))
+    return simhash_pairs_from_hashes(hashed, "_id", "_sh",
+                                     max_hamming=max_hamming, bands=bands)
+
+
+def simhash_pairs_from_hashes(
+    hashed: DataFrame,
+    id_col: str = "_id",
+    sh_col: str = "_sh",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded candidate generation + exact hamming verification over a
+    precomputed (id, simhash) table — the blocking tail of
+    ``simhash_pairs``, exposed so a staged hash table can be re-verified
+    (lossless for max_hamming < bands, so output == brute-force pairs)."""
+    hashed = hashed.select(F.col(id_col).alias("_id"),
+                           F.col(sh_col).alias("_sh"))
     width = 64 // bands
     chunks = [
         F.struct(

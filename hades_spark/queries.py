@@ -501,12 +501,33 @@ def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("a", "b", F.round("score", 4).alias("score"))
 
 
-@register("dedup_simhash_pairs")  # blake2b token hashes: no SQL oracle
-def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import simhash_pairs
+_SIMHASH_STAGE = "/tmp/hades_simhash_oracle_stage"
 
-    return simhash_pairs(load_table(spark, sf, "documents"),
-                         "doc_id", "text", max_hamming=3, bands=4)
+_SIMHASH_ORACLE = f"""
+WITH h AS (SELECT * FROM read_parquet('{_SIMHASH_STAGE}/hashes/*.parquet'))
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash_pairs", _SIMHASH_ORACLE)
+def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    # staged: the per-doc simhash values go to parquet; the DuckDB oracle
+    # brute-forces all pairs with hamming <= 3 — which the banded blocking
+    # provably equals (pigeonhole: max_hamming < bands), so the hash match
+    # verifies both the blocking and the verification tail.
+    from .operators.dedup import simhash_pairs_from_hashes, simhash_udf
+
+    docs = load_table(spark, sf, "documents")
+    sim = simhash_udf()
+    docs.select("doc_id", sim(F.col("text")).alias("simhash")) \
+        .write.mode("overwrite").parquet(f"{_SIMHASH_STAGE}/hashes")
+    hashed = spark.read.parquet(f"{_SIMHASH_STAGE}/hashes")
+    out = simhash_pairs_from_hashes(hashed, "doc_id", "simhash",
+                                    max_hamming=3, bands=4)
+    return out.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register("dedup_embedding_neardup", """
@@ -1191,8 +1212,60 @@ def skew_q(spark: SparkSession, sf: str) -> DataFrame:
     return salted_group_count(e, "key", n_salts=8, spread_col="event_id")
 
 
-@register("x7_codebase_edges")  # python AST semantics: rows-only
+_X7_STAGE = "/tmp/hades_x7_oracle_stage"
+
+_X7_ORACLE = rf"""
+WITH syms AS (SELECT * FROM read_parquet('{_X7_STAGE}/symbols/*.parquet')),
+defines AS (
+  SELECT DISTINCT
+    'codebase_files/' || replace(replace(file_path, '/', '_'), '.', '_')
+      AS src,
+    'codebase_symbols/' || symbol_key AS dst,
+    'defines' AS rel
+  FROM syms),
+calls AS (
+  SELECT caller_key, caller_qname, caller_file,
+         (c).name AS call_name, (c).qualified_name AS call_qname
+  FROM (SELECT symbol_key AS caller_key, qualified_name AS caller_qname,
+               file_path AS caller_file, unnest(calls) AS c
+        FROM syms)),
+idx AS (
+  SELECT symbol_key AS t_key, qualified_name AS t_qname, name AS t_name,
+         file_path AS t_file, start_line AS t_line
+  FROM syms),
+s1 AS (SELECT calls.*, idx.*, 1 AS strategy
+       FROM calls JOIN idx ON call_qname = t_qname),
+s2 AS (SELECT calls.*, idx.*, 2 AS strategy
+       FROM calls JOIN idx
+       ON (CASE WHEN call_qname LIKE 'self.%' AND caller_qname LIKE '%.%'
+           THEN regexp_replace(caller_qname, '\.[^.]*$', '')
+                || '.' || call_name END) = t_qname),
+s3 AS (SELECT calls.*, idx.*, 3 AS strategy
+       FROM calls JOIN idx ON call_name = t_name),
+cands AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3),
+resolved AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY caller_key, call_qname
+    ORDER BY strategy ASC, (caller_file = t_file) DESC,
+             t_file ASC, t_line ASC) AS rn
+  FROM cands),
+call_edges AS (
+  SELECT DISTINCT 'codebase_symbols/' || caller_key AS src,
+         'codebase_symbols/' || t_key AS dst, 'calls' AS rel
+  FROM resolved WHERE rn = 1)
+SELECT src, dst, rel FROM defines
+UNION ALL
+SELECT src, dst, rel FROM call_edges
+"""
+
+
+@register("x7_codebase_edges", _X7_ORACLE)
 def x7(spark: SparkSession, sf: str) -> DataFrame:
+    # staged: the post-AST symbols table goes to parquet; the DuckDB oracle
+    # recomputes defines edges, the 3-strategy call resolution ladder
+    # (incl. the self.method -> Class.method rewrite), and the same-file
+    # window tie-break — the codebase-KG tail is hash-verified.
     from .functions.ast_symbols import (
         analyzed_files, calls_edges, defines_edges, symbols_table)
 
@@ -1204,7 +1277,9 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
     files = spark.createDataFrame(
         [("pkg/a.py", src_a), ("pkg/b.py", src_b)],
         "rel_path string, source string")
-    syms = symbols_table(analyzed_files(files))
+    symbols_table(analyzed_files(files)) \
+        .write.mode("overwrite").parquet(f"{_X7_STAGE}/symbols")
+    syms = spark.read.parquet(f"{_X7_STAGE}/symbols")
     return defines_edges(syms).select("src", "dst", "rel") \
         .unionByName(calls_edges(syms).select("src", "dst", "rel")) \
         .orderBy("rel", "src", "dst")
@@ -1377,8 +1452,28 @@ def t3_full(spark: SparkSession, sf: str) -> DataFrame:
         F.size("context_texts").alias("n_context"))
 
 
-@register("x8_polyglot_edges")  # regex-grammar symbols: rows-only
+_X8_STAGE = "/tmp/hades_x8_oracle_stage"
+
+_X8_ORACLE = f"""
+WITH syms AS (SELECT * FROM read_parquet('{_X8_STAGE}/symbols/*.parquet')),
+defines AS (
+  SELECT replace(replace(rel_path, '/', '_'), '.', '_') AS src,
+         symbol_key AS dst, 'defines' AS rel, language, category
+  FROM syms
+  WHERE category NOT IN ('imports', 'exports', 'includes')),
+imports AS (
+  SELECT replace(replace(rel_path, '/', '_'), '.', '_') AS src,
+         name AS dst, 'imports' AS rel, language, category
+  FROM syms
+  WHERE category IN ('imports', 'includes'))
+SELECT * FROM defines UNION ALL SELECT * FROM imports
+"""
+
+
+@register("x8_polyglot_edges", _X8_ORACLE)
 def x8(spark: SparkSession, sf: str) -> DataFrame:
+    # staged: per-file symbols to parquet; the oracle rebuilds the
+    # defines/imports edge projections (file-key derivation included)
     from .functions.polyglot_symbols import (
         polyglot_defines_edges, polyglot_import_edges, polyglot_symbols_table)
 
@@ -1415,13 +1510,55 @@ def x8(spark: SparkSession, sf: str) -> DataFrame:
          "import os\n\ndef run(n):\n    return n\n\nclass Tool:\n"
          "    def go(self):\n        return run(1)\n"),
     ], "rel_path string, source string")
-    syms = polyglot_symbols_table(files)
+    polyglot_symbols_table(files) \
+        .write.mode("overwrite").parquet(f"{_X8_STAGE}/symbols")
+    syms = spark.read.parquet(f"{_X8_STAGE}/symbols")
     return polyglot_defines_edges(syms) \
         .unionByName(polyglot_import_edges(syms)) \
         .orderBy("rel", "src", "dst")
 
 
-@register("g1_schema_driven_edges")  # declarative materializer: rows-only
+@register("g1_schema_driven_edges", """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 500),
+onodes AS (
+  SELECT 'orders/' || o_orderkey AS node_id,
+         'customers/' || o_custkey AS placed_by
+  FROM o),
+placed AS (
+  SELECT node_id AS src, placed_by AS dst,
+         'placed_by' AS rel, 'placed_by' AS source_field,
+         replace(node_id, '/', '_') || '__' || replace(placed_by, '/', '_')
+           AS edge_key,
+         CAST(NULL AS INT) AS chain_position
+  FROM onodes
+  WHERE placed_by IN (SELECT 'customers/' || c_custkey FROM customer)),
+cm AS (
+  SELECT * FROM (
+    SELECT o_custkey,
+           'orders/' || o_orderkey AS ref,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) - 1 AS INT) AS pos
+    FROM o)
+  WHERE pos <= 2),
+seq AS (
+  SELECT ref AS src,
+         lead(ref) OVER (PARTITION BY o_custkey ORDER BY pos) AS dst,
+         'order_seq' AS rel, 'chain' AS source_field,
+         'customers_' || o_custkey || '__step_' || pos AS edge_key,
+         pos AS chain_position
+  FROM cm),
+member AS (
+  SELECT 'customers/' || o_custkey AS src, ref AS dst,
+         'order_seq' AS rel, 'chain' AS source_field,
+         'customers_' || o_custkey || '__member_' || pos AS edge_key,
+         pos AS chain_position
+  FROM cm)
+SELECT * FROM placed
+UNION ALL
+SELECT * FROM seq WHERE dst IS NOT NULL
+UNION ALL
+SELECT * FROM member
+""")
 def g1(spark: SparkSession, sf: str) -> DataFrame:
     # schema-driven edge materialization (nl_graph_materialize semantics)
     # over a nodes table derived from orders/customer: each order node
