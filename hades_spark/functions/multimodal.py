@@ -61,6 +61,171 @@ def fake_decode(payload: bytes, media_type: str) -> dict:
     return meta
 
 
+def real_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize — requires PIL, not present here."""
+    raise NotImplementedError(
+        "image resize requires PIL which is not available in this "
+        "environment; use fake_resize for plumbing tests")
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: a stable digest payload derived from
+    (bytes, target dims) — same signature/failure contract as a real
+    resampler, tiny output so tests stay fast."""
+    h = hashlib.blake2b(digest_size=32)
+    h.update(payload or b"")
+    h.update(f"{width}x{height}".encode())
+    return h.digest()
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    resizer=fake_resize,
+) -> DataFrame:
+    """Narrow mapInPandas image-resize stage: (id, payload) ->
+    (media_id, payload, width, height, error). Row-level error isolation;
+    binary in, binary out, never a shuffle key."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("_payload"),
+    )
+    schema = ("media_id string, payload binary, width int, height int, "
+              "error string")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["_payload"]):
+                try:
+                    out = resizer(
+                        bytes(payload) if payload is not None else b"",
+                        width, height)
+                    rows.append({"media_id": mid, "payload": out,
+                                 "width": width, "height": height,
+                                 "error": None})
+                except NotImplementedError:
+                    raise
+                except Exception as e:
+                    rows.append({"media_id": mid, "payload": None,
+                                 "width": None, "height": None,
+                                 "error": str(e)})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "width", "height",
+                               "error"])
+
+    return cols.mapInPandas(_resize, schema=schema)
+
+
+def fake_frame(payload: bytes, ts_ms: int) -> bytes:
+    """Deterministic frame stand-in keyed by (payload, timestamp)."""
+    h = hashlib.blake2b(digest_size=24)
+    h.update(payload or b"")
+    h.update(str(ts_ms).encode())
+    return h.digest()
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 10,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+    decoder=fake_decode,
+    framer=fake_frame,
+) -> DataFrame:
+    """Video frame sampling (narrow, UDTF-shaped): one row per sampled
+    frame at t = 0, every_ms, 2*every_ms, ... up to the decoded duration,
+    capped at ``max_frames`` per video. Non-video rows emit nothing.
+    -> (media_id, frame_index, ts_ms, frame binary, error)."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(type_col).alias("media_type"),
+        F.col(payload_col).alias("_payload"),
+    )
+    schema = ("media_id string, frame_index int, ts_ms int, frame binary, "
+              "error string")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mt, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["_payload"]
+            ):
+                if mt != "video":
+                    continue
+                try:
+                    raw = bytes(payload) if payload is not None else None
+                    meta = decoder(raw, mt)
+                    dur = meta.get("duration_ms") or 0
+                    n = min(dur // every_ms + 1, max_frames)
+                    for i in range(int(n)):
+                        ts = i * every_ms
+                        rows.append({
+                            "media_id": mid, "frame_index": i, "ts_ms": ts,
+                            "frame": framer(raw, ts), "error": None})
+                except NotImplementedError:
+                    raise
+                except Exception as e:
+                    rows.append({"media_id": mid, "frame_index": None,
+                                 "ts_ms": None, "frame": None,
+                                 "error": str(e)})
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "ts_ms", "frame",
+                               "error"])
+
+    return cols.mapInPandas(_frames, schema=schema)
+
+
+def media_feature_vector(payload: bytes, dim: int = 32) -> list[float]:
+    """Deterministic feature extraction stand-in: byte-histogram-of-hashes
+    features, L2-normalized — the plumbing contract of a real vision/audio
+    encoder (which would load per executor like ModelEmbedder)."""
+    import numpy as np
+
+    v = np.zeros(dim, dtype=np.float64)
+    raw = payload or b""
+    for i in range(0, len(raw), 64):
+        chunk = raw[i: i + 64]
+        h = int.from_bytes(
+            hashlib.blake2b(chunk, digest_size=8).digest(), "big")
+        v[h % dim] += 1.0 if (h >> 63) & 1 else -1.0
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(float).tolist()
+
+
+def media_features(
+    df: DataFrame,
+    dim: int = 32,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Narrow feature-extraction stage: binary -> array<float> embedding
+    (deterministic stand-in; a real encoder plugs in per executor)."""
+    cols = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("_payload"),
+    )
+    schema = "media_id string, features array<float>"
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "features": [
+                    media_feature_vector(
+                        bytes(p) if p is not None else b"", dim)
+                    for p in pdf["_payload"]
+                ],
+            })
+
+    return cols.mapInPandas(_feat, schema=schema)
+
+
 def extract_media_metadata(
     df: DataFrame,
     id_col: str = "media_id",

@@ -117,22 +117,35 @@ def lsh_topk_join(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 1,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
 ) -> DataFrame:
-    """Approximate top-k: queries only score candidates sharing their
-    hyperplane-signature bucket. Recall rises with fewer planes (bigger
-    buckets); cost falls with more planes. At 100 TB this is the join that
-    keeps ANN from being a full cross product — bucket id is the shuffle
-    key, and both sides prune to matching buckets.
+    """Approximate top-k: queries only score candidates sharing a
+    hyperplane-signature bucket in at least one of ``n_tables`` independent
+    hash tables (standard multi-table LSH: recall compounds as
+    1-(1-p^planes)^tables while each table's bucket join stays cheap).
+    Recall rises with fewer planes / more tables; cost falls the other way.
+    At 100 TB this is the join that keeps ANN from being a full cross
+    product — (table, bucket) is the shuffle key, both sides prune to
+    matching buckets, and a candidate matched in several tables is scored
+    once (dropDuplicates before scoring).
     """
-    sig = signature_udf(dim, n_planes)
-    qs = queries.select(F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv")) \
-                .withColumn("bucket", sig(F.col("_qv")))
-    cs = candidates.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")) \
-                   .withColumn("bucket", sig(F.col("_cv")))
+    def with_buckets(df, id_alias, vec_alias, idc, vecc):
+        out = None
+        for t in range(n_tables):
+            sig = signature_udf(dim, n_planes, seed=7 + 1000 * t)
+            part = df.select(F.col(idc).alias(id_alias),
+                             F.col(vecc).alias(vec_alias)) \
+                     .withColumn("table", F.lit(t)) \
+                     .withColumn("bucket", sig(F.col(vec_alias)))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    qs = with_buckets(queries, "_qid", "_qv", q_id, q_vec)
+    cs = with_buckets(candidates, "_cid", "_cv", c_id, c_vec)
 
     @F.pandas_udf("double")
     def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
@@ -143,7 +156,9 @@ def lsh_topk_join(
             den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
             yield pd.Series(np.where(den > 0, num / np.maximum(den, 1e-30), 0.0))
 
-    scored = cs.join(qs, "bucket").withColumn("score", _cos("_cv", "_qv"))
+    matched = cs.join(qs, ["table", "bucket"]) \
+                .dropDuplicates(["_qid", "_cid"])
+    scored = matched.withColumn("score", _cos("_cv", "_qv"))
     w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -449,7 +449,8 @@ def ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     cands = emb.select(F.col("vec_id").alias("c_id"),
                        F.col("embedding").alias("c_vec"))
     dim = len(emb.select("embedding").first()[0])
-    return lsh_topk_join(queries, cands, dim=dim, k=5, n_planes=6)
+    return lsh_topk_join(queries, cands, dim=dim, k=5, n_planes=4,
+                         n_tables=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1283,6 +1284,46 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
     return defines_edges(syms).select("src", "dst", "rel") \
         .unionByName(calls_edges(syms).select("src", "dst", "rel")) \
         .orderBy("rel", "src", "dst")
+
+
+_FRAMES_STAGE = "/tmp/hades_frames_oracle_stage"
+
+_FRAMES_ORACLE = f"""
+WITH meta AS (
+  SELECT * FROM read_parquet('{_FRAMES_STAGE}/video_meta/*.parquet')),
+grid AS (
+  SELECT media_id,
+         unnest(generate_series(0,
+             least(duration_ms // 1000, 9))) AS frame_index
+  FROM meta)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+       CAST(frame_index * 1000 AS INT) AS ts_ms
+FROM grid
+"""
+
+
+@register("mm_frame_sample", _FRAMES_ORACLE)
+def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    # video frame sampling over binary payloads (deterministic fake decode;
+    # real codecs are documented env-limited stubs). The decoded durations
+    # are staged so the DuckDB oracle recomputes the frame grid (0, 1s, 2s,
+    # ... capped at 10) — the UDTF-shaped explode tail is hash-verified.
+    from .functions.multimodal import extract_media_metadata, sample_frames
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    extract_media_metadata(media).filter(F.col("media_type") == "video") \
+        .select("media_id", "duration_ms") \
+        .write.mode("overwrite").parquet(f"{_FRAMES_STAGE}/video_meta")
+
+    frames = sample_frames(media, every_ms=1000, max_frames=10)
+    return frames.select("media_id", "frame_index", "ts_ms")
 
 
 @register("f5_link_score_fusion", """

@@ -547,3 +547,92 @@ class TestChunkingStrategies:
 
         with _pytest.raises(ValueError):
             make_strategy_udf("nope")
+
+
+class TestMultimodalOps:
+    def _media(self, spark):
+        rows = [(f"m{i}", "video" if i % 3 == 2 else "image",
+                 bytearray(f"payload-{i}".encode() * (i + 1)))
+                for i in range(9)]
+        return spark.createDataFrame(
+            rows, "media_id string, media_type string, payload binary")
+
+    def test_resize_deterministic(self, spark):
+        from hades_spark.functions.multimodal import fake_resize, resize_media
+
+        m = self._media(spark)
+        out = {r["media_id"]: bytes(r["payload"])
+               for r in resize_media(m, 64, 48).collect()}
+        assert len(out) == 9
+        for r in m.collect():
+            assert out[r["media_id"]] == fake_resize(
+                bytes(r["payload"]), 64, 48)
+        # different target dims -> different payloads
+        out2 = {r["media_id"]: bytes(r["payload"])
+                for r in resize_media(m, 128, 96).collect()}
+        assert all(out[k] != out2[k] for k in out)
+
+    def test_sample_frames_grid_and_cap(self, spark):
+        from hades_spark.functions.multimodal import (
+            fake_decode, sample_frames)
+
+        m = self._media(spark)
+        frames = sample_frames(m, every_ms=1000, max_frames=10).collect()
+        assert frames and all(r["error"] is None for r in frames)
+        by_id = {}
+        for r in frames:
+            by_id.setdefault(r["media_id"], []).append(
+                (r["frame_index"], r["ts_ms"]))
+        for r in m.collect():
+            if r["media_type"] != "video":
+                assert r["media_id"] not in by_id
+                continue
+            dur = fake_decode(bytes(r["payload"]), "video")["duration_ms"]
+            want_n = min(dur // 1000 + 1, 10)
+            got = sorted(by_id[r["media_id"]])
+            assert got == [(i, i * 1000) for i in range(want_n)]
+
+    def test_media_features_normalized(self, spark):
+        import numpy as np
+
+        from hades_spark.functions.multimodal import media_features
+
+        m = self._media(spark)
+        for r in media_features(m, dim=16).collect():
+            v = np.array(r["features"])
+            assert v.shape == (16,)
+            assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+
+class TestAnnRecall:
+    def test_lsh_topk_recall_vs_exact(self, spark):
+        # approximate ANN needs a quality bound, not just a rows count:
+        # recall@10 of the LSH-bucketed path vs brute force must be high
+        # on clustered data (the corpus embeddings are label-clustered)
+        from hades_spark.operators.similarity import (
+            brute_force_topk, lsh_topk_join)
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        dim = len(emb.select("embedding").first()[0])
+        q_ids = [0, 7, 21]
+        queries = emb.filter(F.col("vec_id").isin(q_ids)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        approx = lsh_topk_join(
+            queries, emb.select(F.col("vec_id").alias("c_id"),
+                                F.col("embedding").alias("c_vec")),
+            dim=dim, k=10, n_planes=4, n_tables=16).collect()
+        by_q = {}
+        for r in approx:
+            by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        recalls = []
+        for qid in q_ids:
+            qv = emb.filter(F.col("vec_id") == qid) \
+                    .select("embedding").first()[0]
+            exact = {r["vec_id"] for r in
+                     brute_force_topk(emb, qv, k=10).collect()}
+            got = by_q.get(qid, set())
+            recalls.append(len(exact & got) / 10)
+        mean_recall = sum(recalls) / len(recalls)
+        assert mean_recall >= 0.6, f"ANN mean recall@10 too low: {recalls}"
+        # single-table recall on the same data is ~0.1-0.3: the multi-table
+        # union is what makes signature LSH usable on weakly-clustered vectors
