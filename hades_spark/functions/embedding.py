@@ -70,8 +70,18 @@ def get_backend(factory, dim: int) -> EmbedderBackend:
     """Executor-global lazy singleton (O7 — the reference's persistent
     embedder daemon, ``embedder_service.py:111-147``): one backend instance
     per python worker PROCESS, reused across tasks and Arrow batches, so a
-    heavy model would load once per executor rather than once per task."""
-    key = (factory, dim)
+    heavy model loads once per executor rather than once per task.
+
+    Only plain CLASSES are cached: a lambda/partial factory deserializes
+    as a new object per task (identity keying would miss every time and
+    leak one backend per task), and keying by code location would wrongly
+    share backends between closures capturing different arguments —
+    configure a heavy model via an EmbedderBackend subclass instead."""
+    import inspect
+
+    if not inspect.isclass(factory):
+        return factory(dim)
+    key = (factory.__module__, factory.__qualname__, dim)
     b = _BACKEND_CACHE.get(key)
     if b is None:
         b = factory(dim)

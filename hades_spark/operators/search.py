@@ -215,6 +215,9 @@ def anchor_rerank(
     """
     anchor_rows = (
         embeddings.filter(F.col(id_col) == F.lit(anchor_id))
+        # deterministic pick when the anchor id matches several rows
+        # (e.g. one row per chunk of the anchor doc): smallest join key
+        .orderBy(*[F.asc(c) for c in join_cols])
         .select(vec_col).limit(1).collect()
     )
     if not anchor_rows or anchor_rows[0][0] is None:
@@ -224,8 +227,14 @@ def anchor_rerank(
         )
     av = [float(x) for x in anchor_rows[0][0]]
     a = F.array(*[F.lit(x) for x in av])
-    vecs = embeddings.select(
-        *join_cols, cosine_col(F.col(vec_col), a).alias("_anchor_sim"))
+    # score ONLY the hit rows' vectors (semi-join first): broadcasting a
+    # projection of the full embeddings table would ship N rows to every
+    # executor; this ships at most |hits|
+    vecs = (
+        embeddings.join(hits.select(*join_cols).dropDuplicates(
+            list(join_cols)), list(join_cols), "left_semi")
+        .select(*join_cols, cosine_col(F.col(vec_col), a).alias("_anchor_sim"))
+    )
     return (
         hits.join(F.broadcast(vecs), list(join_cols), "left")
         .withColumn(

@@ -27,6 +27,15 @@ def host_col(url: Column) -> Column:
     return F.parse_url(url, F.lit("HOST"))
 
 
+def _hashable_columns(df: DataFrame) -> list[str]:
+    """Default salt columns: every column xxhash64 accepts (Spark rejects
+    MapType by default). Full-content duplicates still collapse to one
+    salt — pass an explicit spread_col when rows of a hot key can be
+    byte-identical."""
+    cols = [c for c, t in df.dtypes if not t.startswith("map<")]
+    return cols or df.columns
+
+
 def salted_group_count(
     df: DataFrame,
     key_col: str,
@@ -44,7 +53,8 @@ def salted_group_count(
     if spread_col:
         salt = F.pmod(F.xxhash64(F.col(spread_col).cast("string")), n_salts)
     else:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salts)
+        cols = _hashable_columns(df)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), n_salts)
     salted = df.withColumn("_salt", salt)
     partial = salted.groupBy(key_col, "_salt").agg(
         F.count("*").alias("_partial"))
@@ -65,7 +75,7 @@ def salted_join_big_to_skewed(
     ``big``'s columns — stable under task retry), join on (key, salt)."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    cols = spread_cols if spread_cols else big.columns
+    cols = spread_cols if spread_cols else _hashable_columns(big)
     big_salted = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in cols]), n_salts).cast("int"),

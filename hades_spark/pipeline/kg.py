@@ -115,7 +115,7 @@ def run_kg_pipeline(spark, n_pages: int = 200, seed: int = 42,
 
 
 def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
-                           stage_dir: str = "/tmp/hades_kg_oracle_stage",
+                           stage_dir: str | None = None,
                            threshold: float = 0.8) -> DataFrame:
     """run_kg_pipeline, but staging the two post-UDF intermediates to
     parquet so the driver's DuckDB oracle can recompute the ENTIRE
@@ -135,6 +135,8 @@ def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
     from ..operators.components import alternating_components
     from ..operators.lsh import char_shingles, verified_pairs
 
+    if stage_dir is None:
+        stage_dir = default_kg_stage_dir()
     pages = pages_df(spark, n_pages, seed=seed, with_text=False)
     raw = raw_triples(pages).select(
         "url", "pred", "confidence",
@@ -183,11 +185,20 @@ def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
     return distinct_edges(triples)
 
 
-def kg_edges_oracle_sql(stage_dir: str = "/tmp/hades_kg_oracle_stage") -> str:
+def default_kg_stage_dir() -> str:
+    import os
+
+    root = os.environ.get("HADES_ORACLE_STAGE_ROOT", "/tmp")
+    return f"{root}/hades_kg_oracle_stage"
+
+
+def kg_edges_oracle_sql(stage_dir: str | None = None) -> str:
     """DuckDB twin of run_kg_pipeline_staged's distributed tail: recursive-
     CTE transitive closure -> min-label components over the staged verified
     pairs, canonical join onto the staged raw triples, sha256 edge keys and
     the distinct-edge aggregation."""
+    if stage_dir is None:
+        stage_dir = default_kg_stage_dir()
     return f"""
 WITH RECURSIVE pairs AS (
   SELECT a, b FROM read_parquet('{stage_dir}/pairs/*.parquet')

@@ -16,6 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .session import load_table
 
+import os as _os
+
+# staged-oracle root: query fns write post-UDF intermediates under this
+# root and the DuckDB oracle strings (built at import from the SAME env)
+# read them back. Concurrent sessions on one host should set
+# HADES_ORACLE_STAGE_ROOT to distinct dirs to avoid clobbering stages.
+STAGE_ROOT = _os.environ.get("HADES_ORACLE_STAGE_ROOT", "/tmp")
+
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -502,7 +510,7 @@ def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("a", "b", F.round("score", 4).alias("score"))
 
 
-_SIMHASH_STAGE = "/tmp/hades_simhash_oracle_stage"
+_SIMHASH_STAGE = f"{STAGE_ROOT}/hades_simhash_oracle_stage"
 
 _SIMHASH_ORACLE = f"""
 WITH h AS (SELECT * FROM read_parquet('{_SIMHASH_STAGE}/hashes/*.parquet'))
@@ -801,7 +809,7 @@ def kg_extract_q(spark: SparkSession, sf: str) -> DataFrame:
          .alias("text_len"))
 
 
-_MENTIONS_STAGE = "/tmp/hades_mentions_oracle_stage"
+_MENTIONS_STAGE = f"{STAGE_ROOT}/hades_mentions_oracle_stage"
 
 _MENTIONS_ORACLE = f"""
 WITH pages AS (
@@ -849,7 +857,7 @@ def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
     return run_kg_pipeline_staged(spark, n_pages=150, seed=42)
 
 
-_LINK_STAGE = "/tmp/hades_link_oracle_stage"
+_LINK_STAGE = f"{STAGE_ROOT}/hades_link_oracle_stage"
 
 _LINK_ORACLE = f"""
 WITH m AS (SELECT * FROM read_parquet('{_LINK_STAGE}/mentions/*.parquet')),
@@ -932,7 +940,7 @@ def kg_linking_q(spark: SparkSession, sf: str) -> DataFrame:
         .select("mention_id", "surface", "entity_id", "strategy")
 
 
-_SEARCH_STAGE = "/tmp/hades_search_oracle_stage"
+_SEARCH_STAGE = f"{STAGE_ROOT}/hades_search_oracle_stage"
 _SEARCH_TERMS = ["window", "sort", "merge", "join"]
 
 _SEARCH_ORACLE = f"""
@@ -1213,7 +1221,7 @@ def skew_q(spark: SparkSession, sf: str) -> DataFrame:
     return salted_group_count(e, "key", n_salts=8, spread_col="event_id")
 
 
-_X7_STAGE = "/tmp/hades_x7_oracle_stage"
+_X7_STAGE = f"{STAGE_ROOT}/hades_x7_oracle_stage"
 
 _X7_ORACLE = rf"""
 WITH syms AS (SELECT * FROM read_parquet('{_X7_STAGE}/symbols/*.parquet')),
@@ -1286,7 +1294,7 @@ def x7(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("rel", "src", "dst")
 
 
-_FRAMES_STAGE = "/tmp/hades_frames_oracle_stage"
+_FRAMES_STAGE = f"{STAGE_ROOT}/hades_frames_oracle_stage"
 
 _FRAMES_ORACLE = f"""
 WITH meta AS (
@@ -1367,7 +1375,7 @@ def f5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_POOL_STAGE = "/tmp/hades_pool_oracle_stage"
+_POOL_STAGE = f"{STAGE_ROOT}/hades_pool_oracle_stage"
 
 _POOL_ORACLE = f"""
 WITH tok AS (
@@ -1493,7 +1501,7 @@ def t3_full(spark: SparkSession, sf: str) -> DataFrame:
         F.size("context_texts").alias("n_context"))
 
 
-_X8_STAGE = "/tmp/hades_x8_oracle_stage"
+_X8_STAGE = f"{STAGE_ROOT}/hades_x8_oracle_stage"
 
 _X8_ORACLE = f"""
 WITH syms AS (SELECT * FROM read_parquet('{_X8_STAGE}/symbols/*.parquet')),

@@ -48,7 +48,12 @@ def salted_repartition(df: DataFrame, key_col: str, n_partitions: int,
     the same partition assignment when an upstream task is retried, so a
     mid-write retry can't duplicate/lose rows (the classic nondeterministic-
     repartition hazard)."""
-    cols = salt_cols if salt_cols else df.columns
+    if salt_cols:
+        cols = salt_cols
+    else:
+        # xxhash64 rejects MapType columns — exclude them from the default
+        cols = [c for c, t in df.dtypes if not t.startswith("map<")] \
+            or df.columns
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), n_salts)
     )
@@ -105,39 +110,87 @@ def _upsert_partition_scoped(
     where ``df.writeTo(tbl).overwritePartitions()`` plugs in). At 100 TB a
     one-partition upsert reads and rewrites one partition, not the table.
 
-    Steps: (1) semi-join the existing table to the new rows' partition
-    values — Catalyst prunes the scan to those directories; (2) anti-join
-    out replaced keys, union the new rows; (3) write the merged affected
-    partitions to a temp dir; (4) swap ONLY the partition dirs present in
-    the temp output (Spark's own dir naming, so escaping/null partitions
-    match exactly). Untouched partition directories are never read, never
-    rewritten.
+    Steps: (1) compute the affected partition set = partitions named by the
+    new rows PLUS any partition currently holding one of the new keys (a
+    column-pruned scan of key+partition columns — without this, a key whose
+    partition value CHANGES would leave a stale duplicate behind);
+    (2) semi-join the existing table to those partitions — Catalyst prunes
+    the scan to those directories; (3) anti-join out replaced keys, union
+    the new rows; (4) write the merged affected partitions to a temp dir;
+    (5) swap the partition dirs present in the temp output or emptied by
+    the merge. Untouched partition directories are never read or rewritten.
+
+    Atomicity is PER PARTITION (the Iceberg catalog gives whole-table
+    snapshot atomicity; this parquet stand-in cannot): each swap is
+    rename-to-bak + rename-in + drop-bak, and ``_recover_partitions``
+    (called on entry) restores any partition whose swap crashed between
+    the two renames, so a crash never loses data across a re-run.
     """
-    affected = new_rows.select(*partition_by).dropDuplicates(partition_by)
+    _recover_partitions(p)
+
+    new_parts = new_rows.select(*partition_by).dropDuplicates(partition_by)
+    keys = F.broadcast(
+        new_rows.select(*key_cols).dropDuplicates(key_cols))
+    # partitions that currently hold one of the upserted keys (key +
+    # partition columns only => column-pruned scan)
+    current_parts = (
+        spark.read.parquet(str(p)).select(*key_cols, *partition_by)
+        .join(keys, key_cols, "left_semi")
+        .select(*partition_by).dropDuplicates(partition_by)
+    )
+    affected = new_parts.unionByName(current_parts) \
+                        .dropDuplicates(partition_by)
+
     existing = spark.read.parquet(str(p)).join(
         F.broadcast(affected), partition_by, "left_semi")
-    keep = existing.join(
-        new_rows.select(*key_cols).dropDuplicates(key_cols),
-        key_cols, "left_anti",
-    )
+    keep = existing.join(keys, key_cols, "left_anti")
     merged = keep.unionByName(new_rows.select(*existing.columns))
 
     tmp = p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"
     write_table(merged, str(tmp), partition_by=partition_by)
 
-    # leaf partition dirs in the temp output, e.g. "pred=uses/lang=en"
+    # swap every affected partition dir: ones present in the temp output,
+    # plus ones the merge left EMPTY (all rows moved out) — those must be
+    # dropped from the live table
     depth = len(partition_by)
     pattern = "/".join(["*=*"] * depth)
-    for tmp_leaf in sorted(tmp.glob(pattern)):
-        rel = tmp_leaf.relative_to(tmp)
+    tmp_leaves = {leaf.relative_to(tmp) for leaf in tmp.glob(pattern)}
+    affected_rows = affected.collect()
+    affected_leaves = set()
+    for r in affected_rows:
+        rel = Path("/".join(f"{c}={r[c]}" for c in partition_by))
+        # plain-value formatting; values needing Spark's %-escaping only
+        # matter for the drop-emptied-partition edge (a partition whose
+        # every key moved away), where an unmatched name leaves the old
+        # dir in place — safe (stale rows, never lost data), and the
+        # rewritten-partition path uses Spark's own dir names via tmp
+        if (p / rel).exists() or (tmp / rel).exists():
+            affected_leaves.add(rel)
+    for rel in sorted(tmp_leaves | affected_leaves, key=str):
         live_leaf = p / rel
+        tmp_leaf = tmp / rel
         live_leaf.parent.mkdir(parents=True, exist_ok=True)
         bak = live_leaf.parent / f".{live_leaf.name}.bak-{uuid.uuid4().hex[:8]}"
         if live_leaf.exists():
             live_leaf.rename(bak)
-        tmp_leaf.rename(live_leaf)
+        if tmp_leaf.exists():
+            tmp_leaf.rename(live_leaf)
         shutil.rmtree(bak, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_partitions(p: Path) -> None:
+    """Restore partitions whose swap crashed between rename-to-bak and
+    rename-in: a ``.<name>.bak-*`` dir whose live sibling is missing is
+    the pre-crash data — move it back."""
+    for bak in p.rglob(".*.bak-*"):
+        name = bak.name
+        live_name = name[1:name.rindex(".bak-")]
+        live = bak.parent / live_name
+        if not live.exists():
+            bak.rename(live)
+        else:
+            shutil.rmtree(bak, ignore_errors=True)
 
 
 def delete_where(spark: SparkSession, path: str, condition) -> None:
@@ -175,7 +228,7 @@ def drain_batches(df, key_col: str, n_batches: int):
     """
     dt = dict(df.dtypes)[key_col]
     numeric = dt in ("tinyint", "smallint", "int", "bigint",
-                     "float", "double", "decimal")
+                     "float", "double") or dt.startswith("decimal")
     if numeric and n_batches > 1:
         qs = [i / n_batches for i in range(1, n_batches)]
         bounds = df.stat.approxQuantile(key_col, qs, 0.001)
@@ -187,6 +240,11 @@ def drain_batches(df, key_col: str, n_batches: int):
                 cond = cond & (F.col(key_col) > F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(key_col) <= F.lit(hi))
+            if i == 0:
+                # NULL keys ride the first batch: a NULL comparison is
+                # NULL and would otherwise drop those rows from EVERY
+                # batch, breaking the exhaustiveness contract
+                cond = cond | F.col(key_col).isNull()
             yield df.filter(cond)
     else:
         for i in range(n_batches):

@@ -326,3 +326,57 @@ class TestStreamingKgStage1:
         assert out.count() == 50  # 20 + appended 30, no reprocessing dups
         cols = set(out.columns)
         assert {"url", "text", "mentions", "triples"} <= cols
+
+
+class TestUpsertReviewRegressions:
+    def test_key_moving_partitions_leaves_no_stale_duplicate(self, spark, tmp):
+        path = f"{tmp}/mv"
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a"), ("k2", 2, "a"), ("k3", 3, "b")],
+            "k string, v int, part string"), path, partition_by=["part"])
+        # k2 moves from part=a to part=b
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k2", 20, "b")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        got = {(r["k"], r["v"], r["part"])
+               for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", 1, "a"), ("k2", 20, "b"), ("k3", 3, "b")}
+        # exactly one k2 row
+        assert spark.read.parquet(path).filter(F.col("k") == "k2").count() == 1
+
+    def test_crash_recovery_restores_bak_partition(self, spark, tmp):
+        import pathlib
+
+        path = f"{tmp}/rec"
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a"), ("k3", 3, "b")],
+            "k string, v int, part string"), path, partition_by=["part"])
+        # simulate a crash mid-swap: live dir renamed to bak, new never
+        # moved in
+        p = pathlib.Path(path)
+        (p / "part=a").rename(p / ".part=a.bak-deadbeef")
+        # next upsert must first recover the lost partition
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k9", 9, "b")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        got = {(r["k"], r["part"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", "a"), ("k3", "b"), ("k9", "b")}
+
+    def test_drain_null_keys_not_dropped(self, spark):
+        from hades_spark.sources.io import drain_batches
+
+        df = spark.createDataFrame(
+            [(None, "x"), (1, "a"), (2, "b"), (None, "y"), (3, "c")],
+            "k int, v string")
+        batches = list(drain_batches(df, "k", 2))
+        total = sum(b.count() for b in batches)
+        assert total == 5  # NULL keys ride batch 0
+
+    def test_salt_on_map_column_frame(self, spark):
+        from hades_spark.sources.io import salted_repartition
+
+        df = spark.createDataFrame(
+            [("k1", {"a": "1"}), ("k2", {"b": "2"})],
+            "k string, m map<string,string>")
+        # must not raise (MapType excluded from the default salt hash)
+        assert salted_repartition(df, "k", 4).count() == 2

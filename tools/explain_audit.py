@@ -124,9 +124,12 @@ def main() -> int:
         pruned = spark.read.parquet(f"{td}/t").join(
             F.broadcast(affected), ["part"], "left_semi")
         check("upsert_prune", pruned, [
+            # require a NON-EMPTY partition filter (or dynamic pruning) —
+            # "PartitionFilters: []" means the scan reads every partition
             ("partition filters reach the scan",
-             lambda p: "PartitionFilters" in p and
-             "dynamicpruning" in p.lower() or "PartitionFilters: [" in p),
+             lambda p: ("dynamicpruning" in p.lower())
+             or ("PartitionFilters: [" in p
+                 and "PartitionFilters: []" not in p)),
         ])
 
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
