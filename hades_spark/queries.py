@@ -1651,6 +1651,55 @@ def g1(spark: SparkSession, sf: str) -> DataFrame:
     return edges.orderBy("rel", "edge_key")
 
 
+@register("x10_wl_structural_labels", """
+WITH ord AS (
+  SELECT o_custkey, 'o' || o_orderkey AS node,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders WHERE o_custkey <= 100),
+raw_e AS (
+  SELECT a.node AS s, b.node AS d
+  FROM ord a JOIN ord b ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+e AS (SELECT s, d FROM raw_e UNION SELECT d, s FROM raw_e),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+deg AS (SELECT s AS node, count(*) AS dg FROM e GROUP BY 1),
+l0 AS (
+  SELECT n.node, md5(CAST(coalesce(dg, 0) AS VARCHAR)) AS lbl
+  FROM nodes n LEFT JOIN deg USING (node)),
+n1 AS (
+  SELECT e.s AS node, string_agg(l.lbl, ',' ORDER BY l.lbl) AS nl
+  FROM e JOIN l0 l ON l.node = e.d GROUP BY 1),
+l1 AS (
+  SELECT l0.node, md5(l0.lbl || '|' || coalesce(n1.nl, '')) AS lbl
+  FROM l0 LEFT JOIN n1 USING (node)),
+n2 AS (
+  SELECT e.s AS node, string_agg(l.lbl, ',' ORDER BY l.lbl) AS nl
+  FROM e JOIN l1 l ON l.node = e.d GROUP BY 1)
+SELECT l1.node, md5(l1.lbl || '|' || coalesce(n2.nl, '')) AS wl_label
+FROM l1 LEFT JOIN n2 USING (node)
+""")
+def x10(spark: SparkSession, sf: str) -> DataFrame:
+    # X10 stand-in: deterministic Weisfeiler-Lehman structural labels over
+    # the order-chain graph — the offline substitute for learned RGCN
+    # structural embeddings (out of scope per SURVEY §2.10); same J11 /
+    # anchor-rerank seams, fully SQL-verifiable
+    from pyspark.sql import Window
+
+    from .operators.graph_features import wl_labels
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordd = o.select(
+        "o_custkey",
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("node"),
+        F.row_number().over(w).alias("rn"))
+    nxt = ordd.select("o_custkey", F.col("node").alias("dst"),
+                      (F.col("rn") - 1).alias("rn"))
+    edges = ordd.join(nxt, ["o_custkey", "rn"]).select(
+        F.col("node").alias("src"), "dst")
+    return wl_labels(edges, iterations=2)
+
+
 @register("st_sessionize", """
 WITH marked AS (
   SELECT user_id, ts,

@@ -636,3 +636,39 @@ class TestAnnRecall:
         assert mean_recall >= 0.6, f"ANN mean recall@10 too low: {recalls}"
         # single-table recall on the same data is ~0.1-0.3: the multi-table
         # union is what makes signature LSH usable on weakly-clustered vectors
+
+
+class TestWlLabels:
+    def test_matches_python_twin(self, spark):
+        from hades_spark.operators.graph_features import (
+            wl_label_py, wl_labels)
+
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("p", "q"),
+                 ("q", "r"), ("r", "p")]
+        adj = {}
+        for s, d in pairs:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        want = wl_label_py(adj, iterations=2)
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        got = {r["node"]: r["wl_label"]
+               for r in wl_labels(e, iterations=2).collect()}
+        assert got == want
+
+    def test_structural_equivalence_detected(self, spark):
+        from hades_spark.operators.graph_features import wl_labels
+
+        # two disjoint 3-chains: endpoints match endpoints, middles match
+        # middles; the triangle's nodes all share one label distinct from
+        # both chain classes
+        pairs = [("a", "b"), ("b", "c"),
+                 ("u", "v"), ("v", "w"),
+                 ("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        lbl = {r["node"]: r["wl_label"]
+               for r in wl_labels(e, iterations=2).collect()}
+        assert lbl["a"] == lbl["c"] == lbl["u"] == lbl["w"]
+        assert lbl["b"] == lbl["v"]
+        assert lbl["a"] != lbl["b"]
+        assert lbl["t1"] == lbl["t2"] == lbl["t3"]
+        assert lbl["t1"] not in (lbl["a"], lbl["b"])
