@@ -79,7 +79,10 @@ def get_backend(factory, dim: int) -> EmbedderBackend:
     configure a heavy model via an EmbedderBackend subclass instead."""
     import inspect
 
-    if not inspect.isclass(factory):
+    if not inspect.isclass(factory) or "<locals>" in factory.__qualname__:
+        # lambdas/partials AND function-local classes: distinct objects can
+        # share a (module, qualname) key while capturing different config —
+        # a cache hit would silently reuse the wrong backend
         return factory(dim)
     key = (factory.__module__, factory.__qualname__, dim)
     b = _BACKEND_CACHE.get(key)

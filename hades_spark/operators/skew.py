@@ -28,12 +28,13 @@ def host_col(url: Column) -> Column:
 
 
 def _hashable_columns(df: DataFrame) -> list[str]:
-    """Default salt columns: every column xxhash64 accepts (Spark rejects
-    MapType by default). Full-content duplicates still collapse to one
-    salt — pass an explicit spread_col when rows of a hot key can be
-    byte-identical."""
-    cols = [c for c, t in df.dtypes if not t.startswith("map<")]
-    return cols or df.columns
+    """Default salt columns — shared recursive-map-safe filter (see
+    sources/io.hashable_columns). Full-content duplicates still collapse
+    to one salt — pass an explicit spread_col when rows of a hot key can
+    be byte-identical."""
+    from ..sources.io import hashable_columns
+
+    return hashable_columns(df)
 
 
 def salted_group_count(

@@ -844,8 +844,12 @@ def kg_mentions_q(spark: SparkSession, sf: str) -> DataFrame:
 
 from .pipeline.kg import kg_edges_oracle_sql as _kg_oracle  # noqa: E402
 
+# frozen at import so the Spark writer and the oracle reader always agree,
+# even if HADES_ORACLE_STAGE_ROOT changes later in the process
+_KG_STAGE = f"{STAGE_ROOT}/hades_kg_oracle_stage"
 
-@register("kg_canonical_edges", _kg_oracle())
+
+@register("kg_canonical_edges", _kg_oracle(_KG_STAGE))
 def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
     # staged variant: writes the post-UDF intermediates (raw normalized
     # triples, verified alias pairs) to parquet so the DuckDB oracle can
@@ -854,7 +858,8 @@ def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
     # from byte-identical inputs. Flagship KG correctness is hash-checked.
     from .pipeline.kg import run_kg_pipeline_staged
 
-    return run_kg_pipeline_staged(spark, n_pages=150, seed=42)
+    return run_kg_pipeline_staged(spark, n_pages=150, seed=42,
+                                  stage_dir=_KG_STAGE)
 
 
 _LINK_STAGE = f"{STAGE_ROOT}/hades_link_oracle_stage"

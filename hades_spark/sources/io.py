@@ -37,6 +37,15 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def hashable_columns(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts: Spark rejects MapType RECURSIVELY (a map
+    nested inside an array/struct also fails), so exclude any dtype whose
+    string contains 'map<'. Shared by the salting helpers here and in
+    operators/skew.py."""
+    cols = [c for c, t in df.dtypes if "map<" not in t]
+    return cols or df.columns
+
+
 def salted_repartition(df: DataFrame, key_col: str, n_partitions: int,
                        n_salts: int = 8,
                        salt_cols: list[str] | None = None) -> DataFrame:
@@ -48,12 +57,7 @@ def salted_repartition(df: DataFrame, key_col: str, n_partitions: int,
     the same partition assignment when an upstream task is retried, so a
     mid-write retry can't duplicate/lose rows (the classic nondeterministic-
     repartition hazard)."""
-    if salt_cols:
-        cols = salt_cols
-    else:
-        # xxhash64 rejects MapType columns — exclude them from the default
-        cols = [c for c, t in df.dtypes if not t.startswith("map<")] \
-            or df.columns
+    cols = salt_cols if salt_cols else hashable_columns(df)
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), n_salts)
     )
@@ -73,6 +77,7 @@ def upsert_by_key(
     a temp dir then atomically swaps, so a crash mid-write never leaves a
     half table (the tmp-rename pattern of ``state_manager.py:84-117``)."""
     p = Path(path)
+    _recover_table(p)
     if p.exists() and partition_by:
         _upsert_partition_scoped(spark, new_rows, p, key_cols, partition_by)
         return
@@ -104,6 +109,7 @@ def _upsert_partition_scoped(
     p: Path,
     key_cols: list[str],
     partition_by: list[str],
+    detect_moved_keys: bool = True,
 ) -> None:
     """MERGE INTO on a partitioned table, touching ONLY the partitions that
     appear in ``new_rows`` (Iceberg dynamic-overwrite semantics; the seam
@@ -111,14 +117,19 @@ def _upsert_partition_scoped(
     one-partition upsert reads and rewrites one partition, not the table.
 
     Steps: (1) compute the affected partition set = partitions named by the
-    new rows PLUS any partition currently holding one of the new keys (a
-    column-pruned scan of key+partition columns — without this, a key whose
-    partition value CHANGES would leave a stale duplicate behind);
-    (2) semi-join the existing table to those partitions — Catalyst prunes
-    the scan to those directories; (3) anti-join out replaced keys, union
-    the new rows; (4) write the merged affected partitions to a temp dir;
-    (5) swap the partition dirs present in the temp output or emptied by
-    the merge. Untouched partition directories are never read or rewritten.
+    new rows PLUS any partition currently holding one of the new keys —
+    detecting moved keys requires a column-pruned scan of the key +
+    partition columns across ALL partitions (pass
+    ``detect_moved_keys=False`` when keys are known partition-stable to
+    skip it); (2) semi-join the existing table to the affected partitions
+    with NULL-SAFE equality (plain equality would never match a NULL
+    partition value, and the swap would then DELETE the live
+    __HIVE_DEFAULT_PARTITION__ data) — Catalyst prunes that scan;
+    (3) anti-join out replaced keys (null-safe), union the new rows;
+    (4) write the merged affected partitions to a temp dir; (5) swap the
+    partition dirs present in the temp output or emptied by the merge.
+    Untouched partition directories are never REWRITTEN; with
+    ``detect_moved_keys`` their key columns are read once.
 
     Atomicity is PER PARTITION (the Iceberg catalog gives whole-table
     snapshot atomicity; this parquet stand-in cannot): each swap is
@@ -128,22 +139,37 @@ def _upsert_partition_scoped(
     """
     _recover_partitions(p)
 
+    def nullsafe_on(left, right, cols):
+        cond = None
+        for c in cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
+
     new_parts = new_rows.select(*partition_by).dropDuplicates(partition_by)
     keys = F.broadcast(
-        new_rows.select(*key_cols).dropDuplicates(key_cols))
-    # partitions that currently hold one of the upserted keys (key +
-    # partition columns only => column-pruned scan)
-    current_parts = (
-        spark.read.parquet(str(p)).select(*key_cols, *partition_by)
-        .join(keys, key_cols, "left_semi")
-        .select(*partition_by).dropDuplicates(partition_by)
-    )
-    affected = new_parts.unionByName(current_parts) \
-                        .dropDuplicates(partition_by)
+        new_rows.select(*key_cols).dropDuplicates(key_cols)).alias("_keys")
+    if detect_moved_keys:
+        # partitions currently holding one of the upserted keys (key +
+        # partition columns only => column-pruned scan of all partitions)
+        scan = spark.read.parquet(str(p)) \
+            .select(*key_cols, *partition_by).alias("_scan")
+        current_parts = (
+            scan.join(keys, nullsafe_on(scan, keys, key_cols), "left_semi")
+            .select(*partition_by).dropDuplicates(partition_by)
+        )
+        affected = new_parts.unionByName(current_parts) \
+                            .dropDuplicates(partition_by)
+    else:
+        affected = new_parts
+    affected = F.broadcast(affected).alias("_aff")
 
-    existing = spark.read.parquet(str(p)).join(
-        F.broadcast(affected), partition_by, "left_semi")
-    keep = existing.join(keys, key_cols, "left_anti")
+    live = spark.read.parquet(str(p)).alias("_live")
+    existing = live.join(
+        affected, nullsafe_on(live, affected, partition_by), "left_semi")
+    existing_a = existing.alias("_ex")
+    keep = existing_a.join(
+        keys, nullsafe_on(existing_a, keys, key_cols), "left_anti")
     merged = keep.unionByName(new_rows.select(*existing.columns))
 
     tmp = p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"
@@ -179,6 +205,19 @@ def _upsert_partition_scoped(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _recover_table(p: Path) -> None:
+    """Heal the whole-table swap's crash window: if the live path is
+    missing but a sibling ``.{name}.bak-*`` exists (crash between
+    rename-to-bak and rename-in), restore the newest bak — otherwise a
+    re-run would see no table and silently drop all prior rows."""
+    if p.exists():
+        return
+    baks = sorted(p.parent.glob(f".{p.name}.bak-*"),
+                  key=lambda b: b.stat().st_mtime)
+    if baks:
+        baks[-1].rename(p)
+
+
 def _recover_partitions(p: Path) -> None:
     """Restore partitions whose swap crashed between rename-to-bak and
     rename-in: a ``.<name>.bak-*`` dir whose live sibling is missing is
@@ -197,6 +236,7 @@ def delete_where(spark: SparkSession, path: str, condition) -> None:
     """Row-level delete (``DELETE FROM tbl WHERE ...`` — S8 semantics):
     rewrite the table without matching rows, atomic swap."""
     p = Path(path)
+    _recover_table(p)
     if not p.exists():
         return
     # SQL DELETE removes only rows where the predicate is TRUE; rows where
@@ -232,6 +272,12 @@ def drain_batches(df, key_col: str, n_batches: int):
     if numeric and n_batches > 1:
         qs = [i / n_batches for i in range(1, n_batches)]
         bounds = df.stat.approxQuantile(key_col, qs, 0.001)
+        if len(bounds) < n_batches - 1:
+            # approxQuantile ignores NULLs; an all-NULL (or empty) key
+            # column yields no bounds — fall back to hash buckets, which
+            # handle NULLs uniformly
+            numeric = False
+    if numeric and n_batches > 1:
         edges = [None] + bounds + [None]
         for i in range(n_batches):
             lo, hi = edges[i], edges[i + 1]

@@ -380,3 +380,39 @@ class TestUpsertReviewRegressions:
             "k string, m map<string,string>")
         # must not raise (MapType excluded from the default salt hash)
         assert salted_repartition(df, "k", 4).count() == 2
+
+
+class TestUpsertNullPartition:
+    def test_null_partition_rows_survive(self, spark, tmp):
+        path = f"{tmp}/np"
+        write_table(spark.createDataFrame(
+            [("k1", 1, None), ("k2", 2, None), ("k3", 3, "b")],
+            "k string, v int, part string"), path, partition_by=["part"])
+        # upsert k1 within the NULL partition: k2 must survive
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k1", 10, None)], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", 10), ("k2", 2), ("k3", 3)}
+
+    def test_whole_table_crash_recovery(self, spark, tmp):
+        import pathlib
+
+        path = f"{tmp}/tbl"
+        write_table(spark.createDataFrame(
+            [("a", 1)], "k string, v int"), path)
+        # simulate crash between rename-to-bak and rename-in
+        pathlib.Path(path).rename(
+            pathlib.Path(f"{tmp}/.tbl.bak-cafe0000"))
+        upsert_by_key(spark, spark.createDataFrame(
+            [("b", 2)], "k string, v int"), path, ["k"])
+        got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("a", 1), ("b", 2)}  # prior table restored, not lost
+
+    def test_drain_all_null_keys(self, spark):
+        from hades_spark.sources.io import drain_batches
+
+        df = spark.createDataFrame(
+            [(None, "x"), (None, "y")], "k int, v string")
+        batches = list(drain_batches(df, "k", 3))
+        assert sum(b.count() for b in batches) == 2  # hash fallback
