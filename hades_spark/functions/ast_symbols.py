@@ -191,14 +191,42 @@ def resolve_imports(
     )
 
 
+def absolutize_relative_imports(imps: DataFrame) -> DataFrame:
+    """Rewrite relative modules ('.x' / '..x' / '.' as encoded by pyast's
+    leading-dot convention) to absolute dotted paths against the importing
+    file's package: 'from .sub import y' in pkg/main.py -> 'pkg.sub', and
+    'from . import y' -> 'pkg.y' (prefix-ladder resolution then falls back
+    to 'pkg' when y is an attribute, not a submodule). Without this,
+    relative imports either vanish or resolve against same-named TOP-LEVEL
+    modules — systematically wrong edges."""
+    dots = F.length(F.regexp_extract(F.col("module"), r"^(\.+)", 1))
+    rem = F.regexp_replace(F.col("module"), r"^\.+", "")
+    parts = F.split(F.col("src_file"), "/")
+    pkg = F.slice(parts, 1, F.greatest(F.size(parts) - 1, F.lit(0)))
+    keep = F.greatest(F.size(pkg) - (dots - F.lit(1)), F.lit(0))
+    prefix = F.when(keep > 0, F.concat_ws(".", F.slice(pkg, 1, keep))) \
+              .otherwise(F.lit(""))
+    tail = F.when(rem != "", rem).otherwise(F.col("name"))
+    abs_module = F.when(dots == 0, F.col("module")).otherwise(
+        F.when((prefix == "") | (tail == ""),
+               F.concat(prefix, tail))
+        .otherwise(F.concat_ws(".", prefix, tail)))
+    return imps.withColumn("module", abs_module) \
+               .filter(F.col("module") != "")
+
+
 def imports_edges(analyzed: DataFrame, module_index: DataFrame) -> DataFrame:
     """file -> file 'imports' edges from resolved imports (deduped,
     ``codebase.py:620-635`` edge shape)."""
     imps = analyzed.select(
         F.col("rel_path").alias("src_file"),
         F.explode("python_ast.imports").alias("imp"),
-    ).select("src_file", F.col("imp.module").alias("module")) \
+    ).select("src_file",
+             F.col("imp.module").alias("module"),
+             F.coalesce(F.col("imp.name"), F.lit("")).alias("name")) \
      .filter(F.col("module") != "")
+    imps = absolutize_relative_imports(imps) \
+        .select("src_file", "module").dropDuplicates()
     resolved = resolve_imports(imps, module_index)
     return (
         resolved.select(

@@ -161,6 +161,13 @@ def sample_frames(
                 try:
                     raw = bytes(payload) if payload is not None else None
                     meta = decoder(raw, mt)
+                    if meta.get("error"):
+                        # decoder-reported failure: propagate, never
+                        # fabricate a frame (O11 row-level isolation)
+                        rows.append({"media_id": mid, "frame_index": None,
+                                     "ts_ms": None, "frame": None,
+                                     "error": meta["error"]})
+                        continue
                     dur = meta.get("duration_ms") or 0
                     n = min(dur // every_ms + 1, max_frames)
                     for i in range(int(n)):

@@ -44,7 +44,12 @@ def occurrence_count(c: Column, needle: str) -> Column:
 
 
 def _padded(c: Column) -> Column:
-    return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    # normalize ALL whitespace to single spaces first: the project's own
+    # HTML extractor emits newlines, and a marker like ' the ' would miss
+    # every occurrence adjacent to a newline
+    return F.concat(F.lit(" "),
+                    F.regexp_replace(F.lower(c), r"\s+", " "),
+                    F.lit(" "))
 
 
 def lang_scores(c: Column) -> dict[str, Column]:
@@ -73,8 +78,10 @@ def lang_id_col(c: Column, default: str = "und") -> Column:
 
 
 def token_count_col(c: Column) -> Column:
-    """Whitespace token count (empty tokens excluded)."""
-    return F.size(F.filter(F.split(c, " ", -1), lambda t: t != ""))
+    """Whitespace token count (empty tokens excluded; ANY whitespace run
+    separates tokens, so newline-delimited extractor output counts
+    correctly)."""
+    return F.size(F.filter(F.split(c, r"\s+", -1), lambda t: t != ""))
 
 
 def punct_count_col(c: Column) -> Column:

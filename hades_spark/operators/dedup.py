@@ -157,6 +157,15 @@ def simhash_pairs_from_hashes(
     precomputed (id, simhash) table — the blocking tail of
     ``simhash_pairs``, exposed so a staged hash table can be re-verified
     (lossless for max_hamming < bands, so output == brute-force pairs)."""
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide 64: a remainder leaves high bits "
+            f"covered by NO band, silently breaking the pigeonhole "
+            f"losslessness guarantee")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for "
+            f"lossless banded blocking (pigeonhole)")
     hashed = hashed.select(F.col(id_col).alias("_id"),
                            F.col(sh_col).alias("_sh"))
     width = 64 // bands

@@ -73,11 +73,19 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """-> (a, b) candidate id pairs (a < b) sharing >= 1 LSH bucket.
 
-    ``shingle_expr`` is a Column producing array<string> shingles.
+    ``shingle_expr`` is a Column producing array<string> shingles, OR the
+    string name of an existing array column (so callers that already
+    shingled — e.g. verified_pairs — don't pay the shingling pass twice).
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"otherwise bands silently hash zero/partial signature rows")
     rows_per_band = num_hashes // bands
+    expr = F.col(shingle_expr) if isinstance(shingle_expr, str) \
+        else shingle_expr
     shingled = df.select(F.col(id_col).alias("_id"),
-                         shingle_expr.alias("shingles"))
+                         expr.alias("shingles"))
     shingled = shingled.filter(F.size("shingles") > 0)
     sig = minhash_signature(shingled, "_id", num_hashes=num_hashes)
 
@@ -129,8 +137,10 @@ def verified_pairs(
                           still surface as candidates.
     """
     keyed = df.select(F.col(id_col).alias("_id"), shingle_expr.alias("sh")) \
-              .filter(F.size("sh") > 0)
-    pairs = lsh_candidate_pairs(df, id_col, shingle_expr,
+              .filter(F.size("sh") > 0).cache()
+    # shingle ONCE: candidate generation reuses the cached shingled frame
+    # instead of re-evaluating shingle_expr over the input a second time
+    pairs = lsh_candidate_pairs(keyed, "_id", "sh",
                                 num_hashes=num_hashes, bands=bands,
                                 max_bucket_size=max_bucket_size)
     a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))

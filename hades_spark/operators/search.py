@@ -44,14 +44,17 @@ def semantic_topk(
 
 
 def keyword_overlap_col(text_col, query_text: str):
-    """Fraction of query terms present in the text (lowercased token hit
-    rate) — the reference's TF-keyword blend signal."""
+    """Fraction of query terms present in the text as WHOLE TOKENS
+    (lowercased) — the reference's TF-keyword blend signal. Token
+    membership, not substring contains: 'is' must not match 'this', or
+    short function words make the keyword component pure noise."""
     terms = [t for t in query_text.lower().split() if t]
     if not terms:
         return F.lit(0.0)
+    toks = F.split(F.lower(text_col), r"\s+")
     hits = None
     for t in terms:
-        h = F.when(F.lower(text_col).contains(t), 1).otherwise(0)
+        h = F.when(F.array_contains(toks, t), 1).otherwise(0)
         hits = h if hits is None else hits + h
     return hits / F.lit(float(len(terms)))
 
@@ -157,12 +160,16 @@ def with_context(
     doc_col: str = "doc_id",
     idx_col: str = "chunk_index",
 ) -> DataFrame:
-    """Attach ±n_context adjacent chunk texts per hit. One window over the
-    chunks table + a semi-filtered join — NOT per-hit range queries (the
-    reference runs two AQL queries per result; here it's one shuffle)."""
+    """Attach ±n_context adjacent chunk texts per hit. The chunks table is
+    first SEMI-JOINED to the hit documents, then one window runs over that
+    slice — NOT per-hit range queries (the reference runs two AQL queries
+    per result) and NOT a window over the full corpus (collect_list of
+    every chunk's text for 10 hits would shuffle the whole table)."""
+    hit_docs = F.broadcast(hits.select(doc_col).dropDuplicates([doc_col]))
+    sliced = chunks.join(hit_docs, doc_col, "left_semi")
     w = Window.partitionBy(doc_col).orderBy(idx_col) \
         .rowsBetween(-n_context, n_context)
-    ctx = chunks.select(
+    ctx = sliced.select(
         doc_col, idx_col,
         F.collect_list("text").over(w).alias("context_texts"),
     )
@@ -314,8 +321,11 @@ def centrality_features(
     import numpy as np
     import pandas as pd
 
+    # keep the ids' ORIGINAL dtypes so downstream equi-joins don't need
+    # casts (a string '3' vs int 3 join key is a silent trap)
+    in_types = dict(embeddings.dtypes)
     out_schema = ", ".join(
-        [f"{c} string" for c in id_cols] + ["centrality double"])
+        [f"{c} {in_types[c]}" for c in id_cols] + ["centrality double"])
 
     def _cent(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -324,7 +334,7 @@ def centrality_features(
         sims = unit @ unit.T
         np.fill_diagonal(sims, 0.0)
         cent = sims.sum(axis=1) / max(len(pdf) - 1, 1)
-        data = {c: pdf[c].astype(str) for c in id_cols}
+        data = {c: pdf[c] for c in id_cols}
         data["centrality"] = cent
         return pd.DataFrame(data)
 

@@ -47,6 +47,21 @@ def brute_force_topk(
     )
 
 
+def _vstack_nullsafe(series, dim: int | None = None) -> np.ndarray:
+    """Stack array cells into a matrix, mapping NULL cells to zero vectors
+    (zero norm => cosine 0.0) instead of crashing the task — one bad row
+    must never kill a web-scale join (O11)."""
+    d = dim
+    if d is None:
+        d = next((len(v) for v in series if v is not None), 0)
+    out = np.zeros((len(series), d), dtype=np.float32)
+    for i, v in enumerate(series):
+        if v is not None:
+            out[i, : min(len(v), d)] = np.asarray(
+                v, dtype=np.float32)[:d]
+    return out
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return np.asarray(
         np.random.RandomState(seed).standard_normal((n_planes, dim)),
@@ -61,7 +76,7 @@ def signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     def _sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         planes = _hyperplanes(dim, n_planes, seed)
         for s in batches:
-            mat = np.vstack([np.asarray(v, dtype=np.float32) for v in s])
+            mat = _vstack_nullsafe(s, dim)
             bits = (mat @ planes.T) > 0
             vals = bits @ (1 << np.arange(n_planes, dtype=np.int64))
             yield pd.Series(vals.astype("int32"))
@@ -94,8 +109,10 @@ def topk_join(
     @F.pandas_udf("double")
     def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         for a, b in it:
-            ma = np.vstack([np.asarray(v, dtype=np.float32) for v in a])
-            mb = np.vstack([np.asarray(v, dtype=np.float32) for v in b])
+            d = next((len(v) for v in a if v is not None),
+                     next((len(v) for v in b if v is not None), 0))
+            ma = _vstack_nullsafe(a, d)
+            mb = _vstack_nullsafe(b, d)
             num = np.einsum("ij,ij->i", ma, mb)
             den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
             out = np.where(den > 0, num / np.maximum(den, 1e-30), 0.0)
@@ -150,8 +167,10 @@ def lsh_topk_join(
     @F.pandas_udf("double")
     def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
         for a, b in it:
-            ma = np.vstack([np.asarray(v, dtype=np.float32) for v in a])
-            mb = np.vstack([np.asarray(v, dtype=np.float32) for v in b])
+            d = next((len(v) for v in a if v is not None),
+                     next((len(v) for v in b if v is not None), 0))
+            ma = _vstack_nullsafe(a, d)
+            mb = _vstack_nullsafe(b, d)
             num = np.einsum("ij,ij->i", ma, mb)
             den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
             yield pd.Series(np.where(den > 0, num / np.maximum(den, 1e-30), 0.0))

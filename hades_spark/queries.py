@@ -562,8 +562,8 @@ def dedup_embedding_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("text_token_count", """
 SELECT doc_id,
-  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
-    AS n_tokens
+  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+       AS INT) AS n_tokens
 FROM documents
 """)
 def text_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -585,7 +585,7 @@ def text_fp_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _occ_sql(needle: str) -> str:
-    pad = "' ' || lower(text) || ' '"
+    pad = "' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' '"
     return (f"CAST((length({pad}) - length(replace({pad}, '{needle}', '')))"
             f" / {len(needle)} AS INT)")
 
@@ -623,7 +623,8 @@ ORACLE_SQL["text_lang_id"] = _lang_sql()
 WITH m AS (
   SELECT doc_id, text,
     length(text) AS n_chars,
-    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      AS n_tokens,
     CAST((length(text) - length(replace(text, '.', ''))) AS INT)
     + CAST((length(text) - length(replace(text, ',', ''))) AS INT)
     + CAST((length(text) - length(replace(text, '!', ''))) AS INT)
@@ -948,6 +949,11 @@ def kg_linking_q(spark: SparkSession, sf: str) -> DataFrame:
 _SEARCH_STAGE = f"{STAGE_ROOT}/hades_search_oracle_stage"
 _SEARCH_TERMS = ["window", "sort", "merge", "join"]
 
+_TERM_HIT_SQL = " + ".join(
+    "CASE WHEN list_contains(string_split_regex(lower(c.text), '\\s+'), "
+    f"'{t}') THEN 1 ELSE 0 END"
+    for t in _SEARCH_TERMS)
+
 _SEARCH_ORACLE = f"""
 WITH ch AS (SELECT * FROM read_parquet('{_SEARCH_STAGE}/chunks/*.parquet')),
 emb AS (SELECT * FROM read_parquet('{_SEARCH_STAGE}/embeddings/*.parquet')),
@@ -963,8 +969,7 @@ topk AS (
 fused AS (
   SELECT t.doc_id, t.chunk_index,
          0.7 * t.score + 0.3 * ((
-           {" + ".join(f"CASE WHEN contains(lower(c.text), '{t}') THEN 1 ELSE 0 END"
-                       for t in _SEARCH_TERMS)}
+           {_TERM_HIT_SQL}
          ) / {float(len(_SEARCH_TERMS))}) AS fused_score
   FROM topk t JOIN ch c
     ON c.doc_id = t.doc_id AND c.chunk_index = t.chunk_index)
@@ -1491,7 +1496,6 @@ def t3_full(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("score", F.col("score0"))
     fused = hybrid_rerank(hits, chunks, q)
     cent = centrality_features(emb, "doc_id", ("doc_id", "chunk_index"))
-    cent = cent.withColumn("chunk_index", F.col("chunk_index").cast("int"))
     structural = structural_rerank(
         fused, cent, score_col="fused_score")
     anchored = anchor_rerank(

@@ -95,7 +95,11 @@ def extract_symbols(source: str) -> dict[str, Any]:
                     imports.append({"module": alias.name,
                                     "alias": alias.asname or alias.name})
             elif isinstance(child, ast.ImportFrom):
-                mod = child.module or ""
+                # encode relative level as leading dots ('from ..x import y'
+                # -> module '..x'; 'from . import y' -> module '.') so the
+                # resolver can absolutize against the importing file's
+                # package instead of mistaking 'x' for a top-level module
+                mod = "." * child.level + (child.module or "")
                 for alias in child.names:
                     imports.append({"module": mod, "name": alias.name,
                                     "alias": alias.asname or alias.name})

@@ -116,3 +116,51 @@ class TestImportResolution:
         edges = {(r["src"], r["dst"]) for r in
                  imports_edges(analyzed_files(files), index).collect()}
         assert edges == {("codebase_files/pkg_b_py", "codebase_files/pkg_a_py")}
+
+
+class TestRelativeImports:
+    def test_relative_imports_absolutized_and_resolved(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.functions.ast_symbols import (
+            analyzed_files, imports_edges)
+
+        files = spark.createDataFrame([
+            ("pkg/main.py",
+             "from .sub import helper\n"
+             "from . import util\n"
+             "from ..top import thing\n"
+             "import os\n"),
+            ("pkg/sub.py", "def helper():\n    return 1\n"),
+            ("pkg/util.py", "X = 1\n"),
+            ("top.py", "thing = 2\n"),
+            ("sub.py", "DECOY = True\n"),  # same-named TOP-LEVEL module
+        ], "rel_path string, source string")
+        module_index = spark.createDataFrame([
+            ("pkg.sub", "pkg/sub.py"), ("pkg.util", "pkg/util.py"),
+            ("top", "top.py"), ("sub", "sub.py"), ("os", "<stdlib>"),
+        ], "module string, rel_path string")
+
+        edges = imports_edges(analyzed_files(files), module_index)
+        got = {(r["src"], r["dst"]) for r in
+               edges.filter(F.col("src").contains("pkg_main")).collect()}
+        # '.sub' resolves to pkg/sub.py, NOT the top-level decoy sub.py
+        assert ("codebase_files/pkg_main_py",
+                "codebase_files/pkg_sub_py") in got
+        assert ("codebase_files/pkg_main_py",
+                "codebase_files/sub_py") not in got
+        # 'from . import util' resolves to pkg/util.py
+        assert ("codebase_files/pkg_main_py",
+                "codebase_files/pkg_util_py") in got
+        # '..top' from pkg/ climbs to the root package -> top.py
+        assert ("codebase_files/pkg_main_py",
+                "codebase_files/top_py") in got
+
+    def test_pyast_encodes_levels(self):
+        from hades_spark.textcore.pyast import extract_symbols
+
+        out = extract_symbols(
+            "from . import a\nfrom .b import c\nfrom ..d import e\n"
+            "import plain\n")
+        mods = [i["module"] for i in out["imports"]]
+        assert mods == [".", ".b", "..d", "plain"]

@@ -149,8 +149,11 @@ class TestDedup:
             [(1, base), (2, near), (3, far)], "doc_id long, text string")
         from hades_spark.operators.dedup import simhash_pairs
 
+        # bands=16 keeps the pigeonhole guarantee for max_hamming=8
+        # (the validator now rejects lossy max_hamming >= bands configs)
         pairs = {(r["a"], r["b"]) for r in
-                 simhash_pairs(df, "doc_id", "text", max_hamming=8).collect()}
+                 simhash_pairs(df, "doc_id", "text",
+                               max_hamming=8, bands=16).collect()}
         assert (1, 2) in pairs
         assert (1, 3) not in pairs and (2, 3) not in pairs
 
@@ -672,3 +675,73 @@ class TestWlLabels:
         assert lbl["a"] != lbl["b"]
         assert lbl["t1"] == lbl["t2"] == lbl["t3"]
         assert lbl["t1"] not in (lbl["a"], lbl["b"])
+
+
+class TestThirdReviewRegressions:
+    def test_sample_frames_propagates_decoder_error(self, spark):
+        from hades_spark.functions.multimodal import sample_frames
+
+        m = spark.createDataFrame(
+            [("v1", "video", None)],
+            "media_id string, media_type string, payload binary")
+        rows = sample_frames(m).collect()
+        assert len(rows) == 1
+        assert rows[0]["error"] == "empty payload"
+        assert rows[0]["frame_index"] is None  # no fabricated frame
+
+    def test_lang_id_newline_text(self, spark):
+        from hades_spark.functions.text_analysis import lang_id_col
+
+        df = spark.createDataFrame(
+            [("The cat sat.\nThe dog ran.\nIt was for the best of all.",)],
+            "text string")
+        assert df.select(lang_id_col(F.col("text")).alias("l")) \
+                 .collect()[0]["l"] == "en"
+
+    def test_null_embedding_does_not_crash_topk(self, spark):
+        from hades_spark.operators.similarity import topk_join
+
+        qs = spark.createDataFrame(
+            [("q1", [1.0, 0.0])], "q_id string, q_vec array<float>")
+        cs = spark.createDataFrame(
+            [("c1", [1.0, 0.0]), ("c2", None), ("c3", [0.0, 1.0])],
+            "c_id string, c_vec array<float>")
+        out = {r["c_id"]: r["score"]
+               for r in topk_join(qs, cs, k=3).collect()}
+        assert out["c2"] == 0.0  # null vector scores 0, task survives
+        assert abs(out["c1"] - 1.0) < 1e-6
+
+    def test_simhash_bands_validation(self, spark):
+        import pytest as _pytest
+
+        from hades_spark.operators.dedup import simhash_pairs_from_hashes
+
+        h = spark.createDataFrame([("a", 1)], "_id string, _sh long")
+        with _pytest.raises(ValueError, match="divide 64"):
+            list(simhash_pairs_from_hashes(h, bands=3).collect())
+        with _pytest.raises(ValueError, match="max_hamming"):
+            list(simhash_pairs_from_hashes(h, bands=4, max_hamming=4)
+                 .collect())
+
+    def test_lsh_bands_validation(self, spark):
+        import pytest as _pytest
+
+        from hades_spark.operators.lsh import lsh_candidate_pairs, char_shingles
+
+        df = spark.createDataFrame([("a", "abcdef")], "id string, s string")
+        with _pytest.raises(ValueError, match="divide"):
+            lsh_candidate_pairs(df, "id", char_shingles(F.col("s")),
+                                num_hashes=8, bands=16)
+
+    def test_keyword_overlap_token_not_substring(self, spark):
+        from hades_spark.operators.search import keyword_overlap_col
+
+        df = spark.createDataFrame(
+            [("this aisle displays sparkling water",),
+             ("is spark ai here",)],
+            "text string")
+        got = [r["o"] for r in df.select(
+            keyword_overlap_col(F.col("text"), "is spark ai").alias("o"))
+            .collect()]
+        assert got[0] == 0.0   # substrings must NOT count
+        assert got[1] == 1.0   # whole tokens do
