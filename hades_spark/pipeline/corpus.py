@@ -270,7 +270,10 @@ def pages_df_distributed(spark: SparkSession, n_pages: int, seed: int = 42,
             rows = []
             for i in pdf["id"]:
                 p = _gen_one(int(i), seed, with_text, richness)
-                rows.append((p.url, p.warc_ts.replace(tzinfo=None), p.html,
+                # keep the tz-AWARE datetime: a naive value would be
+                # interpreted in spark.sql.session.timeZone inside the
+                # worker, shifting warc_ts vs pages_df on non-UTC sessions
+                rows.append((p.url, p.warc_ts, p.html,
                              p.text if with_text else None, p.lang))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"])

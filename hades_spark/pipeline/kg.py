@@ -42,8 +42,15 @@ def canonical_triples(
     pages: DataFrame,
     threshold: float = 0.8,
     broadcast_map: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
-    """pages -> canonical (subj, pred, obj) triples with provenance."""
+    """pages -> canonical (subj, pred, obj) triples with provenance.
+
+    Two intermediates are cached (the exploded raw triples — so the
+    extraction UDF runs once — and the canonical map). Pass a ``caches``
+    list to receive them for ``unpersist()`` after your terminal action;
+    long-lived sessions that call this repeatedly without cleanup
+    accumulate storage until eviction."""
     from ..functions.triples import raw_triples
     from ..operators.canonicalize import canonical_norm_map, normalize_surface_col
 
@@ -58,6 +65,8 @@ def canonical_triples(
         )
         .cache()
     )
+    if caches is not None:
+        caches.append(raw)
 
     # single explode pass for the vocabulary, NOT union(select, select): a
     # union scans the raw cache twice, and on the first (cold) pass that
@@ -65,6 +74,8 @@ def canonical_triples(
     norms = raw.select(
         F.explode(F.array("subj_norm", "obj_norm")).alias("norm"))
     cmap = canonical_norm_map(norms, threshold=threshold).cache()
+    if caches is not None:
+        caches.append(cmap)
     if broadcast_map:
         cmap = F.broadcast(cmap)
 

@@ -67,40 +67,62 @@ def _refs_of(nodes: DataFrame, edge_def: EdgeDef) -> DataFrame:
     ).withColumn("ref", F.trim("ref")).filter(F.col("ref") != "")
 
 
-def build_standard_edges(nodes: DataFrame, edge_def: EdgeDef) -> DataFrame:
+def build_standard_edges(nodes: DataFrame, edge_def: EdgeDef,
+                         valid_ids: DataFrame | None = None) -> DataFrame:
     """Standard def -> edge rows. Target validation = broadcast semi-join
     against node ids (the reference skips refs whose target collection /
     document is absent)."""
     refs = _refs_of(nodes, edge_def)
-    valid = F.broadcast(nodes.select(F.col("node_id").alias("ref")).distinct())
-    resolved = refs.join(valid, "ref", "left_semi")
+    if valid_ids is None:
+        valid_ids = F.broadcast(
+            nodes.select(F.col("node_id").alias("ref")).distinct())
+    resolved = refs.join(valid_ids, "ref", "left_semi")
     attr_cols = [F.col(f"attr_{a}").alias(a) for a in edge_def.edge_attributes]
+    from ..functions.keys import composite_dedup_key_col
+
     return resolved.select(
         "src",
         F.col("ref").alias("dst"),
         F.lit(edge_def.name).alias("rel"),
         F.lit(edge_def.source_field).alias("source_field"),
-        F.concat_ws("__", F.translate("src", "/", "_"),
-                    F.translate("ref", "/", "_")).alias("edge_key"),
+        composite_dedup_key_col(F.col("src"), F.col("ref")).alias("edge_key"),
         F.lit(None).cast("int").alias("chain_position"),
         *attr_cols,
     ).dropDuplicates(["edge_key", "rel"])
 
 
-def build_chain_edges(nodes: DataFrame, edge_def: EdgeDef) -> DataFrame:
+def build_chain_edges(nodes: DataFrame, edge_def: EdgeDef,
+                      valid_ids: DataFrame | None = None) -> DataFrame:
     """Chain def -> sequential chain[i]->chain[i+1] edges (lead() over the
-    chain position, W2) plus lineage-doc -> member edges."""
+    chain position, W2) plus lineage-doc -> member edges.
+
+    Reference parity (``nl_graph_materialize.py:264-350``): a chain member
+    whose target node is missing breaks the chain at that point — the
+    edges ADJACENT to the missing member are skipped, never bridged
+    (chain 'A,MISSING,C' yields NO sequential edge, not A->C); chains with
+    fewer than 2 valid members are skipped entirely (no membership edges
+    either)."""
     from pyspark.sql import Window
 
     refs = _refs_of(nodes, edge_def)
-    valid = F.broadcast(nodes.select(F.col("node_id").alias("ref")).distinct())
-    resolved = refs.join(valid, "ref", "left_semi")
+    if valid_ids is None:
+        valid_ids = F.broadcast(
+            nodes.select(F.col("node_id").alias("ref")).distinct())
+    flag_ids = valid_ids.withColumn("_ok", F.lit(1))
+    flagged = refs.join(flag_ids, "ref", "left") \
+                  .withColumn("_valid", F.col("_ok").isNotNull()).drop("_ok")
 
     w = Window.partitionBy("src").orderBy("pos")
+    wall = Window.partitionBy("src")
+    n_valid = F.sum(F.col("_valid").cast("int")).over(wall)
+
     seq = (
-        resolved
+        flagged
+        .withColumn("_n_valid", n_valid)
         .withColumn("next_ref", F.lead("ref").over(w))
-        .filter(F.col("next_ref").isNotNull())
+        .withColumn("next_valid", F.lead("_valid").over(w))
+        .filter(F.col("_valid") & F.coalesce("next_valid", F.lit(False))
+                & (F.col("_n_valid") >= 2))
         .select(
             F.col("ref").alias("src"),
             F.col("next_ref").alias("dst"),
@@ -111,14 +133,19 @@ def build_chain_edges(nodes: DataFrame, edge_def: EdgeDef) -> DataFrame:
             F.col("pos").cast("int").alias("chain_position"),
         )
     )
-    member = resolved.select(
-        "src",
-        F.col("ref").alias("dst"),
-        F.lit(edge_def.name).alias("rel"),
-        F.lit(edge_def.source_field).alias("source_field"),
-        F.concat_ws("__", F.translate("src", "/", "_"),
-                    F.concat(F.lit("member_"), F.col("pos"))).alias("edge_key"),
-        F.col("pos").cast("int").alias("chain_position"),
+    member = (
+        flagged
+        .withColumn("_n_valid", n_valid)
+        .filter(F.col("_valid") & (F.col("_n_valid") >= 2))
+        .select(
+            "src",
+            F.col("ref").alias("dst"),
+            F.lit(edge_def.name).alias("rel"),
+            F.lit(edge_def.source_field).alias("source_field"),
+            F.concat_ws("__", F.translate("src", "/", "_"),
+                        F.concat(F.lit("member_"), F.col("pos"))).alias("edge_key"),
+            F.col("pos").cast("int").alias("chain_position"),
+        )
     )
     return seq.unionByName(member)
 
@@ -128,20 +155,28 @@ def materialize_edges(
     edge_defs: list[EdgeDef],
 ) -> tuple[DataFrame, dict[str, MaterializeStats]]:
     """Run every def; returns (edges union, per-def stats). The union is
-    partition-ready on ``rel`` (write with .partitionBy('rel'))."""
+    partition-ready on ``rel`` (write with .partitionBy('rel')).
+
+    One shared broadcast valid-id set for every def (not rebuilt per def)
+    and ONE stats action over the cached union (groupBy(rel).count()) —
+    previously N defs cost N count() jobs each re-scanning nodes."""
+    if not edge_defs:
+        raise ValueError("no edge defs")
+    valid_ids = F.broadcast(
+        nodes.select(F.col("node_id").alias("ref")).distinct())
     out: DataFrame | None = None
-    stats: dict[str, MaterializeStats] = {}
     for d in edge_defs:
         built = (build_chain_edges if d.kind == "chain"
-                 else build_standard_edges)(nodes, d)
+                 else build_standard_edges)(nodes, d, valid_ids=valid_ids)
         base_cols = ["src", "dst", "rel", "source_field", "edge_key",
                      "chain_position"]
         built = built.select(*base_cols)  # attrs vary per def; union core
-        n = built.count()
-        stats[d.name] = MaterializeStats(edges_created=n)
         out = built if out is None else out.unionByName(built)
-    if out is None:
-        raise ValueError("no edge defs")
+    out = out.cache()
+    counts = {r["rel"]: r["n"] for r in
+              out.groupBy("rel").agg(F.count("*").alias("n")).collect()}
+    stats = {d.name: MaterializeStats(edges_created=counts.get(d.name, 0))
+             for d in edge_defs}
     return out, stats
 
 

@@ -1590,7 +1590,7 @@ placed AS (
          CAST(NULL AS INT) AS chain_position
   FROM onodes
   WHERE placed_by IN (SELECT 'customers/' || c_custkey FROM customer)),
-cm AS (
+cm0 AS (
   SELECT * FROM (
     SELECT o_custkey,
            'orders/' || o_orderkey AS ref,
@@ -1598,6 +1598,12 @@ cm AS (
                  ORDER BY o_orderdate, o_orderkey) - 1 AS INT) AS pos
     FROM o)
   WHERE pos <= 2),
+cm AS (
+  -- chains with < 2 members are skipped entirely (reference parity)
+  SELECT * FROM (
+    SELECT cm0.*, count(*) OVER (PARTITION BY o_custkey) AS n_members
+    FROM cm0)
+  WHERE n_members >= 2),
 seq AS (
   SELECT ref AS src,
          lead(ref) OVER (PARTITION BY o_custkey ORDER BY pos) AS dst,

@@ -56,14 +56,34 @@ def incremental_batch(
     df: DataFrame,
     store: WatermarkStore,
     ts_col: str = "ts",
+    inclusive_boundary: bool = False,
 ) -> tuple[DataFrame, callable]:
     """-> (delta_df, commit). ``delta_df`` holds only rows past the stored
     watermark; call ``commit()`` after the downstream write succeeds to
     advance the watermark to the delta's max timestamp (at-least-once with
-    idempotent sinks => exactly-once results)."""
+    idempotent sinks => exactly-once results).
+
+    The delta is CACHED so the rows ``commit()`` measures are the same
+    rows the caller wrote — re-planning from a live source between the two
+    actions could otherwise advance the watermark past rows that were
+    never written. ``commit()`` unpersists it.
+
+    Boundary semantics: the default strict ``>`` never re-reads boundary
+    rows BUT loses a late row that shares the exact boundary timestamp
+    (two events in the same microsecond at the watermark edge).
+    ``inclusive_boundary=True`` uses ``>=`` instead — boundary rows are
+    re-read once per run and must be deduped by an idempotent sink
+    (``upsert_by_key``), which is the reference's own
+    reprocess-and-skip-on-conflict pattern (``sync.py:664-688``)."""
     wm = store.read()
-    delta = df if wm is None else df.filter(
-        F.col(ts_col) > F.lit(wm).cast("timestamp"))
+    if wm is None:
+        delta = df
+    else:
+        boundary = F.lit(wm).cast("timestamp")
+        delta = df.filter(
+            F.col(ts_col) >= boundary if inclusive_boundary
+            else F.col(ts_col) > boundary)
+    delta = delta.cache()
 
     def commit() -> int:
         agg = delta.agg(
@@ -73,6 +93,7 @@ def incremental_batch(
             if isinstance(mx, dt.datetime):
                 mx = mx.strftime("%Y-%m-%d %H:%M:%S.%f")
             store.advance(str(mx), agg["n"])
+        delta.unpersist()
         return agg["n"]
 
     return delta, commit

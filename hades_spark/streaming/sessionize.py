@@ -49,44 +49,61 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30,
     )
 
 
-def _session_fn(key, pdf_iter, state: GroupState):
-    """applyInPandasWithState body: accumulate per-user event times; on
-    processing-time timeout, emit the closed sessions."""
-    (user_id,) = key
-    times: list[dt.datetime] = list(state.get()[0]) if state.exists else []
-    for pdf in pdf_iter:
-        times.extend(pdf["ts"].tolist())
-    if state.hasTimedOut:
-        times.sort()
-        sessions = []
-        cur = [times[0]] if times else []
-        for t in times[1:]:
-            if (t - cur[-1]).total_seconds() > 1800:
+def _make_session_fn(gap_seconds: int, timeout_ms: int):
+    """Build the applyInPandasWithState body with the CALLER's gap (the
+    same ``gap_minutes`` the batch twin takes — previously 1800s was
+    hardcoded here, so non-default gaps silently diverged)."""
+
+    def _session_fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        times: list[dt.datetime] = list(state.get()[0]) if state.exists else []
+        for pdf in pdf_iter:
+            times.extend(pdf["ts"].tolist())
+        if state.hasTimedOut:
+            times.sort()
+            sessions = []
+            cur = [times[0]] if times else []
+            for t in times[1:]:
+                if (t - cur[-1]).total_seconds() > gap_seconds:
+                    sessions.append(cur)
+                    cur = [t]
+                else:
+                    cur.append(t)
+            if cur:
                 sessions.append(cur)
-                cur = [t]
-            else:
-                cur.append(t)
-        if cur:
-            sessions.append(cur)
-        state.remove()
-        yield pd.DataFrame({
-            "user_id": [user_id] * len(sessions),
-            "session_start": [s[0] for s in sessions],
-            "session_end": [s[-1] for s in sessions],
-            "n_events": [len(s) for s in sessions],
-        })
-    else:
-        state.update((times,))
-        state.setTimeoutDuration(60_000)
-        yield pd.DataFrame(
-            columns=["user_id", "session_start", "session_end", "n_events"])
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(sessions),
+                "session_start": [s[0] for s in sessions],
+                "session_end": [s[-1] for s in sessions],
+                "n_events": [len(s) for s in sessions],
+            })
+        else:
+            state.update((times,))
+            state.setTimeoutDuration(timeout_ms)
+            yield pd.DataFrame(
+                columns=["user_id", "session_start", "session_end",
+                         "n_events"])
+
+    return _session_fn
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      timeout_ms: int = 60_000) -> DataFrame:
     """Streaming variant: per-user GroupState with processing-time timeout.
-    ``events`` must be a streaming frame with (user_id, ts)."""
+    ``events`` must be a streaming frame with (user_id, ts).
+
+    SEMANTICS CAVEAT (documented, inherent to processing-time timeouts):
+    sessions are emitted when the USER's stream goes quiet for
+    ``timeout_ms`` of processing time — an ingest lull longer than the
+    timeout closes and emits the session-so-far, so a session whose
+    event-time gap is under ``gap_minutes`` can be emitted in fragments
+    if its events arrive more than ``timeout_ms`` apart. The batch twin
+    (``sessionize_batch``) is the exact-result authority; raise
+    ``timeout_ms`` (or re-sessionize emitted fragments batch-side) when
+    exact streaming parity matters more than emission latency."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(gap_minutes * 60, timeout_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType="times array<timestamp>",
         outputMode="append",

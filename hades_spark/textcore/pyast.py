@@ -24,9 +24,18 @@ def _name_of(node: ast.AST) -> str | None:
 
 
 def _signature(fn: ast.FunctionDef | ast.AsyncFunctionDef) -> str:
-    args = [a.arg for a in fn.args.args]
+    # positional-only, regular, vararg, keyword-only, kwarg — the full
+    # modern signature surface (the reference iterates kwonlyargs too,
+    # python_ast_extractor.py:66-82)
+    args = [a.arg for a in fn.args.posonlyargs]
+    if args:
+        args.append("/")
+    args += [a.arg for a in fn.args.args]
     if fn.args.vararg:
         args.append("*" + fn.args.vararg.arg)
+    elif fn.args.kwonlyargs:
+        args.append("*")
+    args += [a.arg for a in fn.args.kwonlyargs]
     if fn.args.kwarg:
         args.append("**" + fn.args.kwarg.arg)
     return f"{fn.name}({', '.join(args)})"

@@ -118,3 +118,74 @@ class TestArxivYearMonth:
         assert arxiv_year_month("2313.00001") is None  # month 13
         assert arxiv_year_month("math/0211159") is None  # old-style id
         assert arxiv_year_month("") is None
+
+
+class TestChainReferenceParity:
+    def _nodes(self, spark, chain):
+        from pyspark.sql import functions as F
+
+        rows = [("L/1", "lineage", {"chain": chain}),
+                ("A", "doc", {}), ("C", "doc", {})]
+        return spark.createDataFrame(
+            rows, "node_id string, node_type string, props map<string,string>")
+
+    def test_missing_member_breaks_chain_no_bridge(self, spark):
+        from hades_spark.plans.edge_defs import EdgeDef, build_chain_edges
+
+        nodes = self._nodes(spark, "A,MISSING,C")
+        edges = build_chain_edges(
+            nodes, EdgeDef("seq", "chain", ("lineage",), kind="chain"))
+        seq = {(r["src"], r["dst"]) for r in edges.collect()
+               if "step_" in r["edge_key"]}
+        # NO A->C bridge, and no edge touching MISSING
+        assert seq == set()
+        members = {r["dst"] for r in edges.collect()
+                   if "member_" in r["edge_key"]}
+        assert members == {"A", "C"}  # valid members still linked
+
+    def test_single_member_chain_skipped_entirely(self, spark):
+        from hades_spark.plans.edge_defs import EdgeDef, build_chain_edges
+
+        nodes = self._nodes(spark, "A")
+        edges = build_chain_edges(
+            nodes, EdgeDef("seq", "chain", ("lineage",), kind="chain"))
+        assert edges.count() == 0  # reference: len(chain) < 2 -> skip doc
+
+    def test_valid_chain_still_sequential(self, spark):
+        from hades_spark.plans.edge_defs import EdgeDef, build_chain_edges
+
+        nodes = self._nodes(spark, "A,C")
+        edges = build_chain_edges(
+            nodes, EdgeDef("seq", "chain", ("lineage",), kind="chain"))
+        seq = {(r["src"], r["dst"]) for r in edges.collect()
+               if "step_" in r["edge_key"]}
+        assert seq == {("A", "C")}
+
+
+class TestIncrementalBoundary:
+    def test_inclusive_boundary_rereads_edge_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from hades_spark.streaming.incremental import (
+            WatermarkStore, incremental_batch)
+
+        df = spark.createDataFrame(
+            [(1, "2025-01-01 00:00:00"), (2, "2025-01-01 00:00:05")],
+            "id int, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        store = WatermarkStore(str(tmp_path / "wm.json"))
+        delta, commit = incremental_batch(df, store)
+        assert commit() == 2
+
+        # a LATE row sharing the boundary timestamp
+        late = spark.createDataFrame(
+            [(3, "2025-01-01 00:00:05")], "id int, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        df2 = df.union(late)
+
+        strict, _ = incremental_batch(df2, store)
+        assert strict.count() == 0  # '>' loses the boundary late row...
+        inclusive, _ = incremental_batch(df2, store,
+                                         inclusive_boundary=True)
+        ids = {r["id"] for r in inclusive.collect()}
+        assert 3 in ids  # ...'>=' recovers it (dedupe via idempotent sink)
