@@ -136,10 +136,14 @@ def verified_pairs(
                           (1 row per band) so low-Jaccard containment pairs
                           still surface as candidates.
     """
+    # shingle ONCE: candidate generation and verification reuse the
+    # materialized shingled frame instead of re-evaluating shingle_expr
+    # over the input three times. localCheckpoint (not .cache()) so the
+    # blocks are reference-tracked and freed when the result is GC'd —
+    # repeated dedup/canonicalize calls in a long-lived session must not
+    # accumulate catalog-pinned storage.
     keyed = df.select(F.col(id_col).alias("_id"), shingle_expr.alias("sh")) \
-              .filter(F.size("sh") > 0).cache()
-    # shingle ONCE: candidate generation reuses the cached shingled frame
-    # instead of re-evaluating shingle_expr over the input a second time
+              .filter(F.size("sh") > 0).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(keyed, "_id", "sh",
                                 num_hashes=num_hashes, bands=bands,
                                 max_bucket_size=max_bucket_size)

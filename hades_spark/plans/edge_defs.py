@@ -96,12 +96,14 @@ def build_chain_edges(nodes: DataFrame, edge_def: EdgeDef,
     """Chain def -> sequential chain[i]->chain[i+1] edges (lead() over the
     chain position, W2) plus lineage-doc -> member edges.
 
-    Reference parity (``nl_graph_materialize.py:264-350``): a chain member
-    whose target node is missing breaks the chain at that point — the
-    edges ADJACENT to the missing member are skipped, never bridged
-    (chain 'A,MISSING,C' yields NO sequential edge, not A->C); chains with
-    fewer than 2 valid members are skipped entirely (no membership edges
-    either)."""
+    Reference parity (``nl_graph_materialize.py:264-350``): the reference
+    skips a chain only when the RAW chain has fewer than 2 members
+    (``len(chain) < 2`` BEFORE any ref resolution); past that gate, a chain
+    member whose target node is missing breaks the chain at that point —
+    the edges ADJACENT to the missing member are skipped, never bridged
+    (chain 'A,MISSING,C' yields NO sequential edge, not A->C) — while
+    membership edges are emitted for each RESOLVABLE member independently
+    (chain 'A,MISSING' yields the A membership edge)."""
     from pyspark.sql import Window
 
     refs = _refs_of(nodes, edge_def)
@@ -114,15 +116,16 @@ def build_chain_edges(nodes: DataFrame, edge_def: EdgeDef,
 
     w = Window.partitionBy("src").orderBy("pos")
     wall = Window.partitionBy("src")
-    n_valid = F.sum(F.col("_valid").cast("int")).over(wall)
+    # raw chain length: count of ALL members, valid or not (reference gate)
+    n_raw = F.count("*").over(wall)
 
     seq = (
         flagged
-        .withColumn("_n_valid", n_valid)
+        .withColumn("_n_raw", n_raw)
         .withColumn("next_ref", F.lead("ref").over(w))
         .withColumn("next_valid", F.lead("_valid").over(w))
         .filter(F.col("_valid") & F.coalesce("next_valid", F.lit(False))
-                & (F.col("_n_valid") >= 2))
+                & (F.col("_n_raw") >= 2))
         .select(
             F.col("ref").alias("src"),
             F.col("next_ref").alias("dst"),
@@ -135,8 +138,8 @@ def build_chain_edges(nodes: DataFrame, edge_def: EdgeDef,
     )
     member = (
         flagged
-        .withColumn("_n_valid", n_valid)
-        .filter(F.col("_valid") & (F.col("_n_valid") >= 2))
+        .withColumn("_n_raw", n_raw)
+        .filter(F.col("_valid") & (F.col("_n_raw") >= 2))
         .select(
             "src",
             F.col("ref").alias("dst"),
@@ -158,8 +161,12 @@ def materialize_edges(
     partition-ready on ``rel`` (write with .partitionBy('rel')).
 
     One shared broadcast valid-id set for every def (not rebuilt per def)
-    and ONE stats action over the cached union (groupBy(rel).count()) —
-    previously N defs cost N count() jobs each re-scanning nodes."""
+    and ONE stats action over the union (groupBy(rel).count()) —
+    previously N defs cost N count() jobs each re-scanning nodes. The
+    union is materialized with ``localCheckpoint`` (not ``.cache()``): the
+    blocks are reference-tracked and freed when the returned frame is
+    GC'd, so repeated materialize calls in a long-lived session don't
+    accumulate catalog-pinned storage."""
     if not edge_defs:
         raise ValueError("no edge defs")
     valid_ids = F.broadcast(
@@ -172,7 +179,7 @@ def materialize_edges(
                      "chain_position"]
         built = built.select(*base_cols)  # attrs vary per def; union core
         out = built if out is None else out.unionByName(built)
-    out = out.cache()
+    out = out.localCheckpoint(eager=True)
     counts = {r["rel"]: r["n"] for r in
               out.groupBy("rel").agg(F.count("*").alias("n")).collect()}
     stats = {d.name: MaterializeStats(edges_created=counts.get(d.name, 0))

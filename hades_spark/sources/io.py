@@ -65,6 +65,16 @@ def salted_repartition(df: DataFrame, key_col: str, n_partitions: int,
                  .drop("_salt")
 
 
+def _nullsafe_on(left, right, cols):
+    """eqNullSafe conjunction over ``cols`` — one key-matching semantic for
+    BOTH upsert paths (a NULL key must replace an existing NULL key)."""
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def upsert_by_key(
     spark: SparkSession,
     new_rows: DataFrame,
@@ -83,11 +93,15 @@ def upsert_by_key(
         return
 
     if p.exists():
-        existing = spark.read.parquet(path)
+        existing = spark.read.parquet(path).alias("_ex")
+        keys = new_rows.select(*key_cols).dropDuplicates(key_cols) \
+                       .alias("_keys")
+        # NULL-SAFE key match, same as the partition-scoped path: plain
+        # equality would never match a NULL key, so a NULL-key row in
+        # new_rows would be appended NEXT TO the old NULL-key row instead
+        # of replacing it
         keep = existing.join(
-            new_rows.select(*key_cols).dropDuplicates(key_cols),
-            key_cols, "left_anti",
-        )
+            keys, _nullsafe_on(existing, keys, key_cols), "left_anti")
         merged = keep.unionByName(new_rows)
     else:
         merged = new_rows
@@ -138,13 +152,7 @@ def _upsert_partition_scoped(
     the two renames, so a crash never loses data across a re-run.
     """
     _recover_partitions(p)
-
-    def nullsafe_on(left, right, cols):
-        cond = None
-        for c in cols:
-            e = left[c].eqNullSafe(right[c])
-            cond = e if cond is None else cond & e
-        return cond
+    nullsafe_on = _nullsafe_on
 
     new_parts = new_rows.select(*partition_by).dropDuplicates(partition_by)
     keys = F.broadcast(
@@ -177,32 +185,68 @@ def _upsert_partition_scoped(
 
     # swap every affected partition dir: ones present in the temp output,
     # plus ones the merge left EMPTY (all rows moved out) — those must be
-    # dropped from the live table
+    # dropped from the live table. Drop candidates are derived from the
+    # LIVE partition dirs on disk (Spark's own escaping, decoded), never by
+    # re-encoding values by hand — hand-encoding misses Hive %-escaping and
+    # the NULL -> __HIVE_DEFAULT_PARTITION__ mapping, silently leaving the
+    # moved-away rows live (duplicate keys under MERGE semantics).
     depth = len(partition_by)
     pattern = "/".join(["*=*"] * depth)
     tmp_leaves = {leaf.relative_to(tmp) for leaf in tmp.glob(pattern)}
-    affected_rows = affected.collect()
-    affected_leaves = set()
-    for r in affected_rows:
-        rel = Path("/".join(f"{c}={r[c]}" for c in partition_by))
-        # plain-value formatting; values needing Spark's %-escaping only
-        # matter for the drop-emptied-partition edge (a partition whose
-        # every key moved away), where an unmatched name leaves the old
-        # dir in place — safe (stale rows, never lost data), and the
-        # rewritten-partition path uses Spark's own dir names via tmp
-        if (p / rel).exists() or (tmp / rel).exists():
-            affected_leaves.add(rel)
-    for rel in sorted(tmp_leaves | affected_leaves, key=str):
+    affected_vals = {
+        tuple(_partition_value_str(r[c]) for c in partition_by)
+        for r in affected.collect()
+    }
+    live_affected = {
+        leaf.relative_to(p) for leaf in p.glob(pattern)
+        if _decode_partition_leaf(leaf.relative_to(p)) in affected_vals
+    }
+    for rel in sorted(tmp_leaves | live_affected, key=str):
         live_leaf = p / rel
         tmp_leaf = tmp / rel
         live_leaf.parent.mkdir(parents=True, exist_ok=True)
-        bak = live_leaf.parent / f".{live_leaf.name}.bak-{uuid.uuid4().hex[:8]}"
-        if live_leaf.exists():
-            live_leaf.rename(bak)
         if tmp_leaf.exists():
+            bak = live_leaf.parent / \
+                f".{live_leaf.name}.bak-{uuid.uuid4().hex[:8]}"
+            if live_leaf.exists():
+                live_leaf.rename(bak)
             tmp_leaf.rename(live_leaf)
-        shutil.rmtree(bak, ignore_errors=True)
+            shutil.rmtree(bak, ignore_errors=True)
+        elif live_leaf.exists():
+            # partition emptied by the merge (every key moved elsewhere):
+            # rename to a DROP marker — distinct from the .bak swap marker
+            # so a crash between rename and rmtree is never mistaken for an
+            # interrupted swap and resurrected (_recover_partitions always
+            # deletes .drop-* markers, never restores them)
+            drop = live_leaf.parent / \
+                f".{live_leaf.name}.drop-{uuid.uuid4().hex[:8]}"
+            live_leaf.rename(drop)
+            shutil.rmtree(drop, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _partition_value_str(v) -> str | None:
+    """Value -> the string Spark writes into the partition dir name
+    (None stays None; booleans lowercase; everything else str())."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _decode_partition_leaf(rel: Path) -> tuple[str | None, ...]:
+    """Decode a Hive-style partition dir path (``col=value/...``) back to
+    the value tuple: %-unescape (Spark escapes with URL-style %XX) and map
+    ``__HIVE_DEFAULT_PARTITION__`` back to None."""
+    from urllib.parse import unquote
+
+    vals: list[str | None] = []
+    for seg in rel.parts:
+        _, _, raw = seg.partition("=")
+        v = unquote(raw)
+        vals.append(None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+    return tuple(vals)
 
 
 def _recover_table(p: Path) -> None:
@@ -221,7 +265,12 @@ def _recover_table(p: Path) -> None:
 def _recover_partitions(p: Path) -> None:
     """Restore partitions whose swap crashed between rename-to-bak and
     rename-in: a ``.<name>.bak-*`` dir whose live sibling is missing is
-    the pre-crash data — move it back."""
+    the pre-crash data — move it back. ``.drop-*`` markers are the
+    opposite: an INTENTIONALLY emptied partition whose rmtree was
+    interrupted — always delete, never restore (restoring would resurrect
+    rows whose keys already moved to another partition: duplicate keys)."""
+    for drop in p.rglob(".*.drop-*"):
+        shutil.rmtree(drop, ignore_errors=True)
     for bak in p.rglob(".*.bak-*"):
         name = bak.name
         live_name = name[1:name.rindex(".bak-")]

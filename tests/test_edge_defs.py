@@ -189,3 +189,23 @@ class TestIncrementalBoundary:
                                          inclusive_boundary=True)
         ids = {r["id"] for r in inclusive.collect()}
         assert 3 in ids  # ...'>=' recovers it (dedupe via idempotent sink)
+
+
+class TestChainRawLengthGate:
+    """ADVICE r3: the reference gates on RAW chain length (len(chain) < 2),
+    then emits membership edges per resolvable member independently —
+    chain 'A,MISSING' must emit the A membership edge."""
+
+    def test_two_member_chain_one_unresolvable_emits_membership(self, spark):
+        rows = [("L/1", "lineage", {"chain": "A,MISSING"}),
+                ("A", "doc", {})]
+        nodes = spark.createDataFrame(
+            rows, "node_id string, node_type string, props map<string,string>")
+        edges = build_chain_edges(
+            nodes, EdgeDef("seq", "chain", ("lineage",), kind="chain"))
+        rows = edges.collect()
+        seq = {(r["src"], r["dst"]) for r in rows if "step_" in r["edge_key"]}
+        mem = {(r["src"], r["dst"], r["chain_position"])
+               for r in rows if "member_" in r["edge_key"]}
+        assert seq == set()                      # no A->MISSING edge
+        assert mem == {("L/1", "A", 0)}          # A membership still emitted

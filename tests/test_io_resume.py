@@ -416,3 +416,91 @@ class TestUpsertNullPartition:
             [(None, "x"), (None, "y")], "k int, v string")
         batches = list(drain_batches(df, "k", 3))
         assert sum(b.count() for b in batches) == 2  # hash fallback
+
+
+class TestAdviceR3Regressions:
+    """Round-3 fixes from ADVICE.md: drop markers, Hive-escaped /NULL
+    partition drops, NULL-key whole-table upsert."""
+
+    def test_emptied_partition_dropped_not_resurrected(self, spark, tmp):
+        import pathlib
+
+        path = f"{tmp}/drp"
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a"), ("k2", 2, "b")],
+            "k string, v int, part string"), path, partition_by=["part"])
+        # k1 moves a->b: part=a becomes empty and must be dropped
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k1", 10, "b")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        p = pathlib.Path(path)
+        assert not (p / "part=a").exists()
+        got = {(r["k"], r["v"], r["part"])
+               for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", 10, "b"), ("k2", 2, "b")}
+
+    def test_interrupted_drop_marker_deleted_never_restored(self, spark, tmp):
+        import pathlib
+
+        path = f"{tmp}/drpm"
+        write_table(spark.createDataFrame(
+            [("k1", 1, "b")], "k string, v int, part string"),
+            path, partition_by=["part"])
+        # simulate a crash between rename-to-drop-marker and rmtree: a
+        # .drop-* dir holding rows whose key already lives in part=b
+        p = pathlib.Path(path)
+        stale = spark.createDataFrame(
+            [("k1", 99)], "k string, v int")
+        stale.write.parquet(str(p / ".part=a.drop-dead0001"))
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k9", 9, "b")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        assert not (p / "part=a").exists()          # never resurrected
+        assert not (p / ".part=a.drop-dead0001").exists()  # marker gone
+        assert spark.read.parquet(path).filter(
+            F.col("k") == "k1").count() == 1        # no duplicate key
+
+    def test_escaped_partition_value_dropped_when_emptied(self, spark, tmp):
+        import pathlib
+
+        path = f"{tmp}/esc"
+        # ':' is in Spark's Hive escape set -> dir is part=a%3Ab
+        write_table(spark.createDataFrame(
+            [("k1", 1, "a:b"), ("k2", 2, "c")],
+            "k string, v int, part string"), path, partition_by=["part"])
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k1", 10, "c")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        p = pathlib.Path(path)
+        leaves = {d.name for d in p.glob("part=*")}
+        assert leaves == {"part=c"}  # escaped dir dropped, not left stale
+        got = {(r["k"], r["v"], r["part"])
+               for r in spark.read.parquet(path).collect()}
+        assert got == {("k1", 10, "c"), ("k2", 2, "c")}
+
+    def test_null_partition_dropped_when_emptied(self, spark, tmp):
+        import pathlib
+
+        path = f"{tmp}/nulldrop"
+        write_table(spark.createDataFrame(
+            [("k1", 1, None), ("k2", 2, "b")],
+            "k string, v int, part string"), path, partition_by=["part"])
+        # k1 moves NULL->b: __HIVE_DEFAULT_PARTITION__ must be dropped
+        upsert_by_key(spark, spark.createDataFrame(
+            [("k1", 10, "b")], "k string, v int, part string"),
+            path, ["k"], partition_by=["part"])
+        p = pathlib.Path(path)
+        assert not (p / "part=__HIVE_DEFAULT_PARTITION__").exists()
+        assert spark.read.parquet(path).filter(
+            F.col("k") == "k1").count() == 1
+
+    def test_whole_table_null_key_replaced(self, spark, tmp):
+        path = f"{tmp}/nullkey"
+        write_table(spark.createDataFrame(
+            [(None, 1), ("k2", 2)], "k string, v int"), path)
+        upsert_by_key(spark, spark.createDataFrame(
+            [(None, 10)], "k string, v int"), path, ["k"])
+        got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+        # NULL key REPLACES the old NULL-key row (eqNullSafe), same as the
+        # partition-scoped path — not appended beside it
+        assert got == {(None, 10), ("k2", 2)}
