@@ -69,30 +69,70 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
     from hades_spark.pipeline.kg import canonical_triples, distinct_edges
 
     richness = int(os.environ.get("BENCH_RICHNESS", "30"))
+    # BENCH_VOCAB > 0 switches the corpus to the parameterized synthetic
+    # entity vocabulary (Zipf-skewed, alias clusters): distinct normalized
+    # surfaces then exceed canonicalization's local_threshold, so the
+    # DISTRIBUTED LSH+CC path is what gets timed (the 100-TB-critical
+    # stage; with the fixed 8-entity vocabulary every run resolves in the
+    # driver-side union-find fallback).
+    vocab = int(os.environ.get("BENCH_VOCAB", "0"))
+    local_threshold = int(os.environ.get("BENCH_LOCAL_THRESHOLD", "20000"))
     corpus_root = os.environ.get("BENCH_CORPUS_DIR", "/tmp/hades_bench_corpus")
     # v2: corpus generator now emits markdown/latex pages too —
     # version tag invalidates round-1 cached corpora
-    corpus_dir = f"{corpus_root}/pages_v2_n{n_pages}_r{richness}_s42"
+    corpus_dir = f"{corpus_root}/pages_v2_n{n_pages}_r{richness}_s42" + (
+        f"_vocab{vocab}" if vocab else "")
     gen0 = time.perf_counter()
     if not Path(corpus_dir, "_SUCCESS").exists():
         pages_df_distributed(spark, n_pages, seed=42, partitions=cpus * 2,
-                             richness=richness) \
+                             richness=richness, vocab_size=vocab) \
             .write.mode("overwrite").parquet(corpus_dir)
     pages = spark.read.parquet(corpus_dir)
     gen_sec = time.perf_counter() - gen0
 
     t0 = time.perf_counter()
     kg_caches: list = []
-    triples = canonical_triples(pages, caches=kg_caches)
+    triples = canonical_triples(pages, caches=kg_caches,
+                                local_threshold=local_threshold)
     edges = distinct_edges(triples)
     n_edges = edges.count()
     kg_sec = time.perf_counter() - t0
     n_triples = triples.count()  # cached upstream; cheap recount
-    for c in kg_caches:
-        c.unpersist()
     results["kg_pipeline"] = round(kg_sec, 4)
 
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
+
+    # vocab-mode diagnostics (untimed): vocabulary size, which
+    # canonicalization path ran, and the LSH bucket-size distribution —
+    # the skew evidence for the distributed blocking at scale
+    vocab_diag = {}
+    if vocab:
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.lsh import lsh_bucket_size_stats
+
+        raw = kg_caches[0]  # cached raw triples (url, pred, *_norm)
+        norms = (
+            raw.select(F.explode(F.array("subj_norm", "obj_norm"))
+                       .alias("norm"))
+            .dropDuplicates(["norm"])
+            .withColumn("squash", F.regexp_replace("norm", " ", ""))
+            .filter(F.length("squash") > 0)
+        )
+        n_norms = norms.count()
+        from hades_spark.operators.lsh import char_shingles
+
+        vocab_diag = {
+            "kg_vocab": vocab,
+            "kg_distinct_norms": n_norms,
+            "kg_canon_path": ("distributed"
+                              if n_norms > local_threshold else "local"),
+            "kg_lsh_buckets": lsh_bucket_size_stats(
+                norms, "norm", char_shingles(F.col("squash"), 3),
+                num_hashes=16, bands=16, cap=500),
+        }
+    for c in kg_caches:
+        c.unpersist()
 
     sf = 0.1
     if "sf0.01" in sf_dir:
@@ -112,6 +152,7 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
         "kg_gen_sec": round(gen_sec, 2),
         "kg_richness": richness,
         "cpus": cpus,
+        **vocab_diag,
     }
     spark.stop()
     return out

@@ -73,6 +73,9 @@ def canonical_map(
     path, so never less complete); the distributed LSH + CC path runs
     above it. ``local_threshold=0`` forces distributed (tests do).
     """
+    # localCheckpoint (lazy) rather than .cache(): materialized once on
+    # first action, blocks freed when the frame is GC'd — repeated
+    # canonicalization calls in a long session must not pin storage
     distinct = (
         surfaces.select(F.col(surface_col).alias("surface"))
         .dropDuplicates(["surface"])
@@ -80,12 +83,13 @@ def canonical_map(
         .withColumn("norm", normalize_surface_col(F.col("surface")))
         .withColumn("squash", squash_col(F.col("surface")))
         .filter(F.length("squash") > 0)
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     # alias pairs between normalized forms (dedup identical norms first:
     # they cluster for free via the norm key itself)
-    norms = distinct.select("norm", "squash").dropDuplicates(["norm"]).cache()
+    norms = distinct.select("norm", "squash").dropDuplicates(["norm"]) \
+                    .localCheckpoint(eager=False)
 
     if local_threshold > 0:
         # count-then-collect, never limit(N).collect(): a global limit over
@@ -140,7 +144,7 @@ def canonical_norm_map(
         .dropDuplicates(["norm"])
         .withColumn("squash", F.regexp_replace("norm", " ", ""))
         .filter(F.length("squash") > 0)
-        .cache()
+        .localCheckpoint(eager=False)
     )
     if local_threshold > 0 and keyed.count() <= local_threshold:
         spark = norms.sparkSession

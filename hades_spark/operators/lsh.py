@@ -63,20 +63,16 @@ def minhash_signature(shingled: DataFrame, id_col: str,
     )
 
 
-def lsh_candidate_pairs(
+def lsh_buckets(
     df: DataFrame,
     id_col: str,
     shingle_expr,
     num_hashes: int = 32,
     bands: int = 8,
-    max_bucket_size: int = 200,
 ) -> DataFrame:
-    """-> (a, b) candidate id pairs (a < b) sharing >= 1 LSH bucket.
-
-    ``shingle_expr`` is a Column producing array<string> shingles, OR the
-    string name of an existing array column (so callers that already
-    shingled — e.g. verified_pairs — don't pay the shingling pass twice).
-    """
+    """-> (_id, band, bh): one row per (row, band) with the banded minhash
+    bucket key. The shared core of ``lsh_candidate_pairs`` — also used
+    standalone for bucket-size diagnostics (skew evidence at scale)."""
     if bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); "
@@ -99,8 +95,61 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("bk")) \
-                 .select("_id", "bk.band", "bk.bh")
+    return sig.select("_id", F.explode(F.array(*band_cols)).alias("bk")) \
+              .select("_id", "bk.band", "bk.bh")
+
+
+def lsh_bucket_size_stats(
+    df: DataFrame,
+    id_col: str,
+    shingle_expr,
+    num_hashes: int = 32,
+    bands: int = 8,
+    cap: int = 200,
+) -> dict:
+    """Bucket-size distribution of the banded LSH blocking — the skew
+    diagnostic the scale bench reports: how many buckets exist, their
+    p50/p95/p99/max sizes, and how many rows/buckets the ``cap`` guard
+    drops (each size-n bucket costs n^2 candidate pairs)."""
+    sizes = lsh_buckets(df, id_col, shingle_expr,
+                        num_hashes=num_hashes, bands=bands) \
+        .groupBy("band", "bh").count()
+    sizes = sizes.select(F.col("count").cast("double").alias("n"))
+    p50, p95, p99 = sizes.approxQuantile("n", [0.5, 0.95, 0.99], 0.001)
+    agg = sizes.agg(
+        F.count("*").alias("buckets"),
+        F.max("n").alias("max"),
+        F.sum(F.when(F.col("n") > cap, F.lit(1)).otherwise(F.lit(0)))
+         .alias("capped_buckets"),
+        F.sum(F.when(F.col("n") > cap, F.col("n")).otherwise(F.lit(0)))
+         .alias("capped_rows"),
+    ).collect()[0]
+    return {
+        "buckets": int(agg["buckets"]),
+        "p50": p50, "p95": p95, "p99": p99,
+        "max": int(agg["max"]),
+        "cap": cap,
+        "capped_buckets": int(agg["capped_buckets"]),
+        "capped_rows": int(agg["capped_rows"]),
+    }
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingle_expr,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """-> (a, b) candidate id pairs (a < b) sharing >= 1 LSH bucket.
+
+    ``shingle_expr`` is a Column producing array<string> shingles, OR the
+    string name of an existing array column (so callers that already
+    shingled — e.g. verified_pairs — don't pay the shingling pass twice).
+    """
+    buckets = lsh_buckets(df, id_col, shingle_expr,
+                          num_hashes=num_hashes, bands=bands)
 
     # cap pathological buckets (boilerplate) before the self-join
     counted = buckets.withColumn(

@@ -43,6 +43,7 @@ def canonical_triples(
     threshold: float = 0.8,
     broadcast_map: bool = True,
     caches: list | None = None,
+    local_threshold: int = 20_000,
 ) -> DataFrame:
     """pages -> canonical (subj, pred, obj) triples with provenance.
 
@@ -73,7 +74,8 @@ def canonical_triples(
     # would re-run the extraction UDF once per branch
     norms = raw.select(
         F.explode(F.array("subj_norm", "obj_norm")).alias("norm"))
-    cmap = canonical_norm_map(norms, threshold=threshold).cache()
+    cmap = canonical_norm_map(norms, threshold=threshold,
+                              local_threshold=local_threshold).cache()
     if caches is not None:
         caches.append(cmap)
     if broadcast_map:

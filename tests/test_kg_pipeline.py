@@ -169,3 +169,89 @@ class TestCanonicalizeCutover:
         d = dict(dist)
         assert d["apachespark"] == d["apache spark"]
         assert d["postgresql"] == d["postgre sql"]
+
+
+class TestVocabCorpus:
+    """Parameterized large-vocabulary corpus (round 3): Zipf-skewed
+    synthetic entities whose alias variants must cluster under the
+    canonicalization contract regardless of which subset is observed."""
+
+    def test_entity_variant_pairwise_containment(self):
+        """DESIGN RULE check: every variant pair of an entity shares
+        >= 0.8 char-3-gram containment on the squashed norm (so any
+        observed subset forms one connected component), and distinct
+        entities stay below the threshold."""
+        from hades_spark.pipeline.corpus import synthetic_entity
+
+        def grams(s):
+            sq = normalize_surface(s).replace(" ", "")
+            return {sq[i:i + 3] for i in range(max(len(sq) - 2, 1))}
+
+        ents = [synthetic_entity(k, seed=7) for k in range(200)]
+        for _, variants in ents:
+            gs = [grams(v) for v in variants]
+            for i in range(len(gs)):
+                for j in range(i + 1, len(gs)):
+                    cont = len(gs[i] & gs[j]) / min(len(gs[i]), len(gs[j]))
+                    assert cont >= 0.8, (variants[i], variants[j], cont)
+        # cross-entity: core variants of different entities don't merge
+        import itertools
+        for (c1, v1), (c2, v2) in itertools.islice(
+                itertools.combinations(ents, 2), 2000):
+            g1, g2 = grams(v1[0]), grams(v2[0])
+            cont = len(g1 & g2) / min(len(g1), len(g2))
+            assert cont < 0.8, (v1[0], v2[0], cont)
+
+    def test_entity_deterministic_across_processes(self):
+        from hades_spark.pipeline.corpus import synthetic_entity
+
+        c, vs = synthetic_entity(3, seed=42)
+        c2, vs2 = synthetic_entity(3, seed=42)
+        assert (c, vs) == (c2, vs2)
+        assert synthetic_entity(3, seed=43) != (c, vs)
+
+    def test_vocab_corpus_distributed_vs_driver_generation(self, spark):
+        from hades_spark.pipeline.corpus import pages_df, pages_df_distributed
+
+        a = pages_df(spark, 30, seed=9, with_text=False, vocab_size=25)
+        b = pages_df_distributed(spark, 30, seed=9, partitions=4,
+                                 with_text=False, vocab_size=25)
+        ra = {(r["url"], bytes(r["html"])) for r in a.collect()}
+        rb = {(r["url"], bytes(r["html"])) for r in b.collect()}
+        assert ra == rb
+
+    def test_vocab_pipeline_pr_distributed_path(self, spark):
+        """P/R >= 0.95 with the DISTRIBUTED LSH+CC canonicalization path
+        forced (local_threshold=0) on a Zipf-vocab corpus — the scale path
+        the bench measures."""
+        from hades_spark.pipeline.corpus import (
+            expected_canonical_triples, pages_df)
+
+        n, vocab = 250, 60
+        pages = pages_df(spark, n, seed=42, with_text=False,
+                         vocab_size=vocab)
+        edges = distinct_edges(
+            canonical_triples(pages, local_threshold=0))
+        got = {(r["subj"], r["pred"], r["obj"])
+               for r in edges.select("subj", "pred", "obj").collect()}
+        want = expected_canonical_triples(n, seed=42, vocab_size=vocab)
+        assert want, "vocab generator produced no ground truth?"
+        tp = len(got & want)
+        precision = tp / max(len(got), 1)
+        recall = tp / len(want)
+        assert precision >= 0.95, (precision, sorted(got - want)[:10])
+        assert recall >= 0.95, (recall, sorted(want - got)[:10])
+
+    def test_legacy_corpus_unchanged(self, spark):
+        """vocab_size=0 must preserve the legacy rng draw order exactly
+        (cached bench corpora + staged oracles depend on it)."""
+        from hades_spark.pipeline.corpus import gen_pages
+
+        p = gen_pages(5, seed=42, compute_text=False)[2]
+        # surfaces now recorded, aligned with truth
+        assert len(p.surfaces) == len(p.truth)
+        # spot-invariant: truth entities come from the fixed vocabulary
+        from hades_spark.pipeline.corpus import SURFACE_TO_CANONICAL
+        canon = set(SURFACE_TO_CANONICAL.values())
+        for (s, _, o) in p.truth:
+            assert s in canon and o in canon
