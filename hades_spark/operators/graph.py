@@ -42,12 +42,17 @@ def bfs(
     broadcast_frontier: bool = True,
     direction: str = "outbound",
     track_parent: bool = False,
+    stop_at=None,
 ) -> DataFrame:
     """-> (node, depth[, parent]) with depth = first-reach distance from any
     seed (seeds at depth 0). Frontier-expansion loop, one shuffle-free
     broadcast join per level. ``direction`` mirrors AQL OUTBOUND / INBOUND /
     ANY; ``track_parent=True`` records the (deterministic min) predecessor
-    per node so paths can be reconstructed."""
+    per node so paths can be reconstructed. ``stop_at`` is the early-exit
+    target: the level loop breaks as soon as that node enters the visited
+    set (one cheap probe per level over the just-checkpointed frontier) —
+    on a power-law web graph the levels PAST the hit are the expensive
+    ones."""
     e = _oriented(edges, src, dst, direction)
     visited = seeds.select(F.col(node).alias("node")).distinct() \
                    .withColumn("depth", F.lit(0))
@@ -55,6 +60,9 @@ def bfs(
         visited = visited.withColumn(
             "parent", F.lit(None).cast(visited.schema["node"].dataType))
     frontier = visited
+    if stop_at is not None and not \
+            visited.filter(F.col("node") == F.lit(stop_at)).isEmpty():
+        return visited  # target is a seed: depth 0, nothing to expand
 
     for d in range(1, max_depth + 1):
         f = F.broadcast(frontier) if broadcast_frontier else frontier
@@ -81,6 +89,9 @@ def bfs(
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+        if stop_at is not None and not \
+                nxt.filter(F.col("node") == F.lit(stop_at)).isEmpty():
+            break
 
     return visited
 
@@ -94,11 +105,13 @@ def shortest_path_length(
     dst: str = "dst",
     direction: str = "outbound",
 ) -> int | None:
-    """Unweighted shortest-path length source -> target, or None."""
+    """Unweighted shortest-path length source -> target, or None. Early
+    exit: the BFS stops at the level where the target is first reached
+    (``stop_at``), never expanding past the hit."""
     spark = edges.sparkSession
     seeds = spark.createDataFrame([(source_id,)], ["node"])
     reached = bfs(edges, seeds, max_depth, src=src, dst=dst,
-                  direction=direction)
+                  direction=direction, stop_at=target_id)
     hit = reached.filter(F.col("node") == target_id) \
                  .agg(F.min("depth").alias("d")).collect()[0]["d"]
     return int(hit) if hit is not None else None
@@ -115,21 +128,27 @@ def shortest_path(
 ) -> list | None:
     """Vertex path source -> target (AQL ``SHORTEST_PATH`` vertex list,
     ``database.py:2733-2744``), or None when unreachable within
-    ``max_depth``. BFS with parent tracking; the walk-back runs over the
-    collected (node, parent) map of REACHED nodes only — bounded by the
-    BFS result, not the graph."""
+    ``max_depth``. BFS with parent tracking + early exit; the walk-back is
+    DISTRIBUTED: ≤ depth one-row lookups against the checkpointed reached
+    set (each node appears once), never a collect of the full reached set —
+    a depth-4 BFS from one seed on a web graph can reach 10^7+ nodes,
+    which must not land on the driver."""
     spark = edges.sparkSession
     seeds = spark.createDataFrame([(source_id,)], ["node"])
     reached = bfs(edges, seeds, max_depth, src=src, dst=dst,
-                  direction=direction, track_parent=True)
-    rows = reached.select("node", "parent").collect()
-    parents = {r["node"]: r["parent"] for r in rows}
-    if target_id not in parents:
+                  direction=direction, track_parent=True,
+                  stop_at=target_id)
+    hit = reached.filter(F.col("node") == F.lit(target_id)) \
+                 .select("parent").collect()
+    if not hit:
         return None
     path = [target_id]
-    while path[-1] != source_id:
-        p = parents.get(path[-1])
-        if p is None:
-            return None
-        path.append(p)
-    return list(reversed(path))
+    parent = hit[0]["parent"]
+    while parent is not None:
+        path.append(parent)
+        if parent == source_id:
+            break
+        nxt = reached.filter(F.col("node") == F.lit(parent)) \
+                     .select("parent").collect()
+        parent = nxt[0]["parent"] if nxt else None
+    return list(reversed(path)) if path[-1] == source_id else None

@@ -32,12 +32,16 @@ def semantic_topk(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """-> id_cols + score, exact cosine top-k for one text query."""
+    """-> id_cols + score, exact cosine top-k for one text query. The
+    query vector joins in via a broadcast one-row frame (no per-dim plan
+    literals)."""
+    from .similarity import query_vec_frame
+
     qv = HashEmbedder(dim).encode([query_text])[0].tolist()
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    q = query_vec_frame(embeddings, qv)
     return (
-        embeddings
-        .select(*id_cols, cosine_col(F.col(vec_col), q).alias("score"))
+        embeddings.join(q)
+        .select(*id_cols, cosine_col(F.col(vec_col), F.col("_qv")).alias("score"))
         .orderBy(F.desc("score"), *[F.asc(c) for c in id_cols])
         .limit(k)
     )

@@ -745,3 +745,111 @@ class TestThirdReviewRegressions:
             .collect()]
         assert got[0] == 0.0   # substrings must NOT count
         assert got[1] == 1.0   # whole tokens do
+
+
+class TestNeardupRecall:
+    def test_neardup_multi_table_recall_vs_brute_force(self, spark):
+        """Pair-recall >= 0.95 at threshold 0.99 on planted near-dups —
+        the signature-blocked dedup path must behave like a dedup
+        primitive, not a sampler (VERDICT r2 finding 3: one 8-plane table
+        misses ~31% of true pairs)."""
+        import numpy as np
+
+        from hades_spark.operators.similarity import neardup_pairs
+
+        rng = np.random.RandomState(11)
+        dim, n_base, n_planted = 32, 400, 60
+        base = rng.standard_normal((n_base, dim)).astype(np.float64)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(f"v{i:04d}", base[i].tolist()) for i in range(n_base)]
+        # plant near-dups: tiny perturbation keeps cosine >= 0.99
+        for j in range(n_planted):
+            v = base[j] + 0.02 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((f"v{j:04d}_dup", v.tolist()))
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+        # numpy brute-force truth
+        ids = [r[0] for r in rows]
+        mat = np.array([r[1] for r in rows])
+        sims = mat @ mat.T
+        truth = {
+            (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if sims[i, j] >= 0.99
+        }
+        assert len(truth) >= n_planted * 0.9  # sanity: plants survived
+
+        got = {(r["a"], r["b"]) for r in
+               neardup_pairs(df, threshold=0.99, dim=dim).collect()}
+        assert got <= truth or not (got - truth), sorted(got - truth)[:5]
+        recall = len(got & truth) / len(truth)
+        assert recall >= 0.95, f"neardup pair-recall too low: {recall}"
+
+    def test_neardup_single_table_would_fail(self, spark):
+        """Contrast: n_tables=1 on the same corpus misses a chunk of true
+        pairs — documents why the multi-table default exists. (Loose bound:
+        just asserts single-table recall is strictly lower or equal and the
+        multi-table default found more.)"""
+        import numpy as np
+
+        from hades_spark.operators.similarity import neardup_pairs
+
+        rng = np.random.RandomState(11)
+        dim = 32
+        base = rng.standard_normal((200, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        rows = [(f"v{i:04d}", base[i].tolist()) for i in range(200)]
+        for j in range(40):
+            v = base[j] + 0.02 * rng.standard_normal(dim)
+            v /= np.linalg.norm(v)
+            rows.append((f"v{j:04d}_dup", v.tolist()))
+        df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        one = neardup_pairs(df, threshold=0.99, dim=dim, n_tables=1).count()
+        four = neardup_pairs(df, threshold=0.99, dim=dim, n_tables=4).count()
+        assert four >= one
+
+
+class TestShortestPathEarlyExit:
+    def test_bfs_stops_at_first_target_hit(self, spark):
+        """Early exit (VERDICT r2 finding 1): with the target at depth 1
+        and a 6-deep chain continuing past it, the returned visited set
+        must contain NO node deeper than the hit level — the loop broke
+        instead of expanding to max_depth."""
+        from hades_spark.operators.graph import bfs
+
+        chain = [(f"n{i}", f"n{i+1}") for i in range(7)]
+        edges = spark.createDataFrame(chain, "src string, dst string")
+        seeds = spark.createDataFrame([("n0",)], ["node"])
+        reached = bfs(edges, seeds, max_depth=6, stop_at="n1")
+        assert reached.agg({"depth": "max"}).collect()[0][0] == 1
+
+    def test_source_equals_target(self, spark):
+        from hades_spark.operators.graph import (
+            shortest_path, shortest_path_length)
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        assert shortest_path_length(edges, "a", "a") == 0
+        assert shortest_path(edges, "a", "a") == ["a"]
+
+    def test_walk_back_on_wide_fanout(self, spark):
+        """Distributed walk-back (finding 2): path through a graph whose
+        reached set is much larger than the path — correctness of the
+        one-row-lookup chain."""
+        from hades_spark.operators.graph import shortest_path
+
+        rows = [("s", f"mid{i}") for i in range(200)]
+        rows += [(f"mid{i}", f"leaf{i}_{j}") for i in range(20)
+                 for j in range(10)]
+        rows += [("mid7", "t")]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        assert shortest_path(edges, "s", "t") == ["s", "mid7", "t"]
+
+    def test_length_early_exit_still_correct(self, spark):
+        from hades_spark.operators.graph import shortest_path_length
+
+        rows = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        assert shortest_path_length(edges, "a", "c") == 1
+        assert shortest_path_length(edges, "a", "d") == 2
+        assert shortest_path_length(edges, "a", "zz") is None
