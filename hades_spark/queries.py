@@ -1453,6 +1453,105 @@ def a7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LATE_STAGE = f"{STAGE_ROOT}/hades_late_oracle_stage"
+_LATE_SIZE, _LATE_OVERLAP = 12, 4
+_LATE_STEP = _LATE_SIZE - _LATE_OVERLAP
+
+_LATE_ORACLE = f"""
+WITH tok AS (
+  SELECT * FROM read_parquet('{_LATE_STAGE}/tokens/*.parquet')),
+docs AS (
+  SELECT doc_id, max(token_index) + 1 AS n FROM tok GROUP BY 1),
+ks AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= {_LATE_SIZE} THEN 0
+                ELSE CAST(ceil((n - {_LATE_SIZE}) / {_LATE_STEP}.0)
+                          AS BIGINT)
+           END)) AS k
+  FROM docs),
+spans AS (
+  SELECT doc_id, CAST(k AS INT) AS chunk_index,
+         k * {_LATE_STEP} AS s,
+         least(k * {_LATE_STEP} + {_LATE_SIZE}, n) AS e
+  FROM ks),
+flat AS (
+  SELECT sp.doc_id, sp.chunk_index, unnest(t.embedding) AS v,
+         generate_subscripts(t.embedding, 1) AS dmn
+  FROM spans sp JOIN tok t ON t.doc_id = sp.doc_id
+   AND t.token_index >= sp.s AND t.token_index < sp.e),
+agg AS (
+  SELECT doc_id, chunk_index, dmn, avg(CAST(v AS DOUBLE)) AS mv
+  FROM flat GROUP BY 1, 2, 3),
+nrm AS (
+  SELECT doc_id, chunk_index, sqrt(sum(mv * mv)) AS n
+  FROM agg GROUP BY 1, 2)
+SELECT a.doc_id, a.chunk_index, CAST(a.dmn - 1 AS INT) AS dim,
+       round(a.mv / CASE WHEN nrm.n > 0 THEN nrm.n ELSE 1 END, 4) + 0.0
+         AS val
+FROM agg a JOIN nrm ON nrm.doc_id = a.doc_id
+                   AND nrm.chunk_index = a.chunk_index
+"""
+
+
+@register("x5_late_chunking", _LATE_ORACLE)
+def x5(spark: SparkSession, sf: str) -> DataFrame:
+    # X5 late chunking (embedders_jina.py:824-940): full-document token
+    # embeddings -> fixed token windows (start_k = k*(size-overlap), last
+    # window clipped at n) -> per-window mean-pool + L2. The token
+    # embedding UDF is staged; the SLICING + POOLING — the reference
+    # algorithm being rebuilt — is recomputed by both a distributed
+    # DataFrame tail and the DuckDB closed-form twin, hash-compared.
+    # The mapInPandas fast path (late_chunk_embed) is equivalence-tested
+    # against this staged tail in pytest.
+    from .functions.embedding import embed_text_column
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    tokens = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.filter(F.split("text", r"\s+"),
+                              lambda t: t != "")).alias("token_index",
+                                                        "token"))
+    embed_text_column(tokens, "token", "embedding", dim=16) \
+        .select("doc_id", "token_index", "embedding") \
+        .write.mode("overwrite").parquet(f"{_LATE_STAGE}/tokens")
+
+    tok = spark.read.parquet(f"{_LATE_STAGE}/tokens")
+    n_by_doc = tok.groupBy("doc_id").agg(
+        (F.max("token_index") + 1).alias("n"))
+    k_max = F.when(F.col("n") <= _LATE_SIZE, F.lit(0)).otherwise(
+        F.ceil((F.col("n") - _LATE_SIZE) / F.lit(float(_LATE_STEP))))
+    spans = n_by_doc.select(
+        "doc_id", "n",
+        F.explode(F.sequence(F.lit(0), k_max.cast("int"))).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_index"),
+        (F.col("k") * _LATE_STEP).alias("s"),
+        F.least(F.col("k") * _LATE_STEP + _LATE_SIZE, F.col("n")).alias("e"),
+    )
+    flat = (
+        spans.join(tok, "doc_id")
+        .filter((F.col("token_index") >= F.col("s"))
+                & (F.col("token_index") < F.col("e")))
+        .select("doc_id", "chunk_index",
+                F.posexplode("embedding").alias("dim", "v"))
+    )
+    agg = flat.groupBy("doc_id", "chunk_index", "dim") \
+              .agg(F.avg(F.col("v").cast("double")).alias("mv"))
+    nrm = agg.groupBy("doc_id", "chunk_index") \
+             .agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("n"))
+    return (
+        agg.join(nrm, ["doc_id", "chunk_index"])
+        .select(
+            "doc_id", "chunk_index",
+            F.col("dim").cast("int").alias("dim"),
+            (F.round(F.col("mv") / F.when(F.col("n") > 0, F.col("n"))
+                     .otherwise(F.lit(1.0)), 4) + 0.0).alias("val"),
+        )
+    )
+
+
 @register("s4_catalog_scan", """
 SELECT table_name AS name
 FROM information_schema.tables
@@ -1474,40 +1573,154 @@ def s4(spark: SparkSession, sf: str) -> DataFrame:
         [(n,) for n in sorted(listed)], "name string")
 
 
-@register("t3_cascade_full")  # six-stage cascade: rows-only
+_T3_STAGE = f"{STAGE_ROOT}/hades_t3_oracle_stage"
+_T3_QUERY = "window sort merge join, shuffle partition skew"
+_T3_TERMS = [t for t in _T3_QUERY.lower().split() if t]
+
+_T3_KEYWORD_SQL = "(" + " + ".join(
+    "CASE WHEN list_contains(string_split_regex(lower(c.text), '\\s+'), "
+    f"'{t}') THEN 1 ELSE 0 END" for t in _T3_TERMS
+) + f") / {len(_T3_TERMS)}.0"
+
+_T3_ORACLE = f"""
+WITH hits AS (SELECT * FROM read_parquet('{_T3_STAGE}/hits/*.parquet')),
+chunks AS (SELECT * FROM read_parquet('{_T3_STAGE}/chunks/*.parquet')),
+cent AS (SELECT * FROM read_parquet('{_T3_STAGE}/centrality/*.parquet')),
+sims AS (SELECT * FROM read_parquet('{_T3_STAGE}/anchor_sims/*.parquet')),
+ce AS (SELECT * FROM read_parquet('{_T3_STAGE}/ce_scores/*.parquet')),
+fused AS (
+  SELECT h.doc_id, h.chunk_index,
+         0.7 * h.score0 + 0.3 * ({_T3_KEYWORD_SQL}) AS fused_score
+  FROM hits h JOIN chunks c
+    ON c.doc_id = h.doc_id AND c.chunk_index = h.chunk_index),
+structural AS (
+  SELECT f.doc_id, f.chunk_index, f.fused_score,
+         0.7 * f.fused_score + 0.3 * coalesce(ct.centrality, 0.0)
+           AS structural_score
+  FROM fused f LEFT JOIN cent ct
+    ON ct.doc_id = f.doc_id AND ct.chunk_index = f.chunk_index),
+anchored AS (
+  SELECT s.*,
+         round(0.6 * s.structural_score
+               + 0.4 * greatest(0.0, round(coalesce(m.anchor_sim, 0.0), 4)),
+               4) AS anchor_fused_score
+  FROM structural s LEFT JOIN sims m
+    ON m.doc_id = s.doc_id AND m.chunk_index = s.chunk_index),
+ranked AS (
+  SELECT a.*, ce.cross_encoder_score
+  FROM anchored a JOIN ce
+    ON ce.doc_id = a.doc_id AND ce.chunk_index = a.chunk_index
+  ORDER BY ce.cross_encoder_score DESC, a.doc_id, a.chunk_index
+  LIMIT 10),
+ctx AS (
+  SELECT r.doc_id, r.chunk_index, count(*) AS n_context
+  FROM ranked r JOIN chunks c2
+    ON c2.doc_id = r.doc_id AND abs(c2.chunk_index - r.chunk_index) <= 1
+  GROUP BY 1, 2)
+SELECT r.doc_id, r.chunk_index,
+       round(r.fused_score, 4) AS fused_score,
+       round(r.structural_score, 4) AS structural_score,
+       r.anchor_fused_score, r.cross_encoder_score,
+       CAST(ctx.n_context AS INT) AS n_context
+FROM ranked r JOIN ctx
+  ON ctx.doc_id = r.doc_id AND ctx.chunk_index = r.chunk_index
+"""
+
+
+@register("t3_cascade_full", _T3_ORACLE)
 def t3_full(spark: SparkSession, sf: str) -> DataFrame:
     # the reference's complete `hades db query` cascade: decompose ->
     # retrieve(merged) -> hybrid keyword re-rank -> structural(centrality)
-    # -> anchor re-rank -> cross-encoder (deterministic stand-in) -> context
+    # -> anchor re-rank -> cross-encoder (deterministic stand-in) -> context.
+    # Round 3: the COMPOSITION is hash-verified — every UDF-produced input
+    # (retrieval scores, centrality, anchor cosines, cross-encoder scores,
+    # chunk texts) is staged to parquet, and both the Spark tail below and
+    # the DuckDB twin recompute the full blend/rank/limit/context chain
+    # from those identical bytes (kg_canonical_edges technique).
     from .functions.embedding import embed_text_column
+    from .functions.vector import cosine_col
     from .operators.chunking import chunks_table
     from .operators.search import (
-        anchor_rerank, centrality_features, crossencoder_rerank,
-        decompose_merge, decompose_query, hybrid_rerank, structural_rerank,
-        with_context)
+        centrality_features, crossencoder_rerank, decompose_merge,
+        decompose_query, hybrid_rerank, structural_rerank)
 
     docs = load_table(spark, sf, "documents")
     chunks = chunks_table(docs, chunk_size=40, overlap=10).cache()
     emb = embed_text_column(chunks, "text", "embedding", dim=64).cache()
-    q = "window sort merge join, shuffle partition skew"
-    subs = decompose_query(q)
-    hits = decompose_merge(emb, subs, k=20) \
-        .withColumnRenamed("merged_score", "score0") \
-        .withColumn("score", F.col("score0"))
-    fused = hybrid_rerank(hits, chunks, q)
-    cent = centrality_features(emb, "doc_id", ("doc_id", "chunk_index"))
-    structural = structural_rerank(
-        fused, cent, score_col="fused_score")
-    anchored = anchor_rerank(
-        structural, emb, anchor_id="0", score_col="structural_score")
-    reranked = crossencoder_rerank(anchored, q, limit=10)
-    out = with_context(reranked, chunks, n_context=1)
-    return out.select(
+    subs = decompose_query(_T3_QUERY)
+    hits0 = decompose_merge(emb, subs, k=20).select(
         "doc_id", "chunk_index",
-        F.round("fused_score", 4).alias("fused_score"),
-        F.round("structural_score", 4).alias("structural_score"),
-        "anchor_fused_score", "cross_encoder_score",
-        F.size("context_texts").alias("n_context"))
+        F.col("merged_score").cast("double").alias("score0"))
+    hits0.write.mode("overwrite").parquet(f"{_T3_STAGE}/hits")
+    chunks.select("doc_id", "chunk_index", "text") \
+        .write.mode("overwrite").parquet(f"{_T3_STAGE}/chunks")
+    centrality_features(emb, "doc_id", ("doc_id", "chunk_index")) \
+        .write.mode("overwrite").parquet(f"{_T3_STAGE}/centrality")
+
+    # anchor cosines for the hit rows (anchor_rerank's vec scoring,
+    # anchor_id='0', smallest-join-key pick)
+    hits_keys = spark.read.parquet(f"{_T3_STAGE}/hits") \
+        .select("doc_id", "chunk_index")
+    av_rows = emb.filter(F.col("doc_id") == F.lit("0")) \
+        .orderBy("doc_id", "chunk_index").select("embedding") \
+        .limit(1).collect()
+    av = [float(x) for x in av_rows[0][0]]
+    emb.join(hits_keys, ["doc_id", "chunk_index"], "left_semi") \
+        .select("doc_id", "chunk_index",
+                cosine_col(F.col("embedding"),
+                           F.array(*[F.lit(x) for x in av]))
+                .cast("double").alias("anchor_sim")) \
+        .write.mode("overwrite").parquet(f"{_T3_STAGE}/anchor_sims")
+
+    # cross-encoder scores for every hit (the cascade cuts AFTER scoring)
+    ce_in = spark.read.parquet(f"{_T3_STAGE}/hits") \
+        .join(chunks, ["doc_id", "chunk_index"]) \
+        .select("doc_id", "chunk_index", "text")
+    crossencoder_rerank(ce_in, _T3_QUERY, limit=1_000_000_000) \
+        .select("doc_id", "chunk_index", "cross_encoder_score") \
+        .write.mode("overwrite").parquet(f"{_T3_STAGE}/ce_scores")
+
+    # --- distributed tail over the staged bytes (the DuckDB twin's input)
+    hits = spark.read.parquet(f"{_T3_STAGE}/hits") \
+        .withColumn("score", F.col("score0"))
+    chunks_s = spark.read.parquet(f"{_T3_STAGE}/chunks")
+    cent = spark.read.parquet(f"{_T3_STAGE}/centrality")
+    sims = spark.read.parquet(f"{_T3_STAGE}/anchor_sims")
+    ce = spark.read.parquet(f"{_T3_STAGE}/ce_scores")
+
+    fused = hybrid_rerank(hits, chunks_s, _T3_QUERY)
+    structural = structural_rerank(fused, cent, score_col="fused_score")
+    anchored = (
+        structural.join(sims, ["doc_id", "chunk_index"], "left")
+        .withColumn("anchor_similarity",
+                    F.round(F.coalesce("anchor_sim", F.lit(0.0)), 4))
+        .withColumn(
+            "anchor_fused_score",
+            F.round(0.6 * F.col("structural_score")
+                    + 0.4 * F.greatest(F.lit(0.0),
+                                       F.col("anchor_similarity")), 4))
+    )
+    ranked = (
+        anchored.join(ce, ["doc_id", "chunk_index"])
+        .orderBy(F.desc("cross_encoder_score"), "doc_id", "chunk_index")
+        .limit(10)
+    )
+    ctx = (
+        ranked.select("doc_id", "chunk_index")
+        .join(chunks_s.select("doc_id",
+                              F.col("chunk_index").alias("_ci2")), "doc_id")
+        .filter(F.abs(F.col("_ci2") - F.col("chunk_index")) <= 1)
+        .groupBy("doc_id", "chunk_index")
+        .agg(F.count("*").cast("int").alias("n_context"))
+    )
+    return (
+        ranked.join(ctx, ["doc_id", "chunk_index"])
+        .select(
+            "doc_id", "chunk_index",
+            F.round("fused_score", 4).alias("fused_score"),
+            F.round("structural_score", 4).alias("structural_score"),
+            "anchor_fused_score", "cross_encoder_score", "n_context")
+    )
 
 
 _X8_STAGE = f"{STAGE_ROOT}/hades_x8_oracle_stage"

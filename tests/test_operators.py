@@ -853,3 +853,92 @@ class TestShortestPathEarlyExit:
         assert shortest_path_length(edges, "a", "c") == 1
         assert shortest_path_length(edges, "a", "d") == 2
         assert shortest_path_length(edges, "a", "zz") is None
+
+
+class TestLateChunking:
+    """X5: token-slice late chunking (embedders_jina.py:824-940)."""
+
+    def _reference_loop(self, num_tokens, size, overlap):
+        # direct transliteration of the reference's span loop (no special
+        # tokens): embed_chunks_from_tokens, embedders_jina.py:860-940
+        spans, start = [], 0
+        while start < num_tokens:
+            end = min(start + size, num_tokens)
+            spans.append((start, end))
+            if end >= num_tokens:
+                break
+            start = max(end - overlap, 0)
+        return spans
+
+    def test_spans_match_reference_loop(self):
+        from hades_spark.functions.embedding import late_chunk_spans
+
+        for n in [0, 1, 4, 5, 6, 10, 11, 12, 13, 50, 499, 500, 501, 1200]:
+            for size, ov in [(5, 2), (12, 4), (500, 200), (8, 0), (3, 1)]:
+                assert late_chunk_spans(n, size, ov) == \
+                    self._reference_loop(n, size, ov), (n, size, ov)
+
+    def test_overlap_ge_size_rejected(self):
+        import pytest
+
+        from hades_spark.functions.embedding import late_chunk_spans
+
+        with pytest.raises(ValueError):
+            late_chunk_spans(100, 5, 5)
+
+    def test_closed_form_start_matches_loop(self):
+        # the SQL oracle's closed form start_k = k*(size-overlap),
+        # K = ceil((n-size)/step): must equal the loop for every n
+        import math
+
+        from hades_spark.functions.embedding import late_chunk_spans
+
+        size, ov = 12, 4
+        step = size - ov
+        for n in range(1, 300):
+            loop = late_chunk_spans(n, size, ov)
+            kmax = 0 if n <= size else math.ceil((n - size) / step)
+            closed = [(k * step, min(k * step + size, n))
+                      for k in range(kmax + 1)]
+            assert loop == closed, n
+
+    def test_late_chunk_embed_text_and_pooling(self, spark):
+        import numpy as np
+
+        from hades_spark.functions.embedding import (
+            HashTokenEmbedder, late_chunk_embed, late_chunk_spans,
+            mean_pool_l2)
+
+        text = " ".join(f"tok{i:03d}" for i in range(30))
+        docs = spark.createDataFrame([("d1", text), ("d2", "one two"),
+                                      ("d3", None)],
+                                     "doc_id string, text string")
+        out = late_chunk_embed(docs, dim=16, chunk_size_tokens=12,
+                               chunk_overlap_tokens=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+
+        # d3 (null text): no chunks; d2: one chunk covering both tokens
+        assert "d3" not in by_doc
+        d2 = by_doc["d2"]
+        assert len(d2) == 1 and d2[0]["text"] == "one two"
+
+        # d1: spans, text slices, and pooled vectors match a local
+        # recomputation over the same backend
+        be = HashTokenEmbedder(16)
+        offsets, mat = be.encode_tokens(text)
+        spans = late_chunk_spans(len(offsets), 12, 4)
+        rows = sorted(by_doc["d1"], key=lambda r: r["chunk_index"])
+        assert len(rows) == len(spans)
+        for r, (s, e) in zip(rows, spans):
+            assert (r["start_token"], r["end_token"]) == (s, e)
+            sc, ec = offsets[s][0], offsets[e - 1][1]
+            assert (r["start_char"], r["end_char"]) == (sc, ec)
+            assert r["text"] == text[sc:ec]
+            assert r["total_chunks"] == len(spans)
+            want = mean_pool_l2(mat[s:e])
+            assert np.allclose(np.array(r["embedding"]), want, atol=1e-6)
+        # chunk embeddings are L2-normalized
+        for r in rows:
+            assert abs(np.linalg.norm(np.array(r["embedding"])) - 1) < 1e-5
