@@ -69,7 +69,8 @@ _JS_EXPORT = re.compile(r"^[ \t]*(export\s+[^\n;{]+[;{]?)", re.MULTILINE)
 _TS_INTERFACE = re.compile(
     r"^[ \t]*(?:export\s+)?interface\s+([A-Za-z_$][\w$]*)", re.MULTILINE)
 _TS_TYPE = re.compile(
-    r"^[ \t]*(?:export\s+)?type\s+([A-Za-z_$][\w$]*)\s*=", re.MULTILINE)
+    r"^[ \t]*(?:export\s+)?type\s+([A-Za-z_$][\w$]*)\s*(?:<[^=>]*>)?\s*=",
+    re.MULTILINE)
 
 
 def _extract_js(content: str) -> dict[str, list[dict[str, Any]]]:
@@ -113,11 +114,17 @@ _JAVA_ENUM = re.compile(
     r"^[ \t]*(?:(?:public|private|protected|static)\s+)*enum\s+([A-Za-z_]\w*)",
     re.MULTILINE)
 _JAVA_METHOD = re.compile(
-    r"^[ \t]*((?:public|private|protected|static|final|abstract|synchronized)"
-    r"(?:\s+(?:public|private|protected|static|final|abstract|synchronized))*)"
-    r"\s+[\w<>\[\].]+\s+([A-Za-z_]\w*)\s*\([^;{)]*\)\s*(?:throws[^{;]*)?\{",
+    r"^[ \t]*((?:(?:public|private|protected|static|final|abstract|"
+    r"synchronized)\s+)*)"          # modifiers now OPTIONAL (tree-sitter
+    r"(?:<[^<>]+>\s+)?"             # method type-parameter list (<T> foo)
+    r"[\w<>\[\].]+\s+([A-Za-z_]\w*)\s*\([^;{)]*\)\s*(?:throws[^{;]*)?\{",
     re.MULTILINE)
-_JAVA_IMPORT = re.compile(r"^[ \t]*(import\s+[\w.*]+\s*;)", re.MULTILINE)
+# a method_declaration always has a return TYPE + name; these keywords in
+# either slot mean the match is control flow / a statement, not a method
+_JAVA_NON_TYPES = {"new", "return", "throw", "else", "if", "while", "for",
+                   "switch", "catch", "do", "try"}
+_JAVA_IMPORT = re.compile(r"^[ \t]*(import\s+(?:static\s+)?[\w.*]+\s*;)",
+                          re.MULTILINE)
 
 
 def _extract_java(content: str) -> dict[str, list[dict[str, Any]]]:
@@ -125,10 +132,23 @@ def _extract_java(content: str) -> dict[str, list[dict[str, Any]]]:
         "functions": [], "classes": [], "imports": [], "interfaces": [],
         "enums": [],
     }
+    mods = {"public", "private", "protected", "static", "final",
+            "abstract", "synchronized"}
     for m, line in _finditer_lines(_JAVA_METHOD, content):
+        name = m.group(2)
+        head = m.group(0)[: m.group(0).rindex("(")]
+        toks = re.findall(r"<[^<>]*>|[\w.\[\]<>]+", head)
+        pre = toks[:-1]  # tokens before the name
+        if any(t in _JAVA_NON_TYPES for t in toks):
+            continue
+        # a method_declaration always has a RETURN TYPE before the name;
+        # only modifiers before the name means this is a constructor
+        # (constructor_declaration — a node the reference visitor skips)
+        if not [t for t in pre if t not in mods and not t.startswith("<")]:
+            continue
         symbols["functions"].append({
-            "name": m.group(2), "line": line,
-            "modifiers": (m.group(1) or "").split()})
+            "name": name, "line": line,
+            "modifiers": [t for t in pre if t in mods]})
     for m, line in _finditer_lines(_JAVA_CLASS, content):
         symbols["classes"].append({"name": m.group(2), "line": line})
     for m, line in _finditer_lines(_JAVA_INTERFACE, content):
@@ -151,6 +171,15 @@ _GO_IMPORT_ONE = re.compile(r'^import\s+(?:\w+\s+)?"([^"]+)"', re.MULTILINE)
 _GO_IMPORT_BLOCK = re.compile(r"^import\s*\(\s*\n(.*?)\)", re.MULTILINE | re.DOTALL)
 _GO_IMPORT_LINE = re.compile(r'(?:\w+\s+)?"([^"]+)"')
 _GO_CONST = re.compile(r"^const\s+([A-Za-z_]\w*)", re.MULTILINE)
+# grouped declarations: type ( A struct{..}; B interface{..} ) and
+# const ( A = 1; B = 2 ) — tree-sitter iterates the type_spec/const_spec
+# children, so every member must be captured, not just inline forms
+_GO_TYPE_BLOCK = re.compile(r"^type\s*\(\s*\n(.*?)^\)", re.MULTILINE | re.DOTALL)
+_GO_TYPE_SPEC = re.compile(r"^[ \t]*([A-Za-z_]\w*)\s+(struct|interface|\S+)",
+                           re.MULTILINE)
+_GO_CONST_BLOCK = re.compile(r"^const\s*\(\s*\n(.*?)^\)",
+                             re.MULTILINE | re.DOTALL)
+_GO_CONST_SPEC = re.compile(r"^[ \t]*([A-Za-z_]\w*)\b", re.MULTILINE)
 
 
 def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
@@ -174,13 +203,30 @@ def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
             symbols["imports"].append({"statement": im.group(1), "line": line})
     for m, line in _finditer_lines(_GO_CONST, content):
         symbols["constants"].append({"name": m.group(1), "line": line})
+    for m, line in _finditer_lines(_GO_TYPE_BLOCK, content):
+        base = line
+        body = m.group(1)
+        for sm in _GO_TYPE_SPEC.finditer(body):
+            ln = base + body.count("\n", 0, sm.start()) + 1
+            entry = {"name": sm.group(1), "line": ln}
+            if sm.group(2) == "interface":
+                symbols["interfaces"].append(entry)
+            else:
+                symbols["types"].append(entry)
+    for m, line in _finditer_lines(_GO_CONST_BLOCK, content):
+        base = line
+        body = m.group(1)
+        for sm in _GO_CONST_SPEC.finditer(body):
+            ln = base + body.count("\n", 0, sm.start()) + 1
+            symbols["constants"].append({"name": sm.group(1), "line": ln})
     return symbols
 
 
 # --- rust ----------------------------------------------------------------------
 
 _RUST_FN = re.compile(
-    r"^[ \t]*(?:pub(?:\([^)]*\))?\s+)?(async\s+)?(?:unsafe\s+)?fn\s+"
+    r"^[ \t]*(?:pub(?:\([^)]*\))?\s+)?(?:default\s+)?(?:const\s+)?"
+    r"(async\s+)?(?:unsafe\s+)?(?:extern\s+\"[^\"]*\"\s+)?fn\s+"
     r"([A-Za-z_]\w*)", re.MULTILINE)
 _RUST_STRUCT = re.compile(
     r"^[ \t]*(?:pub(?:\([^)]*\))?\s+)?struct\s+([A-Za-z_]\w*)", re.MULTILINE)
@@ -214,7 +260,7 @@ def _extract_rust(content: str) -> dict[str, list[dict[str, Any]]]:
 # --- c / c++ -------------------------------------------------------------------
 
 _C_FUNC = re.compile(
-    r"^[A-Za-z_][\w:<>,\s*&]*?[\s*&]([A-Za-z_]\w*)\s*\([^;{)]*\)\s*"
+    r"^[A-Za-z_][\w:<>,\s*&]*?[\s*&:]([A-Za-z_]\w*)\s*\([^;{)]*\)\s*"
     r"(?:const\s*)?\{", re.MULTILINE)
 _C_STRUCT = re.compile(r"\bstruct\s+([A-Za-z_]\w*)\s*[{;:]")
 _C_CLASS = re.compile(r"\bclass\s+([A-Za-z_]\w*)\s*[{;:]")

@@ -154,3 +154,176 @@ class TestSparkTables:
         langs = {r["language"] for r in rows}
         assert {"typescript", "go", "rust", "java", "c", "python"} <= langs
         assert {r["rel"] for r in rows} == {"defines", "imports"}
+
+
+class TestTreesitterParityCases:
+    """Round 3 (VERDICT #6): ~25 per-language extraction cases ported from
+    the reference visitor semantics (extractors_treesitter.py:299-597).
+    Where our regex grammar is a documented SUPERSET (reference quirks that
+    lose symbols), the case says so inline."""
+
+    def _sym(self, path, src):
+        from hades_spark.textcore.polyglot import extract_symbols
+
+        return extract_symbols(path, src)["symbols"]
+
+    # --- javascript / typescript (:299-367) ---------------------------
+    def test_js_generator_flag(self):
+        s = self._sym("a.js", "function* gen() { yield 1; }\n")
+        assert s["functions"] == [
+            {"name": "gen", "line": 1, "async": False, "generator": True}]
+
+    def test_js_async_function(self):
+        s = self._sym("a.js", "async function load() {}\n")
+        f = s["functions"][0]
+        assert (f["name"], f["async"]) == ("load", True)
+
+    def test_js_nested_function_captured(self):
+        src = "function outer() {\n  function inner() {}\n}\n"
+        names = {f["name"] for f in self._sym("a.js", src)["functions"]}
+        assert names == {"outer", "inner"}  # recursive traverse (:363-365)
+
+    def test_js_class_methods_not_functions(self):
+        # method_definition has no handler in the reference visitor
+        src = "class A {\n  render() {}\n  async tick() {}\n}\n"
+        s = self._sym("a.js", src)
+        assert s["functions"] == []
+        assert [c["name"] for c in s["classes"]] == ["A"]
+
+    def test_js_class_extends(self):
+        s = self._sym("a.js", "class B extends Base.Core {}\n")
+        assert s["classes"] == [
+            {"name": "B", "line": 1, "extends": "Base.Core"}]
+
+    def test_js_class_expression_not_captured(self):
+        # class_declaration only (:326); class EXPRESSIONS are a different
+        # node type
+        s = self._sym("a.js", "const A = class extends B {};\n")
+        assert s["classes"] == []
+
+    def test_ts_generic_type_alias(self):
+        s = self._sym("a.ts", "export type Pair<T> = [T, T];\n")
+        assert s["types"] == [{"name": "Pair", "line": 1}]
+
+    def test_ts_generic_interface(self):
+        s = self._sym("a.ts", "interface Box<T> extends Base<T> {}\n")
+        assert s["interfaces"] == [{"name": "Box", "line": 1}]
+
+    def test_js_arrow_single_param(self):
+        s = self._sym("a.js", "const f = async x => x + 1;\n")
+        f = s["functions"][0]
+        assert (f["name"], f["async"]) == ("f", True)
+
+    # --- java (:369-425) ----------------------------------------------
+    def test_java_package_private_method(self):
+        # method_declaration has no modifier requirement (:383-390)
+        src = "class A {\n    void run() {\n    }\n}\n"
+        s = self._sym("A.java", src)
+        assert s["functions"] == [
+            {"name": "run", "line": 2, "modifiers": []}]
+
+    def test_java_generic_method(self):
+        src = "class A {\n    public <T> T id(T x) {\n        return x;\n    }\n}\n"
+        f = self._sym("A.java", src)["functions"]
+        assert [(x["name"], x["modifiers"]) for x in f] == \
+            [("id", ["public"])]
+
+    def test_java_constructor_not_captured(self):
+        # constructor_declaration is a distinct node the visitor skips
+        src = "public class App {\n    public App() {\n    }\n}\n"
+        assert self._sym("App.java", src)["functions"] == []
+
+    def test_java_nested_class(self):
+        src = "public class Outer {\n    static class Inner {\n    }\n}\n"
+        names = [c["name"] for c in self._sym("O.java", src)["classes"]]
+        assert names == ["Outer", "Inner"]
+
+    def test_java_control_flow_not_methods(self):
+        src = ("class A {\n    int f(int x) {\n        if (x > 0) {\n"
+               "        }\n        while (x > 0) {\n        }\n"
+               "        return new Thread() {\n        }.hashCode();\n"
+               "    }\n}\n")
+        names = [f["name"] for f in self._sym("A.java", src)["functions"]]
+        assert names == ["f"]
+
+    def test_java_static_import(self):
+        s = self._sym("A.java", "import static java.util.List.of;\nclass A {}\n")
+        assert s["imports"] == [
+            {"statement": "import static java.util.List.of;", "line": 1}]
+
+    # --- go (:427-478) --------------------------------------------------
+    def test_go_grouped_type_block(self):
+        # type_declaration -> every type_spec child (:446-454)
+        src = ("package p\n\ntype (\n\tPool struct{}\n"
+               "\tRunner interface{}\n\tID int64\n)\n")
+        s = self._sym("p.go", src)
+        assert [(t["name"], t["line"]) for t in s["types"]] == \
+            [("Pool", 4), ("ID", 6)]
+        assert [(t["name"], t["line"]) for t in s["interfaces"]] == \
+            [("Runner", 5)]
+
+    def test_go_grouped_const_block(self):
+        # const_declaration -> every const_spec child (:462-470)
+        src = "package p\n\nconst (\n\tMaxSize = 10\n\tMinSize = 1\n)\n"
+        s = self._sym("p.go", src)
+        assert [(c["name"], c["line"]) for c in s["constants"]] == \
+            [("MaxSize", 4), ("MinSize", 5)]
+
+    def test_go_inline_type_and_const(self):
+        src = "package p\n\ntype Graph struct{}\n\nconst K = 1\n"
+        s = self._sym("p.go", src)
+        assert [t["name"] for t in s["types"]] == ["Graph"]
+        assert [c["name"] for c in s["constants"]] == ["K"]
+
+    def test_go_receiver_method_superset(self):
+        # documented SUPERSET: tree-sitter-go puts methods in
+        # method_declaration nodes the reference visitor never handles
+        # (:440 handles function_declaration only) — we capture them WITH
+        # the receiver, which is strictly more useful
+        src = "package p\n\nfunc (p *Pool) Acquire() error {\n\treturn nil\n}\n"
+        f = self._sym("p.go", src)["functions"][0]
+        assert (f["name"], f["receiver"]) == ("Acquire", "p *Pool")
+
+    # --- rust (:480-536) -------------------------------------------------
+    def test_rust_const_fn(self):
+        s = self._sym("l.rs", "pub const fn new() -> Self { Self {} }\n")
+        assert [f["name"] for f in s["functions"]] == ["new"]
+
+    def test_rust_async_unsafe_fn(self):
+        s = self._sym("l.rs", "pub async unsafe fn go() {}\n")
+        f = s["functions"][0]
+        assert (f["name"], f["async"]) == ("go", True)
+
+    def test_rust_pub_crate_fn(self):
+        s = self._sym("l.rs", "pub(crate) fn helper() {}\n")
+        assert [f["name"] for f in s["functions"]] == ["helper"]
+
+    def test_rust_impl_methods_captured(self):
+        # function_item inside impl blocks: recursive traverse (:532-534)
+        src = "impl Graph {\n    pub fn nodes(&self) -> usize { 0 }\n}\n"
+        assert [f["name"] for f in self._sym("l.rs", src)["functions"]] \
+            == ["nodes"]
+
+    def test_rust_use_with_braces(self):
+        s = self._sym("l.rs", "use std::{collections::HashMap, fmt};\n")
+        assert s["imports"] == [
+            {"statement": "use std::{collections::HashMap, fmt};",
+             "line": 1}]
+
+    # --- c / c++ (:538-597) -----------------------------------------------
+    def test_cpp_qualified_method_definition(self):
+        s = self._sym("f.cpp", "void Foo::bar() {\n}\n")
+        assert [f["name"] for f in s["functions"]] == ["bar"]
+
+    def test_c_object_and_function_macros(self):
+        # reference handles preproc_def only (:585-591); capturing
+        # function-like macros too is a documented superset
+        src = "#define MAX_N 10\n#define SQ(x) ((x)*(x))\n"
+        names = [d["name"] for d in self._sym("f.c", src)["defines"]]
+        assert names == ["MAX_N", "SQ"]
+
+    def test_cpp_struct_and_class_specifiers(self):
+        src = "struct Node { int v; };\nclass Tree : public Base {\n};\n"
+        s = self._sym("f.cpp", src)
+        assert [x["name"] for x in s["structs"]] == ["Node"]
+        assert [x["name"] for x in s["classes"]] == ["Tree"]
