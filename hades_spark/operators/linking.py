@@ -18,6 +18,15 @@ candidate, else the first. Re-expressed Spark-first:
 The catalog is broadcast (small dim vs web-scale mentions), so the whole
 resolution is map-side: no shuffle of the mention table until the final
 window, which partitions by mention_id (well-distributed key).
+
+**Catalog-exceeds-broadcast fallback** (``broadcast_catalog=False``): when
+the entity catalog itself is web-scale (larger than executor memory allows
+broadcasting), the ladder is restated as ONE shuffle-hash join: both sides
+are MELTED to (key, strategy) rows — (exact surface, 1), (normalized, 2),
+(bare name, 3) — and joined on (key, strategy), so the mention table
+shuffles once on a well-distributed string key instead of three times
+(one per strategy). Candidates, scoring, and the top-1 window are
+identical between modes (asserted by tests).
 """
 
 from __future__ import annotations
@@ -48,11 +57,14 @@ def link_mentions(
     entity_source: str = "source",
     dim: int = 64,
     min_score: float = 0.0,
+    broadcast_catalog: bool = True,
 ) -> DataFrame:
     """-> (mention_id, surface, entity_id, strategy, score).
 
     Unlinkable mentions (no candidate on any strategy) are absent from the
-    output — callers left-join if they need nulls.
+    output — callers left-join if they need nulls. Set
+    ``broadcast_catalog=False`` when the catalog exceeds broadcastable
+    size (see module docstring: single melted shuffle-hash join).
     """
     men = mentions.select(
         F.col(mention_id).alias("_mid"),
@@ -68,16 +80,43 @@ def link_mentions(
         normalize_surface_col(F.col(entity_name)).alias("_enorm"),
         _bare_name_col(F.col(entity_name)).alias("_ebare"),
     )
-    cat = F.broadcast(cat)
-
-    # strategy ladder: 1 exact surface, 2 normalized surface, 3 bare name
-    c1 = men.join(cat, men._surface == cat._ename).withColumn(
-        "strategy", F.lit(1))
-    c2 = men.join(cat, men._mnorm == cat._enorm).withColumn(
-        "strategy", F.lit(2))
-    c3 = men.join(cat, men._mbare == cat._ebare).withColumn(
-        "strategy", F.lit(3))
-    cands = c1.unionByName(c2).unionByName(c3)
+    if broadcast_catalog:
+        cat = F.broadcast(cat)
+        # strategy ladder: 1 exact surface, 2 normalized, 3 bare name —
+        # three MAP-SIDE joins, zero shuffles of the mention table
+        c1 = men.join(cat, men._surface == cat._ename).withColumn(
+            "strategy", F.lit(1))
+        c2 = men.join(cat, men._mnorm == cat._enorm).withColumn(
+            "strategy", F.lit(2))
+        c3 = men.join(cat, men._mbare == cat._ebare).withColumn(
+            "strategy", F.lit(3))
+        cands = c1.unionByName(c2).unionByName(c3)
+    else:
+        # melted single-shuffle ladder: one (key, strategy) equi-join
+        men_m = men.select(
+            "_mid", "_surface", "_msrc",
+            F.explode(F.array(
+                F.struct(F.col("_surface").alias("_key"),
+                         F.lit(1).alias("strategy")),
+                F.struct(F.col("_mnorm").alias("_key"),
+                         F.lit(2).alias("strategy")),
+                F.struct(F.col("_mbare").alias("_key"),
+                         F.lit(3).alias("strategy")),
+            )).alias("_k"),
+        ).select("_mid", "_surface", "_msrc", "_k._key", "_k.strategy")
+        cat_m = cat.select(
+            "_eid", "_ename", "_esrc",
+            F.explode(F.array(
+                F.struct(F.col("_ename").alias("_key"),
+                         F.lit(1).alias("strategy")),
+                F.struct(F.col("_enorm").alias("_key"),
+                         F.lit(2).alias("strategy")),
+                F.struct(F.col("_ebare").alias("_key"),
+                         F.lit(3).alias("strategy")),
+            )).alias("_k"),
+        ).select("_eid", "_ename", "_esrc", "_k._key", "_k.strategy")
+        cands = men_m.join(cat_m.hint("SHUFFLE_HASH"),
+                           ["_key", "strategy"]).drop("_key")
 
     emb = HashEmbedder(dim)
 

@@ -213,6 +213,66 @@ def verified_pairs(
     )
 
 
+def verified_pairs_touching(
+    df: DataFrame,
+    id_col: str,
+    shingle_expr,
+    touch_ids: DataFrame,
+    threshold: float,
+    metric: str = "containment",
+    num_hashes: int = 16,
+    bands: int = 16,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """``verified_pairs`` restricted to pairs with >= 1 endpoint in
+    ``touch_ids`` (single column named like ``id_col``) — the INCREMENTAL
+    canonicalization candidate generator: only LSH buckets CONTAINING a
+    touch id are self-joined, so adding a small batch of new ids never
+    re-pairs the whole vocabulary. Bucket-size caps are computed over the
+    FULL bucket contents (all rows of the touched buckets), so the pairs
+    emitted here are exactly the touch-adjacent subset of what a full
+    ``verified_pairs`` run over ``df`` emits — the invariant that makes
+    incremental == full-rebuild."""
+    keyed = df.select(F.col(id_col).alias("_id"), shingle_expr.alias("sh")) \
+              .filter(F.size("sh") > 0).localCheckpoint(eager=False)
+    buckets = lsh_buckets(keyed, "_id", "sh",
+                          num_hashes=num_hashes, bands=bands)
+    touch = touch_ids.select(F.col(touch_ids.columns[0]).alias("_id")) \
+                     .dropDuplicates(["_id"])
+    keys = buckets.join(touch, "_id", "left_semi") \
+                  .select("band", "bh").dropDuplicates(["band", "bh"])
+    pruned = buckets.join(keys, ["band", "bh"], "left_semi")
+    counted = pruned.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    left = counted.select("band", "bh", F.col("_id").alias("a"))
+    right = counted.select("band", "bh", F.col("_id").alias("b"))
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").dropDuplicates(["a", "b"])
+    )
+    ta = pairs.join(touch.withColumnRenamed("_id", "a"), "a", "left_semi")
+    tb = pairs.join(touch.withColumnRenamed("_id", "b"), "b", "left_semi")
+    pairs = ta.unionByName(tb).dropDuplicates(["a", "b"])
+
+    a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = keyed.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    if metric == "jaccard":
+        score = inter / F.size(F.array_union("sh_a", "sh_b"))
+    elif metric == "containment":
+        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
 def verified_jaccard_pairs(df, id_col, shingle_expr, threshold,
                            num_hashes: int = 32, bands: int = 8,
                            max_bucket_size: int = 200) -> DataFrame:

@@ -287,7 +287,7 @@ def _default_pair_scorer(pairs):
 def crossencoder_rerank(
     hits: DataFrame,
     query_text: str,
-    limit: int = 10,
+    limit: int | None = 10,
     text_col: str = "text",
     join_cols: tuple[str, ...] = ("doc_id", "chunk_index"),
     scorer=None,
@@ -296,7 +296,10 @@ def crossencoder_rerank(
     (query, passage) pairs TOGETHER in Arrow batches, sort by the pair
     score, cut to ``limit``. ``scorer`` is the model seam — a callable
     ``list[(q, passage)] -> list[float]``; the default is a deterministic
-    lexical-interaction stand-in (documented stub)."""
+    lexical-interaction stand-in (documented stub). ``limit=None`` scores
+    without the order/cut (NEVER pass a huge sentinel limit instead:
+    TakeOrderedAndProject eagerly allocates a limit-sized top-k buffer
+    per partition)."""
     score_fn = scorer or _default_pair_scorer
 
     @F.pandas_udf("double")
@@ -304,10 +307,13 @@ def crossencoder_rerank(
         return pd.Series(
             score_fn([(query_text, t or "") for t in texts]))
 
+    scored = hits.withColumn(
+        "cross_encoder_score",
+        F.round(_pair_score(F.col(text_col)), 4))
+    if limit is None:
+        return scored
     return (
-        hits.withColumn(
-            "cross_encoder_score",
-            F.round(_pair_score(F.col(text_col)), 4))
+        scored
         .orderBy(F.desc("cross_encoder_score"),
                  *[F.asc(c) for c in join_cols])
         .limit(limit)

@@ -1,0 +1,241 @@
+"""Incremental KG maintenance (stage-2): fold new pages into an existing
+canonical map + edge table WITHOUT re-extracting or re-pairing old pages.
+
+Round-2 streaming covered stage-1 only (``streaming/kg_stream.py``); new
+pages previously forced a full canonical-map recompute. This module keeps a
+persistent state directory and applies the watermark-batch update the
+north rule's resumable-pipeline contract implies:
+
+  <state_dir>/raw/    (url, pred, confidence, subj_norm, obj_norm)
+  <state_dir>/pairs/  (a, b)   verified NORM alias pairs (the CC input)
+  <state_dir>/cmap/   (norm, canonical_id)
+  <state_dir>/edges/  (subj, pred, obj, edge_key, confidence, url, support)
+
+``incremental_update``:
+  1. extract triples from the NEW pages only (the expensive stage never
+     re-runs on old pages);
+  2. generate alias pairs TOUCHING a new norm via bucket-pruned LSH
+     (``verified_pairs_touching``) — old-old pairs come from state;
+  3. recompute connected components ONLY for affected components (old
+     components adjacent to a new pair, plus new norms) — a new norm can
+     legitimately MERGE two previously-separate components;
+  4. rewrite ONLY the affected edge keys: rows whose norms changed
+     canonical id (old components relabeled) plus the new rows — via a
+     pred-partitioned ``upsert_by_key`` (only affected pred partitions are
+     rewritten) + key-level delete for edges dissolved by a component
+     merge (rare; rewrites the table, the price of MERGE without a real
+     catalog).
+
+INVARIANT (tested e2e + hash-verified by the ``i2_incremental_kg``
+oracle): after any sequence of updates, the edge table is byte-identical
+to a full rebuild over all pages — provided the LSH bucket cap never
+binds differently between the incremental and full candidate runs (both
+cap on full bucket contents; a bucket crossing the cap BETWEEN updates is
+the one divergence source, same caveat the reference's seen-set dedup has
+on re-imports).
+
+Reference seams: ``nl_graph_materialize.py:366-387`` (onDuplicate=replace
+idempotent load), ``sync.py:496-543`` (watermark + anti-join dedup of new
+documents).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.keys import edge_content_key_col
+from ..functions.triples import raw_triples
+from ..operators.canonicalize import normalize_surface_col
+from ..operators.components import alternating_components
+from ..operators.lsh import char_shingles, verified_pairs, \
+    verified_pairs_touching
+from ..sources.io import delete_where, upsert_by_key, write_table
+
+
+_LSH = dict(num_hashes=16, bands=16, max_bucket_size=500)
+
+
+def _norm_raw(pages: DataFrame) -> DataFrame:
+    return raw_triples(pages).select(
+        "url", "pred", "confidence",
+        normalize_surface_col(F.col("subj")).alias("subj_norm"),
+        normalize_surface_col(F.col("obj")).alias("obj_norm"),
+    )
+
+
+def _norms_of(raw: DataFrame) -> DataFrame:
+    return (
+        raw.select(F.explode(F.array("subj_norm", "obj_norm")).alias("norm"))
+        .dropDuplicates(["norm"])
+        .withColumn("squash", F.regexp_replace("norm", " ", ""))
+        .filter(F.length("squash") > 0)
+    )
+
+
+def _cmap_from_pairs(norms: DataFrame, pairs: DataFrame) -> DataFrame:
+    comp = alternating_components(pairs.select("a", "b"), "a", "b")
+    return (
+        norms.join(comp, norms.norm == comp.node, "left")
+        .select("norm",
+                F.coalesce("component", F.col("norm")).alias("canonical_id"))
+    )
+
+
+def _edges_for(raw: DataFrame, cmap: DataFrame) -> DataFrame:
+    """raw triples + canonical map -> aggregated edge rows (the
+    ``distinct_edges`` contract: max confidence, min url, support)."""
+    c = F.broadcast(cmap)
+    subj_map = c.select(F.col("norm").alias("subj_norm"),
+                        F.col("canonical_id").alias("subj_id"))
+    obj_map = c.select(F.col("norm").alias("obj_norm"),
+                       F.col("canonical_id").alias("obj_id"))
+    mapped = (
+        raw.join(subj_map, "subj_norm", "left")
+        .join(obj_map, "obj_norm", "left")
+        .select(
+            F.coalesce("subj_id", "subj_norm").alias("subj"), "pred",
+            F.coalesce("obj_id", "obj_norm").alias("obj"),
+            "url", "confidence")
+        .withColumn("edge_key", edge_content_key_col(
+            F.col("subj"), F.col("obj"), F.col("pred")))
+    )
+    return mapped.groupBy("subj", "pred", "obj", "edge_key").agg(
+        F.max("confidence").alias("confidence"),
+        F.min("url").alias("url"),
+        F.count("*").alias("support"),
+    )
+
+
+def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
+               threshold: float = 0.8) -> None:
+    """Full build of the state directory from an initial page batch."""
+    raw = _norm_raw(pages)
+    write_table(raw, f"{state_dir}/raw")
+    raw = spark.read.parquet(f"{state_dir}/raw")
+    norms = _norms_of(raw)
+    pairs = verified_pairs(
+        norms, "norm", char_shingles(F.col("squash"), 3),
+        threshold=threshold, metric="containment", **_LSH,
+    ).select("a", "b")
+    write_table(pairs, f"{state_dir}/pairs")
+    pairs = spark.read.parquet(f"{state_dir}/pairs")
+    cmap = _cmap_from_pairs(norms, pairs)
+    write_table(cmap, f"{state_dir}/cmap")
+    cmap = spark.read.parquet(f"{state_dir}/cmap")
+    write_table(_edges_for(raw, cmap), f"{state_dir}/edges",
+                partition_by=["pred"])
+
+
+def incremental_update(spark: SparkSession, new_pages: DataFrame,
+                       state_dir: str, threshold: float = 0.8) -> dict:
+    """Fold ``new_pages`` into the state; returns update stats."""
+    if not Path(state_dir, "raw").exists():
+        init_state(spark, new_pages, state_dir, threshold)
+        n = spark.read.parquet(f"{state_dir}/edges").count()
+        return {"initialized": True, "edges": n}
+
+    new_raw = _norm_raw(new_pages).localCheckpoint(eager=True)
+    old_raw = spark.read.parquet(f"{state_dir}/raw")
+    old_pairs = spark.read.parquet(f"{state_dir}/pairs")
+    old_cmap = spark.read.parquet(f"{state_dir}/cmap")
+
+    # 2. alias pairs touching a NEW norm, over the union vocabulary —
+    # bucket-pruned LSH; old-old pairs come from state
+    new_norms = _norms_of(new_raw) \
+        .join(old_cmap.select("norm"), "norm", "left_anti") \
+        .localCheckpoint(eager=True)
+    union_norms = _norms_of(old_raw.unionByName(new_raw)) \
+        .localCheckpoint(eager=False)
+    touching = verified_pairs_touching(
+        union_norms, "norm", char_shingles(F.col("squash"), 3),
+        new_norms.select("norm"),
+        threshold=threshold, metric="containment", **_LSH,
+    ).select("a", "b")
+    merged_pairs = old_pairs.unionByName(touching) \
+        .dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+
+    # 3. recompute ONLY affected components: old components adjacent to a
+    # new pair (either endpoint — pairs never span components), plus the
+    # new norms themselves
+    ids_of_new_pairs = touching.select(
+        F.explode(F.array("a", "b")).alias("norm")).dropDuplicates(["norm"])
+    affected_ids = old_cmap.join(ids_of_new_pairs, "norm", "left_semi") \
+        .select("canonical_id").dropDuplicates(["canonical_id"])
+    affected_old = old_cmap.join(affected_ids, "canonical_id", "left_semi") \
+        .select("norm")
+    sub_norms = affected_old.unionByName(new_norms.select("norm")) \
+        .dropDuplicates(["norm"]).localCheckpoint(eager=True)
+    sub_pairs = merged_pairs.join(
+        sub_norms.withColumnRenamed("norm", "a"), "a", "left_semi")
+    sub_cmap = _cmap_from_pairs(sub_norms, sub_pairs)
+
+    new_cmap = (
+        old_cmap.join(sub_norms, "norm", "left_anti")
+        .unionByName(sub_cmap)
+        .localCheckpoint(eager=True)
+    )
+
+    # 4. rewrite only affected edge keys: rows touching a norm whose
+    # canonical changed (old relabeled components) or a new norm, plus
+    # every row mapping onto one of those NEW keys (support must count
+    # ALL contributors)
+    changed = (
+        old_cmap.withColumnRenamed("canonical_id", "_old")
+        .join(new_cmap.withColumnRenamed("canonical_id", "_new"), "norm")
+        .filter(~F.col("_old").eqNullSafe(F.col("_new")))
+        .select("norm")
+        .unionByName(new_norms.select("norm"))
+        .dropDuplicates(["norm"])
+        .localCheckpoint(eager=True)
+    )
+    all_raw = old_raw.unionByName(new_raw)
+
+    def touching_rows(raw, norms):
+        # exact row partition (semi + anti∘semi), NEVER dropDuplicates:
+        # legitimately repeated raw rows must keep their multiplicity or
+        # the recomputed support counts drift from a full rebuild
+        sn = norms.withColumnRenamed("norm", "subj_norm")
+        on = norms.withColumnRenamed("norm", "obj_norm")
+        via_subj = raw.join(sn, "subj_norm", "left_semi")
+        via_obj_only = raw.join(sn, "subj_norm", "left_anti") \
+                          .join(on, "obj_norm", "left_semi")
+        return via_subj.unionByName(via_obj_only)
+
+    # key sources: rows touching a relabeled norm PLUS every new raw row —
+    # a new row over entirely-old norms still increments the support of an
+    # existing edge key, so that key must be re-aggregated too
+    key_source = touching_rows(all_raw, changed).unionByName(new_raw)
+    new_keys = _edges_for(key_source, new_cmap) \
+        .select("edge_key").dropDuplicates(["edge_key"])
+    # recompute those keys over ALL rows (support counts every contributor)
+    mapped_all = _edges_for(all_raw, new_cmap)
+    recomputed = mapped_all.join(new_keys, "edge_key", "left_semi") \
+        .localCheckpoint(eager=True)
+
+    # old keys derived from the same rows under the OLD map that no longer
+    # exist must be deleted (a merge relabels subj/obj -> new edge_key)
+    affected_rows_old = touching_rows(old_raw, changed)
+    old_keys = _edges_for(affected_rows_old, old_cmap) \
+        .select("edge_key").dropDuplicates(["edge_key"])
+    dead_keys = [r["edge_key"] for r in
+                 old_keys.join(new_keys, "edge_key", "left_anti").collect()]
+    if dead_keys:
+        delete_where(spark, f"{state_dir}/edges",
+                     F.col("edge_key").isin(dead_keys),
+                     partition_by=["pred"])
+    upsert_by_key(spark, recomputed, f"{state_dir}/edges", ["edge_key"],
+                  partition_by=["pred"])
+
+    # persist the grown state (append raw; overwrite pairs/cmap)
+    write_table(new_raw, f"{state_dir}/raw", mode="append")
+    write_table(merged_pairs, f"{state_dir}/pairs")
+    write_table(new_cmap, f"{state_dir}/cmap")
+    return {
+        "initialized": False,
+        "new_norms": new_norms.count(),
+        "changed_norms": changed.count(),
+        "edges_rewritten": recomputed.count(),
+        "edges_deleted": len(dead_keys),
+    }

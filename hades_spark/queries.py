@@ -863,6 +863,35 @@ def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
                                   stage_dir=_KG_STAGE)
 
 
+_I2_STATE = f"{STAGE_ROOT}/hades_i2_kg_state"
+
+
+@register("i2_incremental_kg", _kg_oracle(_I2_STATE))
+def i2_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental KG maintenance (stage-2): build state from the first 120
+    # corpus pages, fold pages 120..170 in via incremental_update (bucket-
+    # pruned touching-pair LSH, affected-component CC, key-scoped edge
+    # upsert), return the MAINTAINED edge table. The oracle recomputes a
+    # FULL rebuild tail (recursive-CTE CC over the state's pairs, canonical
+    # join, sha256 keys, distinct-edge agg) from the state's raw + pairs —
+    # hash equality proves incremental maintenance == full rebuild.
+    import shutil
+
+    from .pipeline.corpus import gen_pages
+    from .pipeline.incremental_kg import incremental_update, init_state
+    from .schemas import PAGES
+
+    shutil.rmtree(_I2_STATE, ignore_errors=True)
+    pages = gen_pages(170, seed=42, compute_text=False)
+    rows = [(p.url, p.warc_ts, p.html, None, p.lang) for p in pages]
+    init_state(spark, spark.createDataFrame(rows[:120], PAGES), _I2_STATE)
+    incremental_update(spark, spark.createDataFrame(rows[120:], PAGES),
+                       _I2_STATE)
+    edges = spark.read.parquet(f"{_I2_STATE}/edges")
+    return edges.select("subj", "pred", "obj", "edge_key",
+                        "confidence", "url", "support")
+
+
 _LINK_STAGE = f"{STAGE_ROOT}/hades_link_oracle_stage"
 
 _LINK_ORACLE = f"""
@@ -1182,6 +1211,7 @@ def j10(spark: SparkSession, sf: str) -> DataFrame:
     dst_row = ordd.filter(F.col("rn") == 4).first()
     dst = dst_row["o_orderkey"] if dst_row else -1
     n = shortest_path_length(edges, src, dst, max_depth=8)
+    ordd.unpersist()  # result is a literal row; don't pin cache all session
     return spark.createDataFrame(
         [( int(n) if n is not None else None, )], "path_len int")
 
@@ -1429,6 +1459,7 @@ def a7(spark: SparkSession, sf: str) -> DataFrame:
     embed_text_column(tokens, "token", "embedding", dim=16) \
         .select("doc_id", "chunk_index", "embedding") \
         .write.mode("overwrite").parquet(f"{_POOL_STAGE}/token_embeddings")
+    chunks.unpersist()  # staged bytes carry the tail from here
 
     # distributed pooling in float64 DataFrame ops over the staged token
     # table (per-dim mean -> L2 norm -> normalized components), the exact
@@ -1676,9 +1707,13 @@ def t3_full(spark: SparkSession, sf: str) -> DataFrame:
     ce_in = spark.read.parquet(f"{_T3_STAGE}/hits") \
         .join(chunks, ["doc_id", "chunk_index"]) \
         .select("doc_id", "chunk_index", "text")
-    crossencoder_rerank(ce_in, _T3_QUERY, limit=1_000_000_000) \
+    crossencoder_rerank(ce_in, _T3_QUERY, limit=None) \
         .select("doc_id", "chunk_index", "cross_encoder_score") \
         .write.mode("overwrite").parquet(f"{_T3_STAGE}/ce_scores")
+    # every artifact is on disk now; the tail reads staged bytes only —
+    # release the caches or a 60+-query session accumulates to heap OOM
+    emb.unpersist()
+    chunks.unpersist()
 
     # --- distributed tail over the staged bytes (the DuckDB twin's input)
     hits = spark.read.parquet(f"{_T3_STAGE}/hits") \
@@ -1720,6 +1755,9 @@ def t3_full(spark: SparkSession, sf: str) -> DataFrame:
             F.round("fused_score", 4).alias("fused_score"),
             F.round("structural_score", 4).alias("structural_score"),
             "anchor_fused_score", "cross_encoder_score", "n_context")
+        # the context join is unordered; the cascade's documented output
+        # order is the cross-encoder stage's
+        .orderBy(F.desc("cross_encoder_score"), "doc_id", "chunk_index")
     )
 
 

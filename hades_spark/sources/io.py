@@ -281,9 +281,13 @@ def _recover_partitions(p: Path) -> None:
             shutil.rmtree(bak, ignore_errors=True)
 
 
-def delete_where(spark: SparkSession, path: str, condition) -> None:
+def delete_where(spark: SparkSession, path: str, condition,
+                 partition_by: list[str] | None = None) -> None:
     """Row-level delete (``DELETE FROM tbl WHERE ...`` — S8 semantics):
-    rewrite the table without matching rows, atomic swap."""
+    rewrite the table without matching rows, atomic swap. Pass
+    ``partition_by`` for partitioned tables — the rewrite must keep the
+    directory layout or later partition-scoped upserts would merge against
+    a flattened table."""
     p = Path(path)
     _recover_table(p)
     if not p.exists():
@@ -294,7 +298,10 @@ def delete_where(spark: SparkSession, path: str, condition) -> None:
     remaining = spark.read.parquet(path).filter(
         ~F.coalesce(condition, F.lit(False)))
     tmp = str(p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}")
-    remaining.write.mode("overwrite").parquet(tmp)
+    w = remaining.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
     bak = str(p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}")
     p.rename(bak)
     Path(tmp).rename(p)

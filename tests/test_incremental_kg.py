@@ -1,0 +1,95 @@
+"""Incremental KG maintenance (stage-2): incremental == full rebuild."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from hades_spark.pipeline.incremental_kg import incremental_update, init_state
+from hades_spark.schemas import PAGES
+
+
+def _page(i, sentence):
+    import datetime as dt
+
+    html = f"<html><body><p>{sentence}</p></body></html>".encode()
+    return (f"https://t.example/{i}.html",
+            dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc), html, None, "en")
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame([_page(i, s) for i, s in rows], PAGES)
+
+
+BATCH1 = [(0, "AlphaBeta uses Zeta."),
+          (1, "BetaGamma stores Qux."),
+          (2, "AlphaBeta links BetaGamma."),
+          (3, "Zeta extends Qux.")]
+# batch 2: AlphaBetaGamma BRIDGES the alphabeta and betagamma components
+# (containment 1.0 to both, which share only 2/7 grams with each other),
+# plus a support-increment for an existing edge
+BATCH2 = [(10, "AlphaBetaGamma embeds Zeta."),
+          (11, "alphabeta uses Zeta."),
+          (12, "NewThing cites Zeta.")]
+
+
+def _edge_set(spark, state_dir):
+    return {tuple(r) for r in spark.read.parquet(f"{state_dir}/edges")
+            .select("subj", "pred", "obj", "edge_key",
+                    "confidence", "url", "support").collect()}
+
+
+class TestIncrementalKg:
+    def test_incremental_equals_full_rebuild(self, spark, tmp_path):
+        inc = str(tmp_path / "inc")
+        full = str(tmp_path / "full")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        stats = incremental_update(spark, _pages(spark, BATCH2), inc)
+        assert not stats["initialized"]
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_component_merge_relabels_old_edges(self, spark, tmp_path):
+        inc = str(tmp_path / "inc2")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        before = {r["subj"] for r in spark.read.parquet(f"{inc}/edges")
+                  .select("subj").collect()}
+        assert "betagamma" in before  # its own component initially
+        incremental_update(spark, _pages(spark, BATCH2), inc)
+        after = spark.read.parquet(f"{inc}/edges")
+        subs = {r["subj"] for r in after.select("subj").collect()}
+        # the bridge merged betagamma into the alphabeta component: every
+        # old betagamma edge is relabeled to the merged min-norm id
+        assert "betagamma" not in subs
+        assert "alphabeta" in subs
+
+    def test_support_counts_aggregate_across_batches(self, spark, tmp_path):
+        inc = str(tmp_path / "inc3")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc)
+        row = spark.read.parquet(f"{inc}/edges").filter(
+            (F.col("subj") == "alphabeta") & (F.col("pred") == "uses")
+            & (F.col("obj") == "zeta")).collect()
+        assert len(row) == 1 and row[0]["support"] == 2
+
+    def test_corpus_incremental_equals_full(self, spark, tmp_path):
+        """Synthetic-corpus e2e: 60 pages then +30 more == 90-page rebuild,
+        byte-identical edge rows."""
+        from hades_spark.pipeline.corpus import gen_pages
+
+        inc = str(tmp_path / "cinc")
+        full = str(tmp_path / "cfull")
+        all_pages = gen_pages(90, seed=42, compute_text=False)
+        rows = [(p.url, p.warc_ts, p.html, None, p.lang) for p in all_pages]
+        first = spark.createDataFrame(rows[:60], PAGES)
+        second = spark.createDataFrame(rows[60:], PAGES)
+        everything = spark.createDataFrame(rows, PAGES)
+        init_state(spark, first, inc)
+        incremental_update(spark, second, inc)
+        init_state(spark, everything, full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_update_on_empty_state_initializes(self, spark, tmp_path):
+        inc = str(tmp_path / "fresh")
+        stats = incremental_update(spark, _pages(spark, BATCH1), inc)
+        assert stats["initialized"]
+        assert spark.read.parquet(f"{inc}/edges").count() > 0

@@ -942,3 +942,42 @@ class TestLateChunking:
         # chunk embeddings are L2-normalized
         for r in rows:
             assert abs(np.linalg.norm(np.array(r["embedding"])) - 1) < 1e-5
+
+
+class TestLinkingShuffleFallback:
+    def _fixtures(self, spark):
+        mentions = spark.createDataFrame(
+            [("m1", "Spark", "u1"), ("m2", "apache spark", "u2"),
+             ("m3", "spark", "u3"), ("m4", "nomatch_xyz_qq", "u1"),
+             ("m5", "the Spark engine", "u9")],
+            "mention_id string, surface string, url string")
+        catalog = spark.createDataFrame(
+            [("e1", "Spark", "u9"), ("e2", "Apache Spark", "u2"),
+             ("e3", "spark streaming", "u3"), ("e4", "Engine", "u4")],
+            "entity_id string, name string, source string")
+        return mentions, catalog
+
+    def test_shuffle_mode_identical_to_broadcast(self, spark):
+        from hades_spark.operators.linking import link_mentions
+
+        mentions, catalog = self._fixtures(spark)
+        bc = {tuple(r) for r in
+              link_mentions(mentions, catalog).collect()}
+        sh = {tuple(r) for r in
+              link_mentions(mentions, catalog,
+                            broadcast_catalog=False).collect()}
+        assert bc == sh and bc
+
+    def test_plan_shapes_per_mode(self, spark):
+        from hades_spark.operators.linking import link_mentions
+
+        mentions, catalog = self._fixtures(spark)
+        bc_plan = link_mentions(mentions, catalog) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bc_plan
+        sh_plan = link_mentions(mentions, catalog,
+                                broadcast_catalog=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # catalog-exceeds-broadcast mode: the candidate join must NOT
+        # broadcast the catalog (shuffled hash / sort-merge instead)
+        assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
