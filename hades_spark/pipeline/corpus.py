@@ -278,16 +278,29 @@ def _make_page_tex(i: int, rng: random.Random, richness: int = 1,
 
 
 def _gen_one(i: int, seed: int = 42, compute_text: bool = True,
-             richness: int = 1, vocab_size: int = 0) -> Page:
+             richness: int = 1, vocab_size: int = 0,
+             with_pdf: bool = False) -> Page:
     """One deterministic page — a pure function of (seed, i), so driver-side
     and executor-side generation produce identical corpora. Most pages are
     HTML; i%11==3 pages are markdown, i%23==7 pages are LaTeX (the
-    format-routing fixtures)."""
+    format-routing fixtures); with ``with_pdf``, i%29==19 pages are PDF
+    (opt-in so pre-existing cached corpora stay byte-identical)."""
     rng = random.Random((seed << 20) + i)
     if rng.random() < 0.05:
         host = _HOT_HOSTS[i % len(_HOT_HOSTS)]
     else:
         host = f"host{rng.randrange(256)}.example"
+    if with_pdf and i % 29 == 19 and i % 11 != 3 and i % 23 != 7:
+        from ..textcore.pdf import make_simple_pdf
+
+        url = f"https://{host}/docs/{i}.pdf"
+        body, truth, surfs = _make_page_md(i, rng, richness, vocab_size,
+                                           seed)
+        html = make_simple_pdf(body.split("\n"))
+        lang = rng.choice(_LANGS)
+        text = route_extract_text(url, html) if compute_text else ""
+        ts = _BASE_TS + dt.timedelta(seconds=i * 37 % 864000)
+        return Page(url, ts, html, text, lang, truth, tuple(surfs))
     if i % 11 == 3:
         url = f"https://{host}/docs/{i}.md"
         body, truth, surfs = _make_page_md(i, rng, richness, vocab_size, seed)
@@ -313,14 +326,16 @@ def _gen_one(i: int, seed: int = 42, compute_text: bool = True,
 
 
 def gen_pages(n_pages: int, seed: int = 42, compute_text: bool = True,
-              richness: int = 1, vocab_size: int = 0) -> list[Page]:
+              richness: int = 1, vocab_size: int = 0,
+              with_pdf: bool = False) -> list[Page]:
     """Deterministic synthetic pages with per-page ground-truth triples.
 
     ``compute_text=False`` skips the driver-side reference extraction (the
     pipeline recomputes it distributed) — use for large bench corpora.
     ``vocab_size > 0`` switches to the parameterized synthetic entity
-    vocabulary (Zipf-skewed selection, alias clusters)."""
-    return [_gen_one(i, seed, compute_text, richness, vocab_size)
+    vocabulary (Zipf-skewed selection, alias clusters); ``with_pdf``
+    makes i%29==19 pages PDF (opt-in: cached corpora stay stable)."""
+    return [_gen_one(i, seed, compute_text, richness, vocab_size, with_pdf)
             for i in range(n_pages)]
 
 

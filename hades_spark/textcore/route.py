@@ -41,7 +41,17 @@ def detect_format(url: str | None, content: str) -> str:
 
 
 def extract_text(url: str | None, raw: bytes | str | None) -> str:
-    """Decode (utf-8 -> latin-1 ladder) + format-routed extraction."""
+    """Decode (utf-8 -> latin-1 ladder) + format-routed extraction.
+
+    PDF routes BEFORE the text decode (it is a binary format — decoding
+    Flate streams through the charset ladder would destroy them): by url
+    suffix or the %PDF- magic."""
+    if isinstance(raw, (bytes, bytearray)):
+        u = (url or "").lower().split("?")[0]
+        if u.endswith(".pdf") or bytes(raw[:5]) == b"%PDF-":
+            from .pdf import pdf_to_text
+
+            return pdf_to_text(raw)
     content = decode_html_bytes(raw) if isinstance(raw, (bytes, bytearray)) \
         else (raw or "")
     fmt = detect_format(url, content)
