@@ -41,6 +41,7 @@ documents).
 
 from __future__ import annotations
 
+import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -55,6 +56,30 @@ from ..sources.io import delete_where, upsert_by_key, write_table
 
 
 _LSH = dict(num_hashes=16, bands=16, max_bucket_size=500)
+
+_RAW_COLS = ["url", "pred", "confidence", "subj_norm", "obj_norm"]
+
+
+def _read_raw(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The raw store is laid out as ``raw/batch=<id>/`` partitions (each
+    appended with an atomic dir rename — exactly-once); project away the
+    batch partition column."""
+    return spark.read.parquet(f"{state_dir}/raw").select(*_RAW_COLS)
+
+
+def _append_raw_batch(spark: SparkSession, new_raw: DataFrame,
+                      state_dir: str, batch_id: str) -> bool:
+    """Append one batch to the raw store exactly once: write to a hidden
+    tmp dir, then atomically rename it to ``raw/batch=<id>``. Returns
+    False (no-op) if the batch dir already exists — the crash-resume
+    signal that this batch's rows are already in ``old_raw``."""
+    dest = Path(state_dir) / "raw" / f"batch={batch_id}"
+    if dest.exists():
+        return False
+    tmp = Path(state_dir) / "raw" / f".batch-{batch_id}.tmp-{uuid.uuid4().hex[:8]}"
+    write_table(new_raw.select(*_RAW_COLS), str(tmp))
+    tmp.rename(dest)
+    return True
 
 
 def _norm_raw(pages: DataFrame) -> DataFrame:
@@ -111,9 +136,9 @@ def _edges_for(raw: DataFrame, cmap: DataFrame) -> DataFrame:
 def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
                threshold: float = 0.8) -> None:
     """Full build of the state directory from an initial page batch."""
-    raw = _norm_raw(pages)
-    write_table(raw, f"{state_dir}/raw")
-    raw = spark.read.parquet(f"{state_dir}/raw")
+    Path(state_dir, "raw").mkdir(parents=True, exist_ok=True)
+    _append_raw_batch(spark, _norm_raw(pages), state_dir, "init")
+    raw = _read_raw(spark, state_dir)
     norms = _norms_of(raw)
     pairs = verified_pairs(
         norms, "norm", char_shingles(F.col("squash"), 3),
@@ -129,15 +154,32 @@ def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
 
 
 def incremental_update(spark: SparkSession, new_pages: DataFrame,
-                       state_dir: str, threshold: float = 0.8) -> dict:
-    """Fold ``new_pages`` into the state; returns update stats."""
+                       state_dir: str, threshold: float = 0.8,
+                       batch_id: str | None = None) -> dict:
+    """Fold ``new_pages`` into the state; returns update stats.
+
+    ``batch_id`` makes the update EXACTLY-ONCE resumable: the raw append
+    is an atomic ``raw/batch=<id>`` dir rename, so a crash anywhere in
+    the update (before or after the edge upsert, before or after the
+    append) converges on re-run with the same batch_id — the batch's rows
+    are counted once whether they sit in the store or in ``new_pages``.
+    Without a batch_id, re-running the same batch double-counts (the
+    caller owns dedup, e.g. via the watermark manifest)."""
     if not Path(state_dir, "raw").exists():
         init_state(spark, new_pages, state_dir, threshold)
         n = spark.read.parquet(f"{state_dir}/edges").count()
         return {"initialized": True, "edges": n}
 
     new_raw = _norm_raw(new_pages).localCheckpoint(eager=True)
-    old_raw = spark.read.parquet(f"{state_dir}/raw")
+    already_appended = (
+        batch_id is not None
+        and (Path(state_dir) / "raw" / f"batch={batch_id}").exists())
+    old_raw = _read_raw(spark, state_dir)
+    if already_appended:
+        # crash-resume: the batch is in the store; exclude it from the
+        # "old" side so the recompute sees each row exactly once
+        old_raw = spark.read.parquet(f"{state_dir}/raw") \
+            .filter(F.col("batch") != batch_id).select(*_RAW_COLS)
     old_pairs = spark.read.parquet(f"{state_dir}/pairs")
     old_cmap = spark.read.parquet(f"{state_dir}/cmap")
 
@@ -228,8 +270,10 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
     upsert_by_key(spark, recomputed, f"{state_dir}/edges", ["edge_key"],
                   partition_by=["pred"])
 
-    # persist the grown state (append raw; overwrite pairs/cmap)
-    write_table(new_raw, f"{state_dir}/raw", mode="append")
+    # persist the grown state (atomic batch append; overwrite pairs/cmap)
+    if not already_appended:
+        _append_raw_batch(spark, new_raw, state_dir,
+                          batch_id or f"b-{uuid.uuid4().hex[:12]}")
     write_table(merged_pairs, f"{state_dir}/pairs")
     write_table(new_cmap, f"{state_dir}/cmap")
     return {

@@ -230,8 +230,10 @@ comp AS (
   SELECT node, least(node, min(reach)) AS component FROM walk GROUP BY node
 ),
 raw AS (
+  -- ** glob: matches both the flat staged layout and the incremental
+  -- state's raw/batch=<id>/ partition layout
   SELECT url, pred, confidence, subj_norm, obj_norm
-  FROM read_parquet('{stage_dir}/raw/*.parquet')
+  FROM read_parquet('{stage_dir}/raw/**/*.parquet')
 ),
 triples AS (
   SELECT coalesce(cs.component, r.subj_norm) AS subj,

@@ -93,3 +93,45 @@ class TestIncrementalKg:
         stats = incremental_update(spark, _pages(spark, BATCH1), inc)
         assert stats["initialized"]
         assert spark.read.parquet(f"{inc}/edges").count() > 0
+
+
+class TestExactlyOnceResume:
+    def test_rerun_same_batch_id_converges(self, spark, tmp_path):
+        """A successful update re-run with the same batch_id must be a
+        no-op on the edge table (crash-after-commit resume)."""
+        inc = str(tmp_path / "once")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        first = _edge_set(spark, inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        assert _edge_set(spark, inc) == first
+
+    def test_crash_after_append_before_state_write(self, spark, tmp_path):
+        """Simulate a crash AFTER the raw batch landed but BEFORE pairs/
+        cmap/edges caught up: re-running the update with the same
+        batch_id must converge to the full-rebuild result, counting the
+        batch exactly once."""
+        from hades_spark.pipeline.incremental_kg import (
+            _append_raw_batch, _norm_raw)
+
+        inc = str(tmp_path / "crash")
+        full = str(tmp_path / "crashfull")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        # the crash: batch appended to the raw store, nothing else updated
+        _append_raw_batch(spark, _norm_raw(_pages(spark, BATCH2)), inc, "b2")
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_without_batch_id_rerun_double_counts(self, spark, tmp_path):
+        """Documented contract: no batch_id => caller owns dedup."""
+        inc = str(tmp_path / "nobid")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc)
+        row = spark.read.parquet(f"{inc}/edges").filter(
+            (F.col("subj") == "alphabeta") & (F.col("pred") == "uses")).collect()
+        assert row[0]["support"] == 3  # 1 old + 2x the new batch
