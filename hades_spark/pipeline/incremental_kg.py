@@ -55,7 +55,7 @@ from ..operators.lsh import char_shingles, verified_pairs, \
 from ..sources.io import delete_where, upsert_by_key, write_table
 
 
-_LSH = dict(num_hashes=16, bands=16, max_bucket_size=500)
+_LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
 
 _RAW_COLS = ["url", "pred", "confidence", "subj_norm", "obj_norm"]
 

@@ -168,7 +168,7 @@ def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
     pairs = verified_pairs(
         keyed, "norm", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment",
-        num_hashes=16, bands=16, max_bucket_size=500,
+        num_hashes=16, bands=16, max_bucket_size=150,
     ).select("a", "b")
     pairs.write.mode("overwrite").parquet(f"{stage_dir}/pairs")
     pairs = spark.read.parquet(f"{stage_dir}/pairs")
