@@ -133,6 +133,9 @@ def _svo_sentence(
     8-entity vocabulary with an UNCHANGED rng draw order, so existing
     cached corpora and staged oracles stay byte-identical."""
     if vocab_size > 0:
+        if vocab_size < 2:
+            raise ValueError("vocab_size must be >= 2 (subject and object "
+                             "are always distinct entities)")
         si = _zipf_idx(rng, vocab_size)
         oi = _zipf_idx(rng, vocab_size)
         while oi == si:

@@ -139,7 +139,6 @@ def _block_text(seg: bytes) -> str:
     line-move operator (Td/TD/T*/Tm) or the quote show-ops appear."""
     lines: list[str] = []
     cur: list[str] = []
-    last_show_op: str | None = None
 
     def flush():
         if cur:
@@ -157,7 +156,6 @@ def _block_text(seg: bytes) -> str:
             s = cur.pop() if cur else ""
             flush()
             cur.append(s)
-        _ = last_show_op
     flush()
     return "\n".join(line for line in lines if line.strip() != "")
 
