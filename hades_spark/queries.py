@@ -1583,6 +1583,57 @@ def x5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_LSEARCH_STAGE = f"{STAGE_ROOT}/hades_lsearch_oracle_stage"
+
+_LSEARCH_ORACLE = f"""
+WITH emb AS (
+  SELECT * FROM read_parquet('{_LSEARCH_STAGE}/chunks/*.parquet')),
+q AS (SELECT * FROM read_parquet('{_LSEARCH_STAGE}/query/*.parquet'))
+SELECT e.doc_id, e.chunk_index,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])), 4) AS score
+FROM emb e CROSS JOIN q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) DESC,
+         e.doc_id, e.chunk_index
+LIMIT 10
+"""
+
+
+@register("x5_late_search", _LSEARCH_ORACLE)
+def x5_search(spark: SparkSession, sf: str) -> DataFrame:
+    # late-chunking -> search composition: documents late-chunk-embedded
+    # (the X5 mapInPandas fast path itself — per-window token slice +
+    # mean-pool + L2), staged with a hash-embedded query vector; BOTH
+    # sides recompute exact cosine top-10 from the staged bytes. This
+    # hash-verifies the late_chunk_embed OUTPUT (x5_late_chunking verifies
+    # its algorithm against the closed-form span twin).
+    from .functions.embedding import HashEmbedder, late_chunk_embed
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    chunks = late_chunk_embed(docs, dim=32, chunk_size_tokens=20,
+                              chunk_overlap_tokens=5)
+    chunks.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                  "chunk_index", "embedding") \
+        .write.mode("overwrite").parquet(f"{_LSEARCH_STAGE}/chunks")
+    qv = HashEmbedder(32).encode(["shipment delayed pending deposits"])[0]
+    spark.createDataFrame([([float(x) for x in qv],)], "qv array<double>") \
+        .write.mode("overwrite").parquet(f"{_LSEARCH_STAGE}/query")
+
+    from .functions.vector import cosine_col
+
+    emb = spark.read.parquet(f"{_LSEARCH_STAGE}/chunks")
+    q = F.broadcast(spark.read.parquet(f"{_LSEARCH_STAGE}/query"))
+    return (
+        emb.join(q)
+        .select("doc_id", "chunk_index",
+                cosine_col(F.col("embedding"), F.col("qv")).alias("_s"))
+        .orderBy(F.desc("_s"), "doc_id", "chunk_index")
+        .limit(10)
+        .select("doc_id", "chunk_index", F.round("_s", 4).alias("score"))
+    )
+
+
 @register("s4_catalog_scan", """
 SELECT table_name AS name
 FROM information_schema.tables

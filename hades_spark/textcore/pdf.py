@@ -33,7 +33,6 @@ import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _DICT_BEFORE_RE = re.compile(rb"<<(?:(?!<<).)*?>>\s*$", re.DOTALL)
-_BT_ET_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
@@ -134,28 +133,41 @@ def _iter_content_tokens(seg: bytes):
                 i += 1
 
 
-def _block_text(seg: bytes) -> str:
-    """One BT..ET body -> text. Pending strings flush to a line whenever a
-    line-move operator (Td/TD/T*/Tm) or the quote show-ops appear."""
+def _stream_text(content: bytes) -> str:
+    """One decoded content stream -> text. A single tokenizer pass tracks
+    BT/ET as OPERATORS (never regex-split: the literal string '(ET)'
+    contains the byte pair ET, but the tokenizer consumes literals
+    atomically so it can't be mistaken for the end of a text block).
+    Pending strings flush to a line on a line-move operator
+    (Td/TD/T*/Tm), on the quote show-ops, and at ET."""
     lines: list[str] = []
     cur: list[str] = []
+    in_text = False
 
     def flush():
         if cur:
             lines.append("".join(cur))
             cur.clear()
 
-    for kind, val in _iter_content_tokens(seg):
-        if kind == "str":
+    for kind, val in _iter_content_tokens(content):
+        if kind == "op":
+            if val == "BT":
+                in_text = True
+            elif val == "ET":
+                flush()
+                in_text = False
+            elif not in_text:
+                continue
+            elif val in ("Td", "TD", "T*", "Tm"):
+                flush()
+            elif val in ("'", '"'):
+                # quote ops mean: next-line THEN show — the string was
+                # already buffered, so move it to its own line
+                s = cur.pop() if cur else ""
+                flush()
+                cur.append(s)
+        elif kind == "str" and in_text:
             cur.append(val)
-        elif val in ("Td", "TD", "T*", "Tm"):
-            flush()
-        elif val in ("'", '"'):
-            # quote ops mean: next-line THEN show — the string was already
-            # buffered, so move it to its own line
-            s = cur.pop() if cur else ""
-            flush()
-            cur.append(s)
     flush()
     return "\n".join(line for line in lines if line.strip() != "")
 
@@ -175,15 +187,19 @@ def pdf_to_text(data: bytes | bytearray | None) -> str:
         filt = dm.group(0) if dm else b""
         if b"/FlateDecode" in filt:
             try:
-                raw = zlib.decompress(raw.rstrip(b"\r\n"))
+                # decompressobj, NOT decompress: the captured segment ends
+                # with the EOL separator before 'endstream', and stripping
+                # it naively would also eat real deflate bytes that happen
+                # to be 0x0A/0x0D — decompressobj just leaves the trailer
+                # in unused_data
+                raw = zlib.decompressobj().decompress(raw)
             except zlib.error:
                 continue
         elif b"/Filter" in filt:
             continue  # unsupported filter (images etc.)
-        for bt in _BT_ET_RE.finditer(raw):
-            t = _block_text(bt.group(1))
-            if t:
-                blocks.append(t)
+        t = _stream_text(raw)
+        if t:
+            blocks.append(t)
     return "\n".join(blocks)
 
 

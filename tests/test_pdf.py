@@ -102,3 +102,43 @@ class TestPdfCorpusPipeline:
             assert p.html.startswith(b"%PDF-")
             assert extract_text(p.url, p.html) == p.text
             assert p.text.strip()  # real text came out
+
+
+class TestPdfFuzz:
+    def test_never_raises_on_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=400))
+        def prop(data):
+            # random bytes, optionally with a PDF magic prefix: must never
+            # raise, only ever return a string
+            assert isinstance(pdf_to_text(data), str)
+            assert isinstance(pdf_to_text(b"%PDF-1.4\n" + data), str)
+
+        prop()
+
+    def test_roundtrip_fuzz_printable_lines(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        line = st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=60,
+        ).filter(lambda s: s.strip() != "")
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(line, min_size=1, max_size=8))
+        def prop(lines):
+            got = pdf_to_text(make_simple_pdf(lines))
+            want = "\n".join(s for s in lines)
+            assert got == want
+
+        prop()
+
+    def test_stream_containing_endstream_like_text(self):
+        # content whose TEXT contains the word 'endstream' — the regex
+        # scan must not truncate mid-stream for the compressed case
+        lines = ["before endstream after", "second line"]
+        assert pdf_to_text(make_simple_pdf(lines)) == "\n".join(lines)
