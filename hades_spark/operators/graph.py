@@ -89,8 +89,11 @@ def bfs(
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+        # probe the just-CHECKPOINTED visited set (probing nxt would
+        # re-run this level's joins from the previous checkpoint; the
+        # target is newly present iff it arrived via nxt)
         if stop_at is not None and not \
-                nxt.filter(F.col("node") == F.lit(stop_at)).isEmpty():
+                visited.filter(F.col("node") == F.lit(stop_at)).isEmpty():
             break
 
     return visited

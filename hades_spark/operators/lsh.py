@@ -114,7 +114,10 @@ def lsh_bucket_size_stats(
     sizes = lsh_buckets(df, id_col, shingle_expr,
                         num_hashes=num_hashes, bands=bands) \
         .groupBy("band", "bh").count()
-    sizes = sizes.select(F.col("count").cast("double").alias("n"))
+    # one materialization for the two actions below (quantiles + agg) —
+    # otherwise the full shingle+minhash+explode chain runs twice
+    sizes = sizes.select(F.col("count").cast("double").alias("n")) \
+                 .localCheckpoint(eager=False)
     p50, p95, p99 = sizes.approxQuantile("n", [0.5, 0.95, 0.99], 0.001)
     agg = sizes.agg(
         F.count("*").alias("buckets"),

@@ -237,7 +237,9 @@ def neardup_pairs(
             p = base.withColumn("_tbl", F.lit(t)) \
                     .withColumn("_blk", sig(F.col("_v")))
             parts = p if parts is None else parts.unionByName(p)
-        base = parts
+        # materialize ONCE: the a/b sides of the self-join would otherwise
+        # each re-run all n_tables signature-UDF passes over the source
+        base = parts.localCheckpoint(eager=False)
         keys = ["_tbl", "_blk"]
     else:
         keys = ["_blk"]

@@ -46,13 +46,13 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.keys import edge_content_key_col
 from ..functions.triples import raw_triples
 from ..operators.canonicalize import normalize_surface_col
 from ..operators.components import alternating_components
 from ..operators.lsh import char_shingles, verified_pairs, \
     verified_pairs_touching
-from ..sources.io import delete_where, upsert_by_key, write_table
+from ..sources.io import (delete_where, recover_table, replace_table,
+                          upsert_by_key, write_table)
 
 
 _LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
@@ -109,28 +109,11 @@ def _cmap_from_pairs(norms: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def _edges_for(raw: DataFrame, cmap: DataFrame) -> DataFrame:
-    """raw triples + canonical map -> aggregated edge rows (the
-    ``distinct_edges`` contract: max confidence, min url, support)."""
-    c = F.broadcast(cmap)
-    subj_map = c.select(F.col("norm").alias("subj_norm"),
-                        F.col("canonical_id").alias("subj_id"))
-    obj_map = c.select(F.col("norm").alias("obj_norm"),
-                       F.col("canonical_id").alias("obj_id"))
-    mapped = (
-        raw.join(subj_map, "subj_norm", "left")
-        .join(obj_map, "obj_norm", "left")
-        .select(
-            F.coalesce("subj_id", "subj_norm").alias("subj"), "pred",
-            F.coalesce("obj_id", "obj_norm").alias("obj"),
-            "url", "confidence")
-        .withColumn("edge_key", edge_content_key_col(
-            F.col("subj"), F.col("obj"), F.col("pred")))
-    )
-    return mapped.groupBy("subj", "pred", "obj", "edge_key").agg(
-        F.max("confidence").alias("confidence"),
-        F.min("url").alias("url"),
-        F.count("*").alias("support"),
-    )
+    """raw triples + canonical map -> aggregated edge rows (shared
+    ``apply_canonical_map`` + ``distinct_edges`` contract)."""
+    from .kg import apply_canonical_map, distinct_edges
+
+    return distinct_edges(apply_canonical_map(raw, cmap))
 
 
 def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
@@ -144,10 +127,10 @@ def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
         norms, "norm", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment", **_LSH,
     ).select("a", "b")
-    write_table(pairs, f"{state_dir}/pairs")
+    replace_table(pairs, f"{state_dir}/pairs")
     pairs = spark.read.parquet(f"{state_dir}/pairs")
     cmap = _cmap_from_pairs(norms, pairs)
-    write_table(cmap, f"{state_dir}/cmap")
+    replace_table(cmap, f"{state_dir}/cmap")
     cmap = spark.read.parquet(f"{state_dir}/cmap")
     write_table(_edges_for(raw, cmap), f"{state_dir}/edges",
                 partition_by=["pred"])
@@ -170,6 +153,9 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
         n = spark.read.parquet(f"{state_dir}/edges").count()
         return {"initialized": True, "edges": n}
 
+    # heal any crash window from a previous run's atomic swaps
+    recover_table(f"{state_dir}/pairs")
+    recover_table(f"{state_dir}/cmap")
     new_raw = _norm_raw(new_pages).localCheckpoint(eager=True)
     already_appended = (
         batch_id is not None
@@ -274,8 +260,12 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
     if not already_appended:
         _append_raw_batch(spark, new_raw, state_dir,
                           batch_id or f"b-{uuid.uuid4().hex[:12]}")
-    write_table(merged_pairs, f"{state_dir}/pairs")
-    write_table(new_cmap, f"{state_dir}/cmap")
+    # ATOMIC swaps (write-tmp + rename), never a bare overwrite: a crash
+    # mid-write must leave the OLD pairs/cmap readable — losing old-old
+    # pairs would split components forever (touching-pair generation
+    # never regenerates them)
+    replace_table(merged_pairs, f"{state_dir}/pairs")
+    replace_table(new_cmap, f"{state_dir}/cmap")
     return {
         "initialized": False,
         "new_norms": new_norms.count(),

@@ -38,6 +38,36 @@ def ensure_text(pages: DataFrame) -> DataFrame:
     )
 
 
+def apply_canonical_map(raw: DataFrame, cmap: DataFrame,
+                        broadcast_map: bool = True) -> DataFrame:
+    """Raw normalized triples x (norm -> canonical_id) map -> canonical
+    (subj, pred, obj) triples with content edge keys. THE single copy of
+    the mapping block — shared by ``canonical_triples``, the staged
+    oracle pipeline, the metered pipeline, and incremental maintenance,
+    so a semantics change lands everywhere at once."""
+    c = F.broadcast(cmap) if broadcast_map else cmap
+    subj_map = c.select(F.col("norm").alias("subj_norm"),
+                        F.col("canonical_id").alias("subj_id"))
+    obj_map = c.select(F.col("norm").alias("obj_norm"),
+                       F.col("canonical_id").alias("obj_id"))
+    return (
+        raw.join(subj_map, "subj_norm", "left")
+        .join(obj_map, "obj_norm", "left")
+        .select(
+            F.coalesce("subj_id", "subj_norm").alias("subj"),
+            "pred",
+            F.coalesce("obj_id", "obj_norm").alias("obj"),
+            "url",
+            F.col("confidence"),
+        )
+        .withColumn("edge_key", edge_content_key_col(
+            F.col("subj"), F.col("obj"), F.col("pred")))
+        .withColumn("chain_position", F.lit(None).cast("int"))
+        .select("subj", "pred", "obj", "url", "edge_key",
+                "confidence", "chain_position")
+    )
+
+
 def canonical_triples(
     pages: DataFrame,
     threshold: float = 0.8,
@@ -78,31 +108,7 @@ def canonical_triples(
                               local_threshold=local_threshold).cache()
     if caches is not None:
         caches.append(cmap)
-    if broadcast_map:
-        cmap = F.broadcast(cmap)
-
-    subj_map = cmap.select(F.col("norm").alias("subj_norm"),
-                           F.col("canonical_id").alias("subj_id"))
-    obj_map = cmap.select(F.col("norm").alias("obj_norm"),
-                          F.col("canonical_id").alias("obj_id"))
-
-    triples = (
-        raw.join(subj_map, "subj_norm", "left")
-        .join(obj_map, "obj_norm", "left")
-        .select(
-            F.coalesce("subj_id", "subj_norm").alias("subj"),
-            "pred",
-            F.coalesce("obj_id", "obj_norm").alias("obj"),
-            "url",
-            F.col("confidence"),
-        )
-        .withColumn("edge_key", edge_content_key_col(
-            F.col("subj"), F.col("obj"), F.col("pred")))
-        .withColumn("chain_position", F.lit(None).cast("int"))
-        .select("subj", "pred", "obj", "url", "edge_key",
-                "confidence", "chain_position")
-    )
-    return triples
+    return apply_canonical_map(raw, cmap, broadcast_map=broadcast_map)
 
 
 def distinct_edges(triples: DataFrame) -> DataFrame:
@@ -174,28 +180,9 @@ def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
     pairs = spark.read.parquet(f"{stage_dir}/pairs")
 
     comp = alternating_components(pairs, "a", "b")
-    cmap = F.broadcast(
-        comp.select(F.col("node").alias("norm"),
-                    F.col("component").alias("canonical_id")))
-    triples = (
-        raw.join(cmap.withColumnRenamed("norm", "subj_norm")
-                     .withColumnRenamed("canonical_id", "subj_id"),
-                 "subj_norm", "left")
-        .join(cmap.withColumnRenamed("norm", "obj_norm")
-                  .withColumnRenamed("canonical_id", "obj_id"),
-              "obj_norm", "left")
-        .select(
-            F.coalesce("subj_id", "subj_norm").alias("subj"), "pred",
-            F.coalesce("obj_id", "obj_norm").alias("obj"),
-            "url", "confidence",
-        )
-        .withColumn("edge_key", edge_content_key_col(
-            F.col("subj"), F.col("obj"), F.col("pred")))
-        .withColumn("chain_position", F.lit(None).cast("int"))
-        .select("subj", "pred", "obj", "url", "edge_key",
-                "confidence", "chain_position")
-    )
-    return distinct_edges(triples)
+    cmap = comp.select(F.col("node").alias("norm"),
+                       F.col("component").alias("canonical_id"))
+    return distinct_edges(apply_canonical_map(raw, cmap))
 
 
 def default_kg_stage_dir() -> str:

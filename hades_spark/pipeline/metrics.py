@@ -50,8 +50,10 @@ class StageMetrics:
 
         def __enter__(self):
             self._t0 = time.perf_counter()
-            self._started = dt.datetime.now(dt.timezone.utc) \
-                .replace(tzinfo=None)
+            # tz-AWARE (repo convention, cf. corpus.pages_df_distributed):
+            # a naive value would be reinterpreted in
+            # spark.sql.session.timeZone and stored shifted
+            self._started = dt.datetime.now(dt.timezone.utc)
             return self
 
         def __exit__(self, *exc):
@@ -71,7 +73,7 @@ class StageMetrics:
         return s
 
     def as_rows(self) -> list[tuple]:
-        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        now = dt.datetime.now(dt.timezone.utc)
         return [
             (self.run_id, s.name, s.rows, round(s.seconds, 4),
              round(s.rows / s.seconds, 2) if s.seconds > 0 else 0.0,
@@ -114,8 +116,7 @@ def run_kg_pipeline_metered(
     from ..functions.triples import raw_triples
     from ..operators.canonicalize import (canonical_norm_map,
                                           normalize_surface_col)
-    from ..functions.keys import edge_content_key_col
-    from .kg import distinct_edges
+    from .kg import apply_canonical_map, distinct_edges
 
     metrics = StageMetrics(spark, metrics_path, run_id)
 
@@ -137,23 +138,8 @@ def run_kg_pipeline_metered(
         s.rows = cmap.count()
 
     with metrics.stage("materialize_edges") as s:
-        c = F.broadcast(cmap)
-        subj_map = c.select(F.col("norm").alias("subj_norm"),
-                            F.col("canonical_id").alias("subj_id"))
-        obj_map = c.select(F.col("norm").alias("obj_norm"),
-                           F.col("canonical_id").alias("obj_id"))
-        triples = (
-            raw.join(subj_map, "subj_norm", "left")
-            .join(obj_map, "obj_norm", "left")
-            .select(F.coalesce("subj_id", "subj_norm").alias("subj"),
-                    "pred",
-                    F.coalesce("obj_id", "obj_norm").alias("obj"),
-                    "url", "confidence")
-            .withColumn("edge_key", edge_content_key_col(
-                F.col("subj"), F.col("obj"), F.col("pred")))
-            .withColumn("chain_position", F.lit(None).cast("int"))
-        )
-        edges = distinct_edges(triples).localCheckpoint(eager=True)
+        edges = distinct_edges(apply_canonical_map(raw, cmap)) \
+            .localCheckpoint(eager=True)
         s.rows = edges.count()
 
     metrics.flush()

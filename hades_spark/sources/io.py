@@ -37,6 +37,31 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def replace_table(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None) -> None:
+    """ATOMIC full-table replace: write to a hidden tmp dir, swap via
+    rename-to-bak + rename-in, drop bak. Unlike a plain
+    ``mode('overwrite')`` write (which DELETES the live dir before the
+    job commits), a crash at any point leaves either the old or the new
+    table readable — ``recover_table`` (called here and by readers that
+    care) heals the one-rename window."""
+    p = Path(path)
+    _recover_table(p)
+    tmp = p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"
+    write_table(df, str(tmp), partition_by=partition_by)
+    bak = p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}"
+    if p.exists():
+        p.rename(bak)
+    tmp.rename(p)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def recover_table(path: str) -> None:
+    """Public wrapper over the whole-table crash-window healer (restore
+    the newest ``.bak`` when the live dir is missing)."""
+    _recover_table(Path(path))
+
+
 def hashable_columns(df: DataFrame) -> list[str]:
     """Columns xxhash64 accepts: Spark rejects MapType RECURSIVELY (a map
     nested inside an array/struct also fails), so exclude any dtype whose

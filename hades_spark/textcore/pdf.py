@@ -182,9 +182,18 @@ def pdf_to_text(data: bytes | bytearray | None) -> str:
     blocks: list[str] = []
     for m in _STREAM_RE.finditer(data):
         raw = m.group(1)
-        head = data[max(0, m.start() - 400):m.start()]
+        head = data[max(0, m.start() - 800):m.start()]
         dm = _DICT_BEFORE_RE.search(head)
         filt = dm.group(0) if dm else b""
+        # honor a literal /Length when it checks out: the regex capture
+        # ends at the FIRST 'endstream' byte-sequence, which deflate
+        # output can legitimately contain — the declared length is exact
+        lm = re.search(rb"/Length\s+(\d+)\b", filt)
+        if lm:
+            start = m.start(1)
+            end = start + int(lm.group(1))
+            if end <= len(data) and b"endstream" in data[end:end + 20]:
+                raw = data[start:end]
         if b"/FlateDecode" in filt:
             try:
                 # decompressobj, NOT decompress: the captured segment ends

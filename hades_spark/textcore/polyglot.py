@@ -203,21 +203,25 @@ def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
             symbols["imports"].append({"statement": im.group(1), "line": line})
     for m, line in _finditer_lines(_GO_CONST, content):
         symbols["constants"].append({"name": m.group(1), "line": line})
-    for m, line in _finditer_lines(_GO_TYPE_BLOCK, content):
-        base = line
+    # member lines are computed from the BODY's start offset (not the
+    # 'type ('/'const (' line + 1): the opener regex swallows any blank
+    # lines before the first spec, so counting from the body start keeps
+    # line numbers exact
+    for m in _GO_TYPE_BLOCK.finditer(content):
         body = m.group(1)
+        body_line = content.count("\n", 0, m.start(1)) + 1
         for sm in _GO_TYPE_SPEC.finditer(body):
-            ln = base + body.count("\n", 0, sm.start()) + 1
+            ln = body_line + body.count("\n", 0, sm.start())
             entry = {"name": sm.group(1), "line": ln}
             if sm.group(2) == "interface":
                 symbols["interfaces"].append(entry)
             else:
                 symbols["types"].append(entry)
-    for m, line in _finditer_lines(_GO_CONST_BLOCK, content):
-        base = line
+    for m in _GO_CONST_BLOCK.finditer(content):
         body = m.group(1)
+        body_line = content.count("\n", 0, m.start(1)) + 1
         for sm in _GO_CONST_SPEC.finditer(body):
-            ln = base + body.count("\n", 0, sm.start()) + 1
+            ln = body_line + body.count("\n", 0, sm.start())
             symbols["constants"].append({"name": sm.group(1), "line": ln})
     return symbols
 

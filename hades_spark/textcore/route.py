@@ -44,14 +44,15 @@ def extract_text(url: str | None, raw: bytes | str | None) -> str:
     """Decode (utf-8 -> latin-1 ladder) + format-routed extraction.
 
     PDF routes BEFORE the text decode (it is a binary format — decoding
-    Flate streams through the charset ladder would destroy them): by url
-    suffix or the %PDF- magic."""
-    if isinstance(raw, (bytes, bytearray)):
-        u = (url or "").lower().split("?")[0]
-        if u.endswith(".pdf") or bytes(raw[:5]) == b"%PDF-":
-            from .pdf import pdf_to_text
+    Flate streams through the charset ladder would destroy them). The
+    %PDF- MAGIC decides, never the url alone: a crawled '.pdf' url
+    frequently serves an HTML soft-404/interstitial, which must fall
+    through to the charset ladder and be extracted as HTML rather than
+    come back empty."""
+    if isinstance(raw, (bytes, bytearray)) and bytes(raw[:5]) == b"%PDF-":
+        from .pdf import pdf_to_text
 
-            return pdf_to_text(raw)
+        return pdf_to_text(raw)
     content = decode_html_bytes(raw) if isinstance(raw, (bytes, bytearray)) \
         else (raw or "")
     fmt = detect_format(url, content)

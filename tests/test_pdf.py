@@ -142,3 +142,42 @@ class TestPdfFuzz:
         # scan must not truncate mid-stream for the compressed case
         lines = ["before endstream after", "second line"]
         assert pdf_to_text(make_simple_pdf(lines)) == "\n".join(lines)
+
+
+class TestReviewFixes:
+    def test_pdf_url_serving_html_falls_through(self):
+        # crawled '.pdf' url serving an HTML soft-404: MAGIC decides, so
+        # the charset ladder + html extractor recover the text
+        html = b"<html><body><p>Not found, sorry.</p></body></html>"
+        out = extract_text("https://host.example/doc.pdf", html)
+        assert "Not found" in out
+
+    def test_raw_stream_with_literal_endstream_in_text(self):
+        # uncompressed stream whose TEXT contains 'endstream': the
+        # regex-scan would truncate at the first occurrence, but the
+        # declared /Length is honored and extraction stays exact
+        lines = ["before endstream middle", "after"]
+        pdf = make_simple_pdf(lines, compress=False)
+        assert pdf_to_text(pdf) == "\n".join(lines)
+
+
+class TestIncrementalAtomicState:
+    def test_crash_mid_pairs_write_recovers(self, spark, tmp_path):
+        """Simulated crash between rename-to-bak and rename-in of the
+        pairs swap: the next update must heal (restore the bak) instead
+        of reading a missing table."""
+        import pathlib
+
+        from hades_spark.pipeline.incremental_kg import (
+            incremental_update, init_state)
+        from hades_spark.schemas import PAGES
+        from tests.test_incremental_kg import BATCH1, BATCH2, _pages
+
+        inc = str(tmp_path / "atomic")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        p = pathlib.Path(inc) / "pairs"
+        p.rename(p.parent / ".pairs.bak-deadbeef")  # mid-swap crash
+        stats = incremental_update(spark, _pages(spark, BATCH2), inc,
+                                   batch_id="b2")
+        assert not stats["initialized"]
+        assert spark.read.parquet(f"{inc}/edges").count() > 0

@@ -327,3 +327,13 @@ class TestTreesitterParityCases:
         s = self._sym("f.cpp", src)
         assert [x["name"] for x in s["structs"]] == ["Node"]
         assert [x["name"] for x in s["classes"]] == ["Tree"]
+
+
+class TestGoBlockBlankLines:
+    def test_leading_blank_lines_keep_line_numbers_exact(self):
+        from hades_spark.textcore.polyglot import extract_symbols
+
+        src = "package p\n\ntype (\n\n\tFoo struct{}\n)\n\nconst (\n\n\tK = 1\n)\n"
+        s = extract_symbols("p.go", src)["symbols"]
+        assert [(t["name"], t["line"]) for t in s["types"]] == [("Foo", 5)]
+        assert [(c["name"], c["line"]) for c in s["constants"]] == [("K", 10)]
