@@ -110,6 +110,12 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
     # round-over-round comparable metric).
     vocab_extra = {}
     if not vocab:
+        # the headline run's caches are never touched again on this path —
+        # free them BEFORE the timed vocab pipeline (pinned storage could
+        # evict/slow its own localCheckpoint blocks)
+        for c in kg_caches:
+            c.unpersist()
+        kg_caches = []
         vpages_n = int(os.environ.get("BENCH_VOCAB_PAGES", "20000"))
         vvocab = int(os.environ.get("BENCH_VOCAB_SIZE", "150000"))
         vdir = (f"{corpus_root}/pages_v2_n{vpages_n}_r{richness}"

@@ -118,7 +118,12 @@ def lsh_bucket_size_stats(
     # otherwise the full shingle+minhash+explode chain runs twice
     sizes = sizes.select(F.col("count").cast("double").alias("n")) \
                  .localCheckpoint(eager=False)
-    p50, p95, p99 = sizes.approxQuantile("n", [0.5, 0.95, 0.99], 0.001)
+    qs = sizes.approxQuantile("n", [0.5, 0.95, 0.99], 0.001)
+    if not qs:  # empty frame: approxQuantile returns [], not NaNs
+        return {"buckets": 0, "p50": 0.0, "p95": 0.0, "p99": 0.0,
+                "max": 0, "cap": cap, "capped_buckets": 0,
+                "capped_rows": 0}
+    p50, p95, p99 = qs
     agg = sizes.agg(
         F.count("*").alias("buckets"),
         F.max("n").alias("max"),
@@ -137,6 +142,50 @@ def lsh_bucket_size_stats(
     }
 
 
+def cap_and_self_join(buckets: DataFrame,
+                      max_bucket_size: int) -> DataFrame:
+    """(_id, band, bh) bucket rows -> (a, b) candidate pairs, a < b: cap
+    pathological buckets (boilerplate) BEFORE the self-join, pair within
+    surviving buckets, dedup. THE single copy of the cap + pairing
+    semantics (candidate generation, touch-pruned incremental generation,
+    and the bucket-store path all call it — the incremental == full
+    invariant depends on one owner)."""
+    counted = buckets.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
+    ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+
+    left = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
+    right = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
+                metric: str) -> DataFrame:
+    """Exact set-metric verification tail: (a, b) pairs x (_id, sh)
+    shingled frame -> (a, b, score >= threshold). One owner for the
+    jaccard/containment semantics."""
+    a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = keyed.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    if metric == "jaccard":
+        score = inter / F.size(F.array_union("sh_a", "sh_b"))
+    elif metric == "containment":
+        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -153,21 +202,7 @@ def lsh_candidate_pairs(
     """
     buckets = lsh_buckets(df, id_col, shingle_expr,
                           num_hashes=num_hashes, bands=bands)
-
-    # cap pathological buckets (boilerplate) before the self-join
-    counted = buckets.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
-    ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
-
-    left = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
-    right = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
-    return pairs
+    return cap_and_self_join(buckets, max_bucket_size)
 
 
 def verified_pairs(
@@ -199,21 +234,7 @@ def verified_pairs(
     pairs = lsh_candidate_pairs(keyed, "_id", "sh",
                                 num_hashes=num_hashes, bands=bands,
                                 max_bucket_size=max_bucket_size)
-    a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = keyed.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    if metric == "jaccard":
-        score = inter / F.size(F.array_union("sh_a", "sh_b"))
-    elif metric == "containment":
-        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
-    else:
-        raise ValueError(f"unknown metric: {metric}")
-    return (
-        pairs.join(a, "a").join(b, "b")
-        .withColumn("score", score)
-        .filter(F.col("score") >= threshold)
-        .select("a", "b", "score")
-    )
+    return pair_scores(pairs, keyed, threshold, metric)
 
 
 def verified_pairs_touching(
@@ -242,38 +263,25 @@ def verified_pairs_touching(
                           num_hashes=num_hashes, bands=bands)
     touch = touch_ids.select(F.col(touch_ids.columns[0]).alias("_id")) \
                      .dropDuplicates(["_id"])
+    pairs = touching_pairs_from_buckets(buckets, touch, max_bucket_size)
+    return pair_scores(pairs, keyed, threshold, metric)
+
+
+def touching_pairs_from_buckets(buckets: DataFrame, touch: DataFrame,
+                                max_bucket_size: int) -> DataFrame:
+    """(_id, band, bh) bucket rows + touch id set -> candidate (a, b)
+    pairs with >= 1 endpoint in ``touch``, generated ONLY from buckets
+    containing a touch id; caps apply to the full bucket contents (the
+    touch-adjacent-subset-of-full invariant). Shared by the inline
+    touching generator above and the incremental-KG persistent bucket
+    store (which feeds pre-computed bucket rows)."""
     keys = buckets.join(touch, "_id", "left_semi") \
                   .select("band", "bh").dropDuplicates(["band", "bh"])
     pruned = buckets.join(keys, ["band", "bh"], "left_semi")
-    counted = pruned.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
-    ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
-    left = counted.select("band", "bh", F.col("_id").alias("a"))
-    right = counted.select("band", "bh", F.col("_id").alias("b"))
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b").dropDuplicates(["a", "b"])
-    )
+    pairs = cap_and_self_join(pruned, max_bucket_size)
     ta = pairs.join(touch.withColumnRenamed("_id", "a"), "a", "left_semi")
     tb = pairs.join(touch.withColumnRenamed("_id", "b"), "b", "left_semi")
-    pairs = ta.unionByName(tb).dropDuplicates(["a", "b"])
-
-    a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = keyed.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    if metric == "jaccard":
-        score = inter / F.size(F.array_union("sh_a", "sh_b"))
-    elif metric == "containment":
-        score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
-    else:
-        raise ValueError(f"unknown metric: {metric}")
-    return (
-        pairs.join(a, "a").join(b, "b")
-        .withColumn("score", score)
-        .filter(F.col("score") >= threshold)
-        .select("a", "b", "score")
-    )
+    return ta.unionByName(tb).dropDuplicates(["a", "b"])
 
 
 def verified_jaccard_pairs(df, id_col, shingle_expr, threshold,

@@ -6,16 +6,22 @@ pages previously forced a full canonical-map recompute. This module keeps a
 persistent state directory and applies the watermark-batch update the
 north rule's resumable-pipeline contract implies:
 
-  <state_dir>/raw/    (url, pred, confidence, subj_norm, obj_norm)
-  <state_dir>/pairs/  (a, b)   verified NORM alias pairs (the CC input)
-  <state_dir>/cmap/   (norm, canonical_id)
-  <state_dir>/edges/  (subj, pred, obj, edge_key, confidence, url, support)
+  <state_dir>/raw/     (url, pred, confidence, subj_norm, obj_norm)
+                       — batch=<id>/ partitions, exactly-once appends
+  <state_dir>/buckets/ (norm, band, bh) persistent LSH bucket store —
+                       batch=<id>/ partitions; updates hash NEW norms
+                       only and read prior signatures from here
+  <state_dir>/pairs/   (a, b)   verified NORM alias pairs (the CC input)
+  <state_dir>/cmap/    (norm, canonical_id)
+  <state_dir>/edges/   (subj, pred, obj, edge_key, confidence, url, support)
 
 ``incremental_update``:
   1. extract triples from the NEW pages only (the expensive stage never
      re-runs on old pages);
-  2. generate alias pairs TOUCHING a new norm via bucket-pruned LSH
-     (``verified_pairs_touching``) — old-old pairs come from state;
+  2. generate alias pairs TOUCHING a new norm via the bucket store
+     (``touching_pairs_from_buckets`` + ``pair_scores``): only buckets
+     containing a new norm self-join, only involved norms re-shingle,
+     and old-old pairs come from state;
   3. recompute connected components ONLY for affected components (old
      components adjacent to a new pair, plus new norms) — a new norm can
      legitimately MERGE two previously-separate components;
@@ -49,8 +55,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.triples import raw_triples
 from ..operators.canonicalize import normalize_surface_col
 from ..operators.components import alternating_components
-from ..operators.lsh import char_shingles, verified_pairs, \
-    verified_pairs_touching
+from ..operators.lsh import (char_shingles, lsh_buckets, pair_scores,
+                             touching_pairs_from_buckets, verified_pairs)
 from ..sources.io import (delete_where, recover_table, replace_table,
                           upsert_by_key, write_table)
 
@@ -67,19 +73,37 @@ def _read_raw(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/raw").select(*_RAW_COLS)
 
 
-def _append_raw_batch(spark: SparkSession, new_raw: DataFrame,
-                      state_dir: str, batch_id: str) -> bool:
-    """Append one batch to the raw store exactly once: write to a hidden
-    tmp dir, then atomically rename it to ``raw/batch=<id>``. Returns
-    False (no-op) if the batch dir already exists — the crash-resume
-    signal that this batch's rows are already in ``old_raw``."""
-    dest = Path(state_dir) / "raw" / f"batch={batch_id}"
+def _append_batch_dir(df: DataFrame, state_dir: str, sub: str,
+                      batch_id: str) -> bool:
+    """Append one batch under ``<state_dir>/<sub>/batch=<id>`` exactly
+    once: write to a hidden tmp dir, then atomically rename it in.
+    Returns False (no-op) if the batch dir already exists — the
+    crash-resume signal that this batch is already in the store."""
+    root = Path(state_dir) / sub
+    dest = root / f"batch={batch_id}"
     if dest.exists():
         return False
-    tmp = Path(state_dir) / "raw" / f".batch-{batch_id}.tmp-{uuid.uuid4().hex[:8]}"
-    write_table(new_raw.select(*_RAW_COLS), str(tmp))
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f".batch-{batch_id}.tmp-{uuid.uuid4().hex[:8]}"
+    write_table(df, str(tmp))
     tmp.rename(dest)
     return True
+
+
+def _append_raw_batch(spark: SparkSession, new_raw: DataFrame,
+                      state_dir: str, batch_id: str) -> bool:
+    return _append_batch_dir(new_raw.select(*_RAW_COLS), state_dir,
+                             "raw", batch_id)
+
+
+def _bucket_rows(norms: DataFrame) -> DataFrame:
+    """(norm, squash) -> (norm, band, bh) minhash-LSH bucket rows — the
+    unit the persistent bucket store accumulates (deterministic per norm,
+    so store rows and freshly computed rows are interchangeable)."""
+    return lsh_buckets(
+        norms, "norm", char_shingles(F.col("squash"), 3),
+        num_hashes=_LSH["num_hashes"], bands=_LSH["bands"],
+    ).select(F.col("_id").alias("norm"), "band", "bh")
 
 
 def _norm_raw(pages: DataFrame) -> DataFrame:
@@ -116,13 +140,33 @@ def _edges_for(raw: DataFrame, cmap: DataFrame) -> DataFrame:
     return distinct_edges(apply_canonical_map(raw, cmap))
 
 
+def _state_complete(state_dir: str) -> bool:
+    """True when every state table committed (a crash mid-init leaves a
+    raw/ dir without pairs/cmap/edges — that state must re-init, not take
+    the update path and fail reading missing tables)."""
+    return all(Path(state_dir, t).exists()
+               for t in ("raw", "pairs", "cmap", "edges")) and \
+        any(Path(state_dir, "raw").glob("batch=*"))
+
+
 def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
-               threshold: float = 0.8) -> None:
-    """Full build of the state directory from an initial page batch."""
+               threshold: float = 0.8, batch_id: str = "init") -> None:
+    """Full build of the state directory from an initial page batch.
+    Idempotent under re-runs with the same ``batch_id`` (the append
+    no-ops once committed; pairs/cmap swap atomically; the edge write is
+    last), so a crashed init converges by re-running it."""
     Path(state_dir, "raw").mkdir(parents=True, exist_ok=True)
-    _append_raw_batch(spark, _norm_raw(pages), state_dir, "init")
+    # sweep half-written append tmp dirs from a crashed previous attempt
+    for tmp in Path(state_dir, "raw").glob(".batch-*.tmp-*"):
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    _append_raw_batch(spark, _norm_raw(pages), state_dir, batch_id)
     raw = _read_raw(spark, state_dir)
     norms = _norms_of(raw)
+    # seed the persistent bucket store (updates extend it per batch and
+    # never re-hash the full vocabulary)
+    _append_batch_dir(_bucket_rows(norms), state_dir, "buckets", batch_id)
     pairs = verified_pairs(
         norms, "norm", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment", **_LSH,
@@ -148,14 +192,20 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
     are counted once whether they sit in the store or in ``new_pages``.
     Without a batch_id, re-running the same batch double-counts (the
     caller owns dedup, e.g. via the watermark manifest)."""
-    if not Path(state_dir, "raw").exists():
-        init_state(spark, new_pages, state_dir, threshold)
-        n = spark.read.parquet(f"{state_dir}/edges").count()
-        return {"initialized": True, "edges": n}
-
-    # heal any crash window from a previous run's atomic swaps
+    # heal any crash window from a previous run's atomic swaps BEFORE
+    # deciding the path (a restored pairs/cmap flips the state complete)
     recover_table(f"{state_dir}/pairs")
     recover_table(f"{state_dir}/cmap")
+    if not _state_complete(state_dir):
+        # fresh state OR a crashed init: (re-)run the full build under the
+        # CALLER'S batch id, so a later resume of this same batch is
+        # recognized by the append's batch=<id> marker instead of being
+        # double-counted under a second id
+        init_state(spark, new_pages, state_dir, threshold,
+                   batch_id=batch_id or "init")
+        n = spark.read.parquet(f"{state_dir}/edges").count()
+        return {"initialized": True, "edges": n}
+    cur_batch = batch_id or f"b-{uuid.uuid4().hex[:12]}"
     new_raw = _norm_raw(new_pages).localCheckpoint(eager=True)
     already_appended = (
         batch_id is not None
@@ -169,18 +219,43 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
     old_pairs = spark.read.parquet(f"{state_dir}/pairs")
     old_cmap = spark.read.parquet(f"{state_dir}/cmap")
 
-    # 2. alias pairs touching a NEW norm, over the union vocabulary —
-    # bucket-pruned LSH; old-old pairs come from state
+    # 2. alias pairs touching a NEW norm, generated from the PERSISTENT
+    # bucket store: minhash signatures are computed for the new norms
+    # ONLY — the store carries every previous batch's bucket rows, so an
+    # update is O(new vocab + touched buckets), never a full-vocabulary
+    # re-hash. Old-old pairs come from state.
     new_norms = _norms_of(new_raw) \
         .join(old_cmap.select("norm"), "norm", "left_anti") \
         .localCheckpoint(eager=True)
-    union_norms = _norms_of(old_raw.unionByName(new_raw)) \
+    bdir = Path(state_dir) / "buckets"
+    if not bdir.exists() or not any(bdir.glob("batch=*")):
+        # pre-bucket-store state: one-time rebuild of the old vocabulary
+        _append_batch_dir(_bucket_rows(_norms_of(old_raw)), state_dir,
+                          "buckets", "rebuild")
+    new_bk = _bucket_rows(new_norms).localCheckpoint(eager=True)
+    store_old = spark.read.parquet(str(bdir)) \
+        .filter(F.col("batch") != cur_batch) \
+        .select("norm", "band", "bh")
+    all_bk = store_old.unionByName(new_bk) \
+        .select(F.col("norm").alias("_id"), "band", "bh")
+    cand = touching_pairs_from_buckets(
+        all_bk, new_norms.select(F.col("norm").alias("_id")),
+        _LSH["max_bucket_size"])
+    # verify with shingles of the INVOLVED norms only (never the union)
+    involved = cand.select(F.explode(F.array("a", "b")).alias("norm")) \
+                   .dropDuplicates(["norm"])
+    union_norms = _norms_of(old_raw.unionByName(new_raw))
+    keyed = (
+        union_norms.join(involved, "norm", "left_semi")
+        .select(F.col("norm").alias("_id"),
+                char_shingles(F.col("squash"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
         .localCheckpoint(eager=False)
-    touching = verified_pairs_touching(
-        union_norms, "norm", char_shingles(F.col("squash"), 3),
-        new_norms.select("norm"),
-        threshold=threshold, metric="containment", **_LSH,
-    ).select("a", "b")
+    )
+    touching = pair_scores(cand, keyed, threshold, "containment") \
+        .select("a", "b")
+    if not (bdir / f"batch={cur_batch}").exists():
+        _append_batch_dir(new_bk, state_dir, "buckets", cur_batch)
     merged_pairs = old_pairs.unionByName(touching) \
         .dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
 
@@ -256,10 +331,10 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
     upsert_by_key(spark, recomputed, f"{state_dir}/edges", ["edge_key"],
                   partition_by=["pred"])
 
-    # persist the grown state (atomic batch append; overwrite pairs/cmap)
+    # persist the grown state (atomic batch append under the SAME id the
+    # bucket append used; atomic swaps for pairs/cmap)
     if not already_appended:
-        _append_raw_batch(spark, new_raw, state_dir,
-                          batch_id or f"b-{uuid.uuid4().hex[:12]}")
+        _append_raw_batch(spark, new_raw, state_dir, cur_batch)
     # ATOMIC swaps (write-tmp + rename), never a bare overwrite: a crash
     # mid-write must leave the OLD pairs/cmap readable — losing old-old
     # pairs would split components forever (touching-pair generation

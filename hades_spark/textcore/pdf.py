@@ -32,7 +32,29 @@ import re
 import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
-_DICT_BEFORE_RE = re.compile(rb"<<(?:(?!<<).)*?>>\s*$", re.DOTALL)
+_DICT_TOK_RE = re.compile(rb"<<|>>")
+
+
+def _dict_before(head: bytes) -> bytes:
+    """The LAST complete top-level ``<< ... >>`` dictionary in ``head``
+    (the stream's dict), handling NESTED dictionaries — a regex that
+    forbids ``<<`` inside the match would misparse the common
+    ``/DecodeParms << /Predictor N >>`` shape and silently drop the
+    stream's /Filter."""
+    best = b""
+    start = None
+    depth = 0
+    for m in _DICT_TOK_RE.finditer(head):
+        if m.group(0) == b"<<":
+            if depth == 0:
+                start = m.start()
+            depth += 1
+        else:
+            if depth > 0:
+                depth -= 1
+                if depth == 0 and start is not None:
+                    best = head[start:m.end()]
+    return best
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
@@ -183,8 +205,7 @@ def pdf_to_text(data: bytes | bytearray | None) -> str:
     for m in _STREAM_RE.finditer(data):
         raw = m.group(1)
         head = data[max(0, m.start() - 800):m.start()]
-        dm = _DICT_BEFORE_RE.search(head)
-        filt = dm.group(0) if dm else b""
+        filt = _dict_before(head)
         # honor a literal /Length when it checks out: the regex capture
         # ends at the FIRST 'endstream' byte-sequence, which deflate
         # output can legitimately contain — the declared length is exact

@@ -175,11 +175,8 @@ _GO_CONST = re.compile(r"^const\s+([A-Za-z_]\w*)", re.MULTILINE)
 # const ( A = 1; B = 2 ) — tree-sitter iterates the type_spec/const_spec
 # children, so every member must be captured, not just inline forms
 _GO_TYPE_BLOCK = re.compile(r"^type\s*\(\s*\n(.*?)^\)", re.MULTILINE | re.DOTALL)
-_GO_TYPE_SPEC = re.compile(r"^[ \t]*([A-Za-z_]\w*)\s+(struct|interface|\S+)",
-                           re.MULTILINE)
 _GO_CONST_BLOCK = re.compile(r"^const\s*\(\s*\n(.*?)^\)",
                              re.MULTILINE | re.DOTALL)
-_GO_CONST_SPEC = re.compile(r"^[ \t]*([A-Za-z_]\w*)\b", re.MULTILINE)
 
 
 def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
@@ -205,13 +202,27 @@ def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
         symbols["constants"].append({"name": m.group(1), "line": line})
     # member lines are computed from the BODY's start offset (not the
     # 'type ('/'const (' line + 1): the opener regex swallows any blank
-    # lines before the first spec, so counting from the body start keeps
-    # line numbers exact
+    # lines before the first spec. Specs are matched per line AT BRACE
+    # DEPTH 0 only — a multi-line struct body's field lines ('Name
+    # string') would otherwise match the spec shape and surface as
+    # phantom top-level types.
+    def _block_specs(body: str, base_line: int, spec_re):
+        depth = 0
+        for off, ln_text in enumerate(body.split("\n")):
+            if depth == 0:
+                sm = spec_re.match(ln_text)
+                if sm:
+                    yield sm, base_line + off
+            depth += ln_text.count("{") - ln_text.count("}")
+            depth = max(depth, 0)
+
+    _TYPE_SPEC_LINE = re.compile(r"[ \t]*([A-Za-z_]\w*)\s+"
+                                 r"(struct|interface|\S+)")
+    _CONST_SPEC_LINE = re.compile(r"[ \t]*([A-Za-z_]\w*)\b")
     for m in _GO_TYPE_BLOCK.finditer(content):
         body = m.group(1)
         body_line = content.count("\n", 0, m.start(1)) + 1
-        for sm in _GO_TYPE_SPEC.finditer(body):
-            ln = body_line + body.count("\n", 0, sm.start())
+        for sm, ln in _block_specs(body, body_line, _TYPE_SPEC_LINE):
             entry = {"name": sm.group(1), "line": ln}
             if sm.group(2) == "interface":
                 symbols["interfaces"].append(entry)
@@ -220,8 +231,7 @@ def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
     for m in _GO_CONST_BLOCK.finditer(content):
         body = m.group(1)
         body_line = content.count("\n", 0, m.start(1)) + 1
-        for sm in _GO_CONST_SPEC.finditer(body):
-            ln = body_line + body.count("\n", 0, sm.start())
+        for sm, ln in _block_specs(body, body_line, _CONST_SPEC_LINE):
             symbols["constants"].append({"name": sm.group(1), "line": ln})
     return symbols
 

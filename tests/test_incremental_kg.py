@@ -135,3 +135,35 @@ class TestExactlyOnceResume:
         row = spark.read.parquet(f"{inc}/edges").filter(
             (F.col("subj") == "alphabeta") & (F.col("pred") == "uses")).collect()
         assert row[0]["support"] == 3  # 1 old + 2x the new batch
+
+
+class TestInitCrashResume:
+    def test_first_batch_rerun_with_same_id_no_double_count(
+            self, spark, tmp_path):
+        """First-ever update with a batch_id, then a full re-run with the
+        SAME id (crash-after-init resume): exactly-once must hold."""
+        inc = str(tmp_path / "initonce")
+        incremental_update(spark, _pages(spark, BATCH1), inc,
+                           batch_id="b1")
+        first = _edge_set(spark, inc)
+        stats = incremental_update(spark, _pages(spark, BATCH1), inc,
+                                   batch_id="b1")
+        assert not stats["initialized"]  # state complete; normal path
+        assert _edge_set(spark, inc) == first  # no support inflation
+
+    def test_wedged_init_recovers(self, spark, tmp_path):
+        """Crash mid-init (raw committed, pairs/cmap/edges missing) must
+        re-init on the next call, not fail reading missing tables."""
+        import shutil
+
+        inc = str(tmp_path / "wedged")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        shutil.rmtree(f"{inc}/pairs")
+        shutil.rmtree(f"{inc}/cmap")
+        shutil.rmtree(f"{inc}/edges")
+        stats = incremental_update(spark, _pages(spark, BATCH1), inc,
+                                   batch_id="b1")
+        assert stats["initialized"]
+        full = str(tmp_path / "wfull")
+        init_state(spark, _pages(spark, BATCH1), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)

@@ -181,3 +181,17 @@ class TestIncrementalAtomicState:
                                    batch_id="b2")
         assert not stats["initialized"]
         assert spark.read.parquet(f"{inc}/edges").count() > 0
+
+
+class TestNestedStreamDict:
+    def test_decodeparms_nested_dict(self):
+        # /DecodeParms << ... >> inside the stream dict must not hide
+        # /FlateDecode from the filter detection
+        import zlib
+
+        content = zlib.compress(b"BT (Nested dict works.) Tj ET")
+        pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode "
+               b"/DecodeParms << /Predictor 1 >> /Length "
+               + str(len(content)).encode() + b" >>\nstream\n"
+               + content + b"\nendstream\nendobj\n")
+        assert pdf_to_text(pdf) == "Nested dict works."

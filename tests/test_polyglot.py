@@ -337,3 +337,14 @@ class TestGoBlockBlankLines:
         s = extract_symbols("p.go", src)["symbols"]
         assert [(t["name"], t["line"]) for t in s["types"]] == [("Foo", 5)]
         assert [(c["name"], c["line"]) for c in s["constants"]] == [("K", 10)]
+
+
+class TestGoStructBodies:
+    def test_struct_fields_not_phantom_types(self):
+        from hades_spark.textcore.polyglot import extract_symbols
+
+        src = ("package p\n\ntype (\n\tAlpha struct {\n\t\tName string\n"
+               "\t\tCount int\n\t}\n\tBeta interface {\n\t\tRun()\n\t}\n)\n")
+        s = extract_symbols("p.go", src)["symbols"]
+        assert [t["name"] for t in s["types"]] == ["Alpha"]
+        assert [t["name"] for t in s["interfaces"]] == ["Beta"]
