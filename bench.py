@@ -80,8 +80,12 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
     corpus_root = os.environ.get("BENCH_CORPUS_DIR", "/tmp/hades_bench_corpus")
     # v2: corpus generator now emits markdown/latex pages too —
     # version tag invalidates round-1 cached corpora
-    corpus_dir = f"{corpus_root}/pages_v2_n{n_pages}_r{richness}_s42" + (
-        f"_vocab{vocab}" if vocab else "")
+    # vocab corpora carry a v3 tag: the round-3 review fixed the Zipf
+    # sampler (top index now reachable), which changes vocab-mode bytes;
+    # the legacy vocab=0 generator is untouched, so its v2 cache stands
+    corpus_dir = (f"{corpus_root}/pages_v3_n{n_pages}_r{richness}"
+                  f"_s42_vocab{vocab}" if vocab else
+                  f"{corpus_root}/pages_v2_n{n_pages}_r{richness}_s42")
     gen0 = time.perf_counter()
     if not Path(corpus_dir, "_SUCCESS").exists():
         pages_df_distributed(spark, n_pages, seed=42, partitions=cpus * 2,
@@ -118,7 +122,7 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
         kg_caches = []
         vpages_n = int(os.environ.get("BENCH_VOCAB_PAGES", "20000"))
         vvocab = int(os.environ.get("BENCH_VOCAB_SIZE", "150000"))
-        vdir = (f"{corpus_root}/pages_v2_n{vpages_n}_r{richness}"
+        vdir = (f"{corpus_root}/pages_v3_n{vpages_n}_r{richness}"
                 f"_s42_vocab{vvocab}")
         if not Path(vdir, "_SUCCESS").exists():
             pages_df_distributed(spark, vpages_n, seed=42,
@@ -135,10 +139,15 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
         v_triples_n = vtriples.count()
         from pyspark.sql import functions as F
 
+        # post-squash-filter count — the SAME predicate
+        # canonical_norm_map's local-vs-distributed decision applies, so
+        # kg_vocab_canon_path reports the path that actually ran
         v_norms = (
             vcaches[0].select(
                 F.explode(F.array("subj_norm", "obj_norm")).alias("norm"))
-            .dropDuplicates(["norm"]).count()
+            .dropDuplicates(["norm"])
+            .filter(F.length(F.regexp_replace("norm", " ", "")) > 0)
+            .count()
         )
         for c in vcaches:
             c.unpersist()
@@ -172,17 +181,24 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
             .withColumn("squash", F.regexp_replace("norm", " ", ""))
             .filter(F.length("squash") > 0)
         )
-        n_norms = norms.count()
+        n_norms = norms.count()  # post-squash-filter: the same count
+        # canonical_norm_map's local-vs-distributed decision uses
         from hades_spark.operators.lsh import char_shingles
 
+        # bucket stats over distinct SQUASHES at cap 150 — the blocking
+        # the production canonicalization path ACTUALLY runs (norm-level
+        # stats at cap 500 would overstate bucket sizes: squash-identical
+        # norms are deduped before LSH)
+        squashes = norms.select("squash").dropDuplicates(["squash"])
         vocab_diag = {
             "kg_vocab": vocab,
             "kg_distinct_norms": n_norms,
+            "kg_distinct_squashes": squashes.count(),
             "kg_canon_path": ("distributed"
                               if n_norms > local_threshold else "local"),
             "kg_lsh_buckets": lsh_bucket_size_stats(
-                norms, "norm", char_shingles(F.col("squash"), 3),
-                num_hashes=16, bands=16, cap=500),
+                squashes, "squash", char_shingles(F.col("squash"), 3),
+                num_hashes=16, bands=16, cap=150),
         }
     for c in kg_caches:
         c.unpersist()

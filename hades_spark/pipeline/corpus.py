@@ -118,11 +118,13 @@ def synthetic_entity(k: int, seed: int = 42) -> tuple[str, tuple[str, ...]]:
 
 
 def _zipf_idx(rng: random.Random, vocab_size: int) -> int:
-    """Log-uniform ('Zipf-ish') index in [0, vocab_size): P(idx=0) is
-    ~ln(2)/ln(V) (a few percent of ALL draws hit the single hottest
-    entity) with a long flat tail — the skewed-key fixture the north
-    rule's skew handling is exercised against."""
-    return int(vocab_size ** rng.random()) - 1
+    """Log-uniform ('Zipf-ish') index covering ALL of [0, vocab_size):
+    P(idx=0) is ~ln(2)/ln(V+1) (a few percent of ALL draws hit the single
+    hottest entity) with a long flat tail — the skewed-key fixture the
+    north rule's skew handling is exercised against. The (V+1) base makes
+    the top index reachable (int(V**u)-1 spans only [0, V-2], which also
+    hangs the subject!=object redraw at V=2)."""
+    return min(int((vocab_size + 1) ** rng.random()) - 1, vocab_size - 1)
 
 
 def _svo_sentence(

@@ -1746,13 +1746,23 @@ def t3_full(spark: SparkSession, sf: str) -> DataFrame:
     av_rows = emb.filter(F.col("doc_id") == F.lit("0")) \
         .orderBy("doc_id", "chunk_index").select("embedding") \
         .limit(1).collect()
-    av = [float(x) for x in av_rows[0][0]]
-    emb.join(hits_keys, ["doc_id", "chunk_index"], "left_semi") \
-        .select("doc_id", "chunk_index",
-                cosine_col(F.col("embedding"),
-                           F.array(*[F.lit(x) for x in av]))
-                .cast("double").alias("anchor_sim")) \
-        .write.mode("overwrite").parquet(f"{_T3_STAGE}/anchor_sims")
+    if av_rows and av_rows[0][0] is not None:
+        av = [float(x) for x in av_rows[0][0]]
+        sims_df = emb.join(hits_keys, ["doc_id", "chunk_index"],
+                           "left_semi") \
+            .select("doc_id", "chunk_index",
+                    cosine_col(F.col("embedding"),
+                               F.array(*[F.lit(x) for x in av]))
+                    .cast("double").alias("anchor_sim"))
+    else:
+        # anchor absent on this fixture: stage zero similarities (NB:
+        # anchor_rerank's interactive fallback passes scores through
+        # unchanged; that behavior is unit-tested on the operator — this
+        # STAGED twin documents the 0-sim convention so both the Spark
+        # tail and the DuckDB twin stay hash-identical)
+        sims_df = hits_keys.withColumn(
+            "anchor_sim", F.lit(0.0).cast("double"))
+    sims_df.write.mode("overwrite").parquet(f"{_T3_STAGE}/anchor_sims")
 
     # cross-encoder scores for every hit (the cascade cuts AFTER scoring)
     ce_in = spark.read.parquet(f"{_T3_STAGE}/hits") \

@@ -244,11 +244,23 @@ class TestVocabCorpus:
 
     def test_legacy_corpus_unchanged(self, spark):
         """vocab_size=0 must preserve the legacy rng draw order exactly
-        (cached bench corpora + staged oracles depend on it)."""
+        (cached bench corpora + staged oracles depend on it) — pinned by
+        GOLDEN page-byte hashes, so any draw-order refactor fails loudly
+        instead of silently invalidating every cached corpus."""
+        import hashlib
+
         from hades_spark.pipeline.corpus import gen_pages
 
+        pages = gen_pages(3, seed=42, compute_text=False)
+        got = [(p.url, hashlib.sha256(p.html).hexdigest()[:16])
+               for p in pages]
+        assert got == [
+            ("https://hub.example/docs/0.html", "20247c1a01a8bfca"),
+            ("https://host105.example/docs/1.html", "cfccc95120ff2353"),
+            ("https://host180.example/docs/2.html", "401b3c564eef18af"),
+        ]
         p = gen_pages(5, seed=42, compute_text=False)[2]
-        # surfaces now recorded, aligned with truth
+        # surfaces recorded, aligned with truth
         assert len(p.surfaces) == len(p.truth)
         # spot-invariant: truth entities come from the fixed vocabulary
         from hades_spark.pipeline.corpus import SURFACE_TO_CANONICAL
