@@ -40,10 +40,22 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
     from hades_spark.queries import SPARK_QUERIES
     from hades_spark.session import get_spark
 
+    # keep the driver-parsed output clean (VERDICT r3 #7): no console
+    # progress bars, and JVM logs (including the benign late-task
+    # updateAccumulators ERROR race after async cache release — cause
+    # documented in scripts/bench_log4j2.properties) go to a file, never
+    # stderr. Real failures still raise from the Python actions below.
+    log_conf = Path(__file__).resolve().parent / "scripts" / \
+        "bench_log4j2.properties"
     spark = get_spark(
         "hades_spark_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions":
+                f"-Dlog4j.configurationFile=file:{log_conf}",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -116,9 +128,11 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
     if not vocab:
         # the headline run's caches are never touched again on this path —
         # free them BEFORE the timed vocab pipeline (pinned storage could
-        # evict/slow its own localCheckpoint blocks)
+        # evict/slow its own localCheckpoint blocks). Blocking unpersist:
+        # the async default lets block removal race the next pipeline's
+        # stage completions (the updateAccumulators log noise)
         for c in kg_caches:
-            c.unpersist()
+            c.unpersist(True)
         kg_caches = []
         vpages_n = int(os.environ.get("BENCH_VOCAB_PAGES", "20000"))
         vvocab = int(os.environ.get("BENCH_VOCAB_SIZE", "150000"))
@@ -150,7 +164,7 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
             .count()
         )
         for c in vcaches:
-            c.unpersist()
+            c.unpersist(True)
         vocab_extra = {
             "kg_vocab_pipeline_sec": round(v_sec, 4),
             "kg_vocab_triples_per_sec": round(v_triples_n / v_sec, 2)
@@ -201,7 +215,7 @@ def run(sf_dir: str, cpus: int, n_pages: int) -> dict:
                 num_hashes=16, bands=16, cap=150),
         }
     for c in kg_caches:
-        c.unpersist()
+        c.unpersist(True)
 
     sf = 0.1
     if "sf0.01" in sf_dir:

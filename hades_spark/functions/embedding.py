@@ -87,9 +87,21 @@ def get_backend(factory, dim: int) -> EmbedderBackend:
     key = (factory.__module__, factory.__qualname__, dim)
     b = _BACKEND_CACHE.get(key)
     if b is None:
-        b = factory(dim)
+        global _IN_SINGLETON_INIT
+        _IN_SINGLETON_INIT = True  # backends log inits ONLY on this path
+        try:
+            b = factory(dim)
+        finally:
+            _IN_SINGLETON_INIT = False
         _BACKEND_CACHE[key] = b
     return b
+
+
+# True only while get_backend constructs a cache-managed instance —
+# lets a backend's init-telemetry distinguish the one-per-worker
+# singleton path from ad-hoc driver-side constructions (tests, oracle
+# staging), which may legitimately repeat in one process.
+_IN_SINGLETON_INIT = False
 
 
 class ModelEmbedder(EmbedderBackend):
@@ -321,6 +333,37 @@ def late_chunk_embed(
                 "embedding", "model"])
 
     return cols.mapInPandas(_embed, schema=out_schema)
+
+
+def token_embeddings_table(
+    docs: DataFrame,
+    backend_factory=HashTokenEmbedder,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, token_index, embedding): the raw per-document token-level
+    output of a ``TokenEmbedderBackend`` — the staging surface the
+    late-chunking oracles verify against (a contextual backend's token
+    vectors depend on the WHOLE document, so they must be produced by
+    one per-document forward pass, never per-token calls). Narrow
+    ``mapInPandas``; backend is the executor-global singleton."""
+    out_schema = f"{id_col} string, token_index int, embedding array<float>"
+    cols = docs.select(F.col(id_col).cast("string").alias(id_col),
+                       F.col(text_col).alias("_text"))
+
+    def _tok(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        backend = get_backend(backend_factory, dim)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for did, text in zip(pdf[id_col], pdf["_text"]):
+                _, mat = backend.encode_tokens(text or "")
+                rows.extend((did, i, v.tolist())
+                            for i, v in enumerate(mat))
+            yield pd.DataFrame(rows,
+                               columns=[id_col, "token_index", "embedding"])
+
+    return cols.mapInPandas(_tok, schema=out_schema)
 
 
 def embed_text_column(df: DataFrame, text_col: str, out_col: str = "embedding",

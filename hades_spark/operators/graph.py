@@ -43,6 +43,8 @@ def bfs(
     direction: str = "outbound",
     track_parent: bool = False,
     stop_at=None,
+    broadcast_max_rows: int = 1_000_000,
+    _mode_log: list | None = None,
 ) -> DataFrame:
     """-> (node, depth[, parent]) with depth = first-reach distance from any
     seed (seeds at depth 0). Frontier-expansion loop, one shuffle-free
@@ -52,20 +54,33 @@ def bfs(
     target: the level loop breaks as soon as that node enters the visited
     set (one cheap probe per level over the just-checkpointed frontier) —
     on a power-law web graph the levels PAST the hit are the expensive
-    ones."""
+    ones.
+
+    ``broadcast_frontier`` is ADAPTIVE, not absolute: a depth-2 frontier
+    on a web graph can exceed what any executor can hold, so each level
+    broadcasts only while the (already-materialized, so the count is a
+    metadata read) frontier stays within ``broadcast_max_rows``; past
+    that the level falls back to a shuffle hash join on the node key —
+    the same size-gated policy the linking/canonicalize operators use."""
     e = _oriented(edges, src, dst, direction)
     visited = seeds.select(F.col(node).alias("node")).distinct() \
                    .withColumn("depth", F.lit(0))
     if track_parent:
         visited = visited.withColumn(
             "parent", F.lit(None).cast(visited.schema["node"].dataType))
-    frontier = visited
+    frontier = visited.localCheckpoint(eager=True)
+    frontier_rows = frontier.count()
+    visited = frontier
     if stop_at is not None and not \
             visited.filter(F.col("node") == F.lit(stop_at)).isEmpty():
         return visited  # target is a seed: depth 0, nothing to expand
 
     for d in range(1, max_depth + 1):
-        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        use_broadcast = (broadcast_frontier
+                         and frontier_rows <= broadcast_max_rows)
+        if _mode_log is not None:  # test/diagnostic hook
+            _mode_log.append("broadcast" if use_broadcast else "shuffle")
+        f = F.broadcast(frontier) if use_broadcast else frontier
         expanded = e.join(f, e._s == f.node)
         if track_parent:
             nxt = (
@@ -85,7 +100,8 @@ def bfs(
                 .withColumn("depth", F.lit(d))
             )
         nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt

@@ -58,6 +58,7 @@ def link_mentions(
     dim: int = 64,
     min_score: float = 0.0,
     broadcast_catalog: bool = True,
+    backend_factory=HashEmbedder,
 ) -> DataFrame:
     """-> (mention_id, surface, entity_id, strategy, score).
 
@@ -65,6 +66,11 @@ def link_mentions(
     output — callers left-join if they need nulls. Set
     ``broadcast_catalog=False`` when the catalog exceeds broadcastable
     size (see module docstring: single melted shuffle-hash join).
+    ``backend_factory`` is any ``EmbedderBackend`` class (e.g. the
+    checkpoint-loading ``NumpyTokenTransformer``): it is constructed
+    LAZILY inside the scoring UDF via the executor-global singleton, so
+    a heavy model loads once per worker process, never on the driver and
+    never per task.
     """
     men = mentions.select(
         F.col(mention_id).alias("_mid"),
@@ -118,10 +124,11 @@ def link_mentions(
         cands = men_m.join(cat_m.hint("SHUFFLE_HASH"),
                            ["_key", "strategy"]).drop("_key")
 
-    emb = HashEmbedder(dim)
-
     @F.pandas_udf("double")
     def _score(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        from ..functions.embedding import get_backend
+
+        emb = get_backend(backend_factory, dim)  # once per WORKER (O7)
         for a, b in it:
             ma = emb.encode(a.fillna("").tolist())
             mb = emb.encode(b.fillna("").tolist())

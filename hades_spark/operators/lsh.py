@@ -243,10 +243,10 @@ def verified_pairs_touching(
     shingle_expr,
     touch_ids: DataFrame,
     threshold: float,
-    metric: str = "containment",
-    num_hashes: int = 16,
-    bands: int = 16,
-    max_bucket_size: int = 500,
+    metric: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int,
 ) -> DataFrame:
     """``verified_pairs`` restricted to pairs with >= 1 endpoint in
     ``touch_ids`` (single column named like ``id_col``) — the INCREMENTAL
@@ -256,7 +256,11 @@ def verified_pairs_touching(
     FULL bucket contents (all rows of the touched buckets), so the pairs
     emitted here are exactly the touch-adjacent subset of what a full
     ``verified_pairs`` run over ``df`` emits — the invariant that makes
-    incremental == full-rebuild."""
+    incremental == full-rebuild. The LSH parameters are REQUIRED (no
+    defaults): the invariant only holds when the incremental and the
+    full-rebuild side share one config (``incremental_kg._LSH``), and a
+    default here that drifted from the caller's full-side config would
+    silently break it."""
     keyed = df.select(F.col(id_col).alias("_id"), shingle_expr.alias("sh")) \
               .filter(F.size("sh") > 0).localCheckpoint(eager=False)
     buckets = lsh_buckets(keyed, "_id", "sh",

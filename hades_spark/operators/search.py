@@ -236,15 +236,23 @@ def anchor_rerank(
             hits.withColumn("anchor_similarity", F.lit(0.0))
             .withColumn("anchor_fused_score", F.col(score_col))
         )
+    from .similarity import query_vec_frame
+
     av = [float(x) for x in anchor_rows[0][0]]
-    a = F.array(*[F.lit(x) for x in av])
+    # the anchor vector rides a broadcast ONE-ROW frame, same as every
+    # other query-vector path (at the reference's 2048 dims, per-dim
+    # F.lit literals bloat codegen)
+    avf = query_vec_frame(embeddings, av, col="_av")
     # score ONLY the hit rows' vectors (semi-join first): broadcasting a
     # projection of the full embeddings table would ship N rows to every
     # executor; this ships at most |hits|
     vecs = (
         embeddings.join(hits.select(*join_cols).dropDuplicates(
             list(join_cols)), list(join_cols), "left_semi")
-        .select(*join_cols, cosine_col(F.col(vec_col), a).alias("_anchor_sim"))
+        .join(avf)
+        .select(*join_cols,
+                cosine_col(F.col(vec_col), F.col("_av"))
+                .alias("_anchor_sim"))
     )
     return (
         hits.join(F.broadcast(vecs), list(join_cols), "left")

@@ -141,13 +141,45 @@ def topk_join(
     )
 
 
+def lsh_matched_candidates(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    n_planes: int = 10,
+    n_tables: int = 8,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """The multi-table LSH BLOCKING stage on its own: -> (_qid, _qv,
+    _cid, _cv) pairs sharing a hyperplane bucket in >=1 table, deduped.
+    Split out of ``lsh_topk_join`` so the ANN bench can measure the
+    candidate-set size (cost) separately from recall."""
+    def with_buckets(df, id_alias, vec_alias, idc, vecc):
+        out = None
+        for t in range(n_tables):
+            sig = signature_udf(dim, n_planes, seed=7 + 1000 * t)
+            part = df.select(F.col(idc).alias(id_alias),
+                             F.col(vecc).alias(vec_alias)) \
+                     .withColumn("table", F.lit(t)) \
+                     .withColumn("bucket", sig(F.col(vec_alias)))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    qs = with_buckets(queries, "_qid", "_qv", q_id, q_vec)
+    cs = with_buckets(candidates, "_cid", "_cv", c_id, c_vec)
+    return cs.join(qs, ["table", "bucket"]) \
+             .dropDuplicates(["_qid", "_cid"])
+
+
 def lsh_topk_join(
     queries: DataFrame,
     candidates: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
-    n_tables: int = 1,
+    n_planes: int = 10,
+    n_tables: int = 8,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     c_id: str = "c_id",
@@ -162,20 +194,15 @@ def lsh_topk_join(
     product — (table, bucket) is the shuffle key, both sides prune to
     matching buckets, and a candidate matched in several tables is scored
     once (dropDuplicates before scoring).
-    """
-    def with_buckets(df, id_alias, vec_alias, idc, vecc):
-        out = None
-        for t in range(n_tables):
-            sig = signature_udf(dim, n_planes, seed=7 + 1000 * t)
-            part = df.select(F.col(idc).alias(id_alias),
-                             F.col(vecc).alias(vec_alias)) \
-                     .withColumn("table", F.lit(t)) \
-                     .withColumn("bucket", sig(F.col(vec_alias)))
-            out = part if out is None else out.unionByName(part)
-        return out
 
-    qs = with_buckets(queries, "_qid", "_qv", q_id, q_vec)
-    cs = with_buckets(candidates, "_cid", "_cv", c_id, c_vec)
+    Defaults (10 planes x 8 tables) come from the measured 1M-vector
+    sweep (BENCH/BASELINE.md §ANN, round 4): recall@10 >= 0.9 against
+    the exact baseline while scoring ~1-2% of the corpus per query; the
+    old single-table 8-plane default measured ~0.3-0.6 recall.
+    """
+    matched = lsh_matched_candidates(
+        queries, candidates, dim, n_planes=n_planes, n_tables=n_tables,
+        q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec)
 
     @F.pandas_udf("double")
     def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
@@ -188,8 +215,6 @@ def lsh_topk_join(
             den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
             yield pd.Series(np.where(den > 0, num / np.maximum(den, 1e-30), 0.0))
 
-    matched = cs.join(qs, ["table", "bucket"]) \
-                .dropDuplicates(["_qid", "_cid"])
     scored = matched.withColumn("score", _cos("_cv", "_qv"))
     w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_cid"))
     return (

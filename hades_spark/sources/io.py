@@ -34,6 +34,15 @@ def write_table(df: DataFrame, path: str, partition_by: list[str] | None = None,
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read with crash-window healing: restore a whole-table ``.bak``
+    (interrupted ``replace_table`` swap) and any partition-leaf ``.bak``
+    (interrupted ``_upsert_partition_scoped`` leaf swap) BEFORE the scan —
+    a plain ``spark.read`` of a half-swapped table would silently miss the
+    renamed-away partition."""
+    p = Path(path)
+    _recover_table(p)
+    if p.exists():
+        _recover_partitions(p)
     return spark.read.parquet(path)
 
 
@@ -149,6 +158,8 @@ def _upsert_partition_scoped(
     key_cols: list[str],
     partition_by: list[str],
     detect_moved_keys: bool = True,
+    keys_df: DataFrame | None = None,
+    broadcast_keys: bool = True,
 ) -> None:
     """MERGE INTO on a partitioned table, touching ONLY the partitions that
     appear in ``new_rows`` (Iceberg dynamic-overwrite semantics; the seam
@@ -175,13 +186,27 @@ def _upsert_partition_scoped(
     rename-to-bak + rename-in + drop-bak, and ``_recover_partitions``
     (called on entry) restores any partition whose swap crashed between
     the two renames, so a crash never loses data across a re-run.
+
+    ``new_rows=None`` + ``keys_df`` flips this into a partition-scoped
+    DELETE-by-key: rows matching a key are dropped, nothing is added, and
+    only partitions holding a matching key are rewritten.
+    ``broadcast_keys=False`` keeps the key matches as shuffle joins — the
+    delete path's default, since a component-merge storm can produce a
+    dead-key set too large to broadcast.
     """
     _recover_partitions(p)
     nullsafe_on = _nullsafe_on
 
-    new_parts = new_rows.select(*partition_by).dropDuplicates(partition_by)
-    keys = F.broadcast(
-        new_rows.select(*key_cols).dropDuplicates(key_cols)).alias("_keys")
+    if new_rows is not None:
+        new_parts = new_rows.select(*partition_by) \
+                            .dropDuplicates(partition_by)
+    else:
+        new_parts = spark.read.parquet(str(p)) \
+            .select(*partition_by).dropDuplicates(partition_by).limit(0)
+    raw_keys = (keys_df if keys_df is not None else new_rows) \
+        .select(*key_cols).dropDuplicates(key_cols)
+    keys = (F.broadcast(raw_keys) if broadcast_keys else raw_keys) \
+        .alias("_keys")
     if detect_moved_keys:
         # partitions currently holding one of the upserted keys (key +
         # partition columns only => column-pruned scan of all partitions)
@@ -203,7 +228,8 @@ def _upsert_partition_scoped(
     existing_a = existing.alias("_ex")
     keep = existing_a.join(
         keys, nullsafe_on(existing_a, keys, key_cols), "left_anti")
-    merged = keep.unionByName(new_rows.select(*existing.columns))
+    merged = keep if new_rows is None \
+        else keep.unionByName(new_rows.select(*existing.columns))
 
     tmp = p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"
     write_table(merged, str(tmp), partition_by=partition_by)
@@ -317,6 +343,10 @@ def delete_where(spark: SparkSession, path: str, condition,
     _recover_table(p)
     if not p.exists():
         return
+    # heal interrupted partition-leaf swaps FIRST: a leaf renamed to .bak
+    # but not yet replaced is live data, and the whole-table rewrite below
+    # would otherwise permanently drop it
+    _recover_partitions(p)
     # SQL DELETE removes only rows where the predicate is TRUE; rows where
     # it evaluates to NULL are KEPT (NOT NULL is NULL and would be filtered
     # out by a bare ~condition).
@@ -330,6 +360,47 @@ def delete_where(spark: SparkSession, path: str, condition,
     bak = str(p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}")
     p.rename(bak)
     Path(tmp).rename(p)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def delete_by_key(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+    broadcast_keys: bool = False,
+) -> None:
+    """``DELETE FROM tbl WHERE (key) IN (SELECT key FROM keys)`` with the
+    key set as a DATAFRAME — the scale-safe sibling of ``delete_where``:
+    the keys are anti-joined distributed (shuffle join by default;
+    ``broadcast_keys=True`` for provably small sets), never collected to
+    the driver or inlined as an ``isin`` literal list, so a key set of any
+    size works without blowing the driver or the plan.
+
+    On a partitioned table only the partitions holding a matching key are
+    read and rewritten (same column-pruned key scan + per-partition atomic
+    swap as ``upsert_by_key``); unpartitioned tables take one anti-join +
+    whole-table atomic swap."""
+    p = Path(path)
+    _recover_table(p)
+    if not p.exists():
+        return
+    _recover_partitions(p)
+    if partition_by:
+        _upsert_partition_scoped(
+            spark, None, p, key_cols, partition_by,
+            keys_df=keys, broadcast_keys=broadcast_keys)
+        return
+    live = spark.read.parquet(str(p)).alias("_live")
+    k = keys.select(*key_cols).dropDuplicates(key_cols)
+    k = (F.broadcast(k) if broadcast_keys else k).alias("_keys")
+    remaining = live.join(k, _nullsafe_on(live, k, key_cols), "left_anti")
+    tmp = p.parent / f".{p.name}.tmp-{uuid.uuid4().hex[:8]}"
+    write_table(remaining, str(tmp))
+    bak = p.parent / f".{p.name}.bak-{uuid.uuid4().hex[:8]}"
+    p.rename(bak)
+    tmp.rename(p)
     shutil.rmtree(bak, ignore_errors=True)
 
 

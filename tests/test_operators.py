@@ -203,6 +203,58 @@ class TestGraph:
         assert shortest_path_length(edges, 1, 5) == 2
         assert shortest_path_length(edges, 5, 1, max_depth=3) is None
 
+    def test_frontier_broadcast_falls_back_to_shuffle(self, spark):
+        """A frontier past ``broadcast_max_rows`` must NOT carry the
+        broadcast hint (a depth-2 web frontier can exceed executor
+        memory): the level join falls back to a shuffle hash join, and
+        the result is identical either way."""
+        from hades_spark.operators.graph import bfs
+
+        # star: 1 -> 2..401, then 2..401 -> 500 (big level-1 frontier)
+        rows = [(1, i) for i in range(2, 402)] + \
+               [(i, 500) for i in range(2, 402)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+
+        log_b, log_s = [], []
+        out_b = {(r["node"], r["depth"])
+                 for r in bfs(edges, seeds, 2, _mode_log=log_b).collect()}
+        out_s = {(r["node"], r["depth"])
+                 for r in bfs(edges, seeds, 2, broadcast_max_rows=100,
+                              _mode_log=log_s).collect()}
+        assert out_b == out_s
+        assert (500, 2) in out_s and len(out_s) == 402
+        # default: every level broadcast; capped: the seed level (1 row)
+        # broadcasts, the 400-row frontier level takes the shuffle path
+        assert log_b == ["broadcast", "broadcast"]
+        assert log_s == ["broadcast", "shuffle"]
+
+    def test_frontier_fallback_plan_modes(self, spark):
+        """The ONLY difference between the two modes is the broadcast
+        hint on the frontier side: with the hint the level join plans as
+        BroadcastHashJoin even when autoBroadcastJoinThreshold is off;
+        without it Catalyst is free to shuffle."""
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.graph import _oriented
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long")
+        frontier = spark.createDataFrame([(1,)], "node long")
+        e = _oriented(edges, "src", "dst", "outbound")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            hinted = e.join(F.broadcast(frontier),
+                            e._s == frontier.node)
+            plain = e.join(frontier, e._s == frontier.node)
+            assert "BroadcastHashJoin" in \
+                hinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in \
+                plain._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
 
 class TestMultimodal:
     def test_metadata_plumbing(self, spark):

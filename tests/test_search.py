@@ -124,6 +124,31 @@ class TestCascadeTail:
         scores = [r["anchor_fused_score"] for r in out]
         assert scores == sorted(scores, reverse=True)
 
+    def test_anchor_vector_rides_one_row_broadcast(self, spark):
+        """At the reference's 2048 dims the anchor vector must ride a
+        broadcast ONE-ROW frame (query_vec_frame), never 2048 per-dim
+        literals baked into the plan: the plan carries a
+        BroadcastNestedLoopJoin for the one-row frame and the codegen'd
+        plan text stays small."""
+        from hades_spark.functions.embedding import embed_text_column
+        from hades_spark.operators.search import anchor_rerank, semantic_topk
+
+        dim = 2048
+        chunks = spark.createDataFrame(
+            [("d1", 0, "window sort merge join"),
+             ("d2", 0, "partition skew salting")],
+            "doc_id string, chunk_index int, text string")
+        emb = embed_text_column(chunks, "text", "embedding", dim=dim)
+        hits = semantic_topk(emb, "window sort", k=2, dim=dim)
+        out = anchor_rerank(hits, emb, anchor_id="d1")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # one-row-frame join present; no literal-array blowup: a 2048-
+        # literal array would make the plan text megabytes long
+        assert "BroadcastNestedLoopJoin" in plan
+        assert len(plan) < 200_000
+        rows = out.collect()
+        assert rows and rows[0]["anchor_similarity"] is not None
+
     def test_anchor_missing_passthrough(self, spark):
         from hades_spark.operators.search import anchor_rerank, semantic_topk
 
