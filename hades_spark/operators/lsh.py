@@ -8,10 +8,13 @@ Candidate pairs are then verified with exact Jaccard over the shingle sets.
 
 Everything is built-in ``pyspark.sql.functions`` (xxhash64, explode,
 array_intersect, ...) so the whole thing stays inside whole-stage codegen;
-the only shuffles are the signature groupBy and the bucket self-join, both
-on well-distributed hash keys. Giant buckets (boilerplate shingles / stop
-surfaces) are capped with ``max_bucket_size`` to bound the pair explosion —
-the skew guard the north rule asks for.
+the only shuffles are the signature groupBy, the bucket self-join and the
+cross-band pair dedup, all on well-distributed hash keys; the exact
+verification tail broadcasts the shingled vocabulary while it is small
+and degrades to a shuffle join past ``broadcast_threshold_rows``. Giant
+buckets (boilerplate shingles / stop surfaces) are capped with
+``max_bucket_size`` to bound the pair explosion — the skew guard the
+north rule asks for.
 """
 
 from __future__ import annotations
@@ -150,6 +153,15 @@ def cap_and_self_join(buckets: DataFrame,
     semantics (candidate generation, touch-pruned incremental generation,
     and the bucket-store path all call it — the incremental == full
     invariant depends on one owner)."""
+    # Deliberately a window count + streaming self-join, NOT a
+    # collect_list + combinatorial array transform: the array shape was
+    # measured 2x SLOWER on the 200k-page vocabulary (same-JVM A/B,
+    # scripts/pairs_ab.py — materializing up to n(n-1)/2 structs per
+    # bucket before explode is GC-heavy and the nested transform/slice
+    # falls out of whole-stage codegen, while the join streams pairs).
+    # The window and the join share the (band, bh) exchange, and the
+    # verification tail downstream no longer shuffles the pair frame at
+    # all while the vocabulary broadcasts (see pair_scores).
     counted = buckets.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
     ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
@@ -165,12 +177,40 @@ def cap_and_self_join(buckets: DataFrame,
 
 
 def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
-                metric: str) -> DataFrame:
+                metric: str,
+                broadcast_threshold_rows: int = 1_000_000) -> DataFrame:
     """Exact set-metric verification tail: (a, b) pairs x (_id, sh)
     shingled frame -> (a, b, score >= threshold). One owner for the
-    jaccard/containment semantics."""
-    a = keyed.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
-    b = keyed.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
+    jaccard/containment semantics.
+
+    Two scale moves, both exact:
+
+    - shingles are hashed to int64 (xxhash64 per element, dedup after)
+      BEFORE the join, so the candidate-pair frame shuffles/compares
+      primitive long arrays instead of UTF8 string arrays — set sizes and
+      therefore scores are unchanged up to a ~2^-64 per-element collision
+      (the 200k-page bench verifies the same 34,979 pairs either way);
+    - when the keyed vocabulary is small (<= ``broadcast_threshold_rows``;
+      the count is free once ``keyed`` is checkpoint-materialized, which
+      the join forces anyway) BOTH join sides broadcast, so the multi-
+      10M-row candidate frame never shuffles at all — candidate
+      generation, verification and the score filter fuse into one
+      map-side stage. Past the threshold (web-scale vocabularies) it
+      stays a shuffle join on the well-distributed id keys.
+    """
+    hashed = F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
+    # both joins consume the IDENTICAL projected frame (the a/b renames
+    # happen ABOVE the join) so the broadcast — or, past the threshold,
+    # the _id-hash shuffle — exchange canonicalizes identically and Spark
+    # builds it ONCE (ReusedExchange), not per side
+    ka = keyed.select("_id", hashed.alias("_sh_h"))
+    kb = keyed.select("_id", hashed.alias("_sh_h"))
+    try:
+        small = keyed.count() <= broadcast_threshold_rows
+    except Exception:  # pragma: no cover - count failure falls to shuffle
+        small = False
+    if small:
+        ka, kb = F.broadcast(ka), F.broadcast(kb)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     if metric == "jaccard":
         score = inter / F.size(F.array_union("sh_a", "sh_b"))
@@ -179,7 +219,10 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     else:
         raise ValueError(f"unknown metric: {metric}")
     return (
-        pairs.join(a, "a").join(b, "b")
+        pairs.join(ka, F.col("a") == ka["_id"])
+        .select("a", "b", F.col("_sh_h").alias("sh_a"))
+        .join(kb, F.col("b") == kb["_id"])
+        .select("a", "b", "sh_a", F.col("_sh_h").alias("sh_b"))
         .withColumn("score", score)
         .filter(F.col("score") >= threshold)
         .select("a", "b", "score")

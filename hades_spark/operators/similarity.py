@@ -169,7 +169,13 @@ def lsh_matched_candidates(
 
     qs = with_buckets(queries, "_qid", "_qv", q_id, q_vec)
     cs = with_buckets(candidates, "_cid", "_cv", c_id, c_vec)
-    return cs.join(qs, ["table", "bucket"]) \
+    # the query side is the small side BY CONTRACT (a query batch vs a
+    # corpus) — hint it explicitly: without the hint Spark's estimator
+    # has no stats for the mapInPandas/union candidate side and can pick
+    # IT for broadcast, collecting the corpus' bucket rows to the driver
+    # (observed at 1M vectors x 4 tables: a ~1 GiB broadcast build that
+    # dies on spark.driver.maxResultSize)
+    return cs.join(F.broadcast(qs), ["table", "bucket"]) \
              .dropDuplicates(["_qid", "_cid"])
 
 

@@ -15,12 +15,21 @@ vs 8-core lines to see WHICH stage carries the strong-scaling gap at
 Stage boundaries (mirroring canonical_triples -> distinct_edges):
   extract   mapInArrow decode+extract+normalize (the corpus scan)
   vocab     distinct norms + squash filter
-  buckets   shingle + minhash + banded bucket rows + capped self-join
-            (candidate pairs)
-  verify    exact-containment verification of the candidates
+  shingle   squash dedup + char-3 shingles
+  pairs     minhash + banded buckets + capped self-join + exact-
+            containment verification, FUSED (production never
+            materializes the multi-10M-row candidate set — a first
+            version of this script checkpointed it between "buckets"
+            and "verify" stages and the 38M-row localCheckpoint alone
+            cost more than the whole production pipeline; the verified
+            pairs, ~35k rows, are the real materialization point)
   cc        large-star/small-star connected components
   label     component -> min-norm canonical map
   apply     map join-back + edge aggregation (distinct_edges)
+
+The per-stage sum therefore tracks the UNBARRIERED production wall
+(within the checkpoint cost of the small frames), so the 2-vs-8-core
+per-stage diff attributes the real pipeline's scaling gap.
 """
 
 from __future__ import annotations
@@ -103,13 +112,13 @@ def main() -> None:
         .filter(F.size("sh") > 0)
     keyed = stage("shingle", keyed)
 
-    cand = stage("buckets", cap_and_self_join(
+    cand = cap_and_self_join(
         lsh_buckets(keyed, "_id", "sh", num_hashes=lsh["num_hashes"],
                     bands=lsh["bands"]),
-        lsh["max_bucket_size"]))
+        lsh["max_bucket_size"])
 
-    pairs = stage("verify", pair_scores(cand, keyed, threshold,
-                                        "containment").select("a", "b"))
+    pairs = stage("pairs", pair_scores(cand, keyed, threshold,
+                                       "containment").select("a", "b"))
 
     comp = stage("cc", alternating_components(pairs, "a", "b", max_iter=50))
 

@@ -692,6 +692,47 @@ class TestAnnRecall:
         # single-table recall on the same data is ~0.1-0.3: the multi-table
         # union is what makes signature LSH usable on weakly-clustered vectors
 
+    def test_default_config_planted_recall(self, spark):
+        """The PRODUCTION default (10 planes x 8 tables) is calibrated on
+        the 1M-vector sweep (BENCH/BASELINE.md §ANN round 4): recall@10
+        >= 0.9 for true near-neighbors (cosine ~0.92) while scoring ~1%
+        of the corpus. Same planted-neighbor methodology here at test
+        scale; defaults must keep that promise. (The weakly-clustered
+        corpus test above uses fewer planes because random top-10
+        neighbors at cosine ~0.5 have bucket-collision probability
+        p^10 ~ 0.02/table — recall on weak neighbors is a different,
+        documented trade.)"""
+        import numpy as np
+
+        from hades_spark.operators.similarity import lsh_topk_join
+
+        rng = np.random.RandomState(7)
+        dim, n_base, n_q, k = 64, 2000, 5, 10
+        base = rng.standard_normal((n_base, dim)).astype(np.float64)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        qs = base[:n_q].copy()
+        rows = [(i, base[i].tolist()) for i in range(n_base)]
+        a, b = 0.92, float(np.sqrt(1 - 0.92 ** 2))
+        planted: dict[int, set] = {q: set() for q in range(n_q)}
+        nid = n_base
+        for q in range(n_q):
+            for _ in range(k):
+                g = rng.standard_normal(dim)
+                g /= np.linalg.norm(g)  # unit noise, else b*g swamps a*q
+                v = a * qs[q] + b * g
+                v /= np.linalg.norm(v)
+                rows.append((nid, v.tolist()))
+                planted[q].add(nid)
+                nid += 1
+        cands = spark.createDataFrame(rows, "c_id long, c_vec array<double>")
+        queries = spark.createDataFrame(
+            [(q, qs[q].tolist()) for q in range(n_q)],
+            "q_id long, q_vec array<double>")
+        got = lsh_topk_join(queries, cands, dim=dim, k=k).collect()
+        hits = sum(1 for r in got if r["c_id"] in planted[r["q_id"]])
+        recall = hits / float(n_q * k)
+        assert recall >= 0.9, f"default-config planted recall {recall}"
+
 
 class TestWlLabels:
     def test_matches_python_twin(self, spark):
@@ -1037,3 +1078,68 @@ class TestLinkingShuffleFallback:
         # catalog-exceeds-broadcast mode: the candidate join must NOT
         # broadcast the catalog (shuffled hash / sort-merge instead)
         assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
+
+
+class TestPairScoresModes:
+    """The verification tail's two physical modes (small-vocabulary
+    broadcast vs web-scale shuffle) must agree exactly and take the
+    asserted plan shapes — same policy/test pattern as linking's
+    catalog-exceeds-broadcast fallback."""
+
+    def _keyed_and_pairs(self, spark):
+        from hades_spark.operators.lsh import (char_shingles,
+                                               lsh_candidate_pairs)
+
+        surfaces = [
+            "apache spark", "apachespark", "apache  spark!", "spark",
+            "common crawl", "commoncrawl", "the common crawl corpus",
+            "hades", "h a d e s", "knowledge graph", "knowledgegraph",
+            "entity linking", "entitylinking", "unrelated thing one",
+            "another different surface", "yet more padding text",
+        ]
+        df = spark.createDataFrame([(s,) for s in surfaces], "squash string") \
+            .select(F.regexp_replace("squash", " ", "").alias("_id"))
+        keyed = df.dropDuplicates(["_id"]).select(
+            "_id", char_shingles(F.col("_id"), 3).alias("sh")) \
+            .filter(F.size("sh") > 0).localCheckpoint()
+        pairs = lsh_candidate_pairs(keyed, "_id", "sh", num_hashes=16,
+                                    bands=16, max_bucket_size=150)
+        return keyed, pairs
+
+    def test_broadcast_and_shuffle_modes_identical(self, spark):
+        from hades_spark.operators.lsh import pair_scores
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+        bc = {(r["a"], r["b"], round(r["score"], 9)) for r in
+              pair_scores(pairs, keyed, 0.8, "containment").collect()}
+        sh = {(r["a"], r["b"], round(r["score"], 9)) for r in
+              pair_scores(pairs, keyed, 0.8, "containment",
+                          broadcast_threshold_rows=0).collect()}
+        assert bc == sh and bc
+
+    def test_plan_shapes_per_mode(self, spark):
+        from hades_spark.operators.lsh import pair_scores
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+        bc_plan = pair_scores(pairs, keyed, 0.8, "containment") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in bc_plan
+        sh_plan = pair_scores(pairs, keyed, 0.8, "containment",
+                              broadcast_threshold_rows=0) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
+
+    def test_hashed_shingle_scores_match_string_sets(self, spark):
+        """Scores computed over xxhash64'd shingles must equal the exact
+        string-set metric (collision probability ~2^-64): recompute each
+        emitted pair's containment in python and compare."""
+        from hades_spark.operators.lsh import pair_scores
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+        shingle_sets = {r["_id"]: set(r["sh"]) for r in keyed.collect()}
+        got = pair_scores(pairs, keyed, 0.8, "containment").collect()
+        assert got
+        for r in got:
+            sa, sb = shingle_sets[r["a"]], shingle_sets[r["b"]]
+            want = len(sa & sb) / min(len(sa), len(sb))
+            assert abs(r["score"] - want) < 1e-12, (r["a"], r["b"])

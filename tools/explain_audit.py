@@ -132,6 +132,31 @@ def main() -> int:
                  and "PartitionFilters: []" not in p)),
         ])
 
+    # LSH verification tail: small vocab broadcasts BOTH shingle sides
+    # (the multi-M-row candidate frame never shuffles); past the row
+    # threshold it degrades to a shuffle join
+    from hades_spark.operators.lsh import (char_shingles,
+                                           lsh_candidate_pairs, pair_scores)
+
+    vocab = spark.createDataFrame(
+        [("apachespark",), ("apache spark",), ("commoncrawl",),
+         ("common crawl",), ("spark",)], "s string")
+    keyed = vocab.select(F.col("s").alias("_id"),
+                         char_shingles(F.col("s"), 3).alias("sh")) \
+        .filter(F.size("sh") > 0).localCheckpoint()
+    cand = lsh_candidate_pairs(keyed, "_id", "sh", num_hashes=16, bands=16,
+                               max_bucket_size=150)
+    check("verify_tail_broadcast", pair_scores(cand, keyed, 0.8,
+                                               "containment"), [
+        ("both shingle sides broadcast",
+         lambda p: p.count("BroadcastHashJoin") >= 2),
+    ])
+    check("verify_tail_shuffle", pair_scores(cand, keyed, 0.8, "containment",
+                                             broadcast_threshold_rows=0), [
+        ("web-scale vocab degrades to shuffle join",
+         lambda p: "ShuffledHashJoin" in p or "SortMergeJoin" in p),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
