@@ -10,8 +10,8 @@ Everything is built-in ``pyspark.sql.functions`` (xxhash64, explode,
 array_intersect, ...) so the whole thing stays inside whole-stage codegen;
 the only shuffles are the signature groupBy, the bucket self-join and the
 cross-band pair dedup, all on well-distributed hash keys; the exact
-verification tail broadcasts the shingled vocabulary while it is small
-and degrades to a shuffle join past ``broadcast_threshold_rows``. Giant
+verification tail broadcasts the shingled vocabulary while its estimated
+byte size is small and degrades to a shuffle join past the threshold. Giant
 buckets (boilerplate shingles / stop surfaces) are capped with
 ``max_bucket_size`` to bound the pair explosion — the skew guard the
 north rule asks for.
@@ -19,6 +19,10 @@ north rule asks for.
 
 from __future__ import annotations
 
+import warnings
+
+from py4j.protocol import Py4JJavaError
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -176,9 +180,18 @@ def cap_and_self_join(buckets: DataFrame,
     )
 
 
+#: default broadcast ceiling for the hashed vocabulary in pair_scores.
+#: The broadcast materializes once on the driver and once per executor;
+#: 256 MiB keeps that envelope well inside a 4-8 GiB executor even with
+#: the ~2x relation-build overhead of a BroadcastHashJoin hash map.
+BROADCAST_THRESHOLD_BYTES = 256 << 20
+
+
 def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
                 metric: str,
-                broadcast_threshold_rows: int = 1_000_000) -> DataFrame:
+                broadcast_threshold_rows: int = 1_000_000,
+                broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
+                broadcast: bool | None = None) -> DataFrame:
     """Exact set-metric verification tail: (a, b) pairs x (_id, sh)
     shingled frame -> (a, b, score >= threshold). One owner for the
     jaccard/containment semantics.
@@ -190,13 +203,25 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
       primitive long arrays instead of UTF8 string arrays — set sizes and
       therefore scores are unchanged up to a ~2^-64 per-element collision
       (the 200k-page bench verifies the same 34,979 pairs either way);
-    - when the keyed vocabulary is small (<= ``broadcast_threshold_rows``;
-      the count is free once ``keyed`` is checkpoint-materialized, which
-      the join forces anyway) BOTH join sides broadcast, so the multi-
-      10M-row candidate frame never shuffles at all — candidate
+    - when the keyed vocabulary is small BOTH join sides broadcast, so the
+      multi-10M-row candidate frame never shuffles at all — candidate
       generation, verification and the score filter fuse into one
       map-side stage. Past the threshold (web-scale vocabularies) it
       stays a shuffle join on the well-distributed id keys.
+
+    The broadcast gate is BYTE-estimated, not row-counted: one aggregate
+    over ``keyed`` measures (rows, total shingle elements) and the
+    estimate ``elements*8 + rows*48`` (int64 payload + array/row
+    overhead) must stay under ``broadcast_threshold_bytes`` AND rows
+    under ``broadcast_threshold_rows`` — a 900k-row vocabulary of
+    50-element arrays is ~0.4 GiB and takes the shuffle path even though
+    its row count looks small. Pass ``broadcast=True/False`` to skip the
+    measuring aggregate entirely when the caller already knows the size
+    (this also keeps plan construction fully lazy). Without the
+    override, building the returned plan runs one Spark job over
+    ``keyed`` — callers should pass a checkpoint-materialized frame (as
+    ``verified_pairs`` does) so that job is a cheap re-scan, not a
+    re-evaluation of the shingling lineage.
     """
     hashed = F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
     # both joins consume the IDENTICAL projected frame (the a/b renames
@@ -205,10 +230,21 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     # builds it ONCE (ReusedExchange), not per side
     ka = keyed.select("_id", hashed.alias("_sh_h"))
     kb = keyed.select("_id", hashed.alias("_sh_h"))
-    try:
-        small = keyed.count() <= broadcast_threshold_rows
-    except Exception:  # pragma: no cover - count failure falls to shuffle
-        small = False
+    small = broadcast
+    if small is None:
+        try:
+            rows, elems = keyed.agg(
+                F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+            ).first()
+            est_bytes = int(elems) * 8 + int(rows) * 48
+            small = (rows <= broadcast_threshold_rows
+                     and est_bytes <= broadcast_threshold_bytes)
+        except (AnalysisException, Py4JJavaError) as exc:
+            # a broken input frame will fail again (more usefully) at the
+            # join; don't mask it here, but don't die sizing either
+            warnings.warn(f"pair_scores size probe failed, using shuffle "
+                          f"join: {exc}", RuntimeWarning)
+            small = False
     if small:
         ka, kb = F.broadcast(ka), F.broadcast(kb)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

@@ -151,11 +151,18 @@ def lsh_matched_candidates(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """The multi-table LSH BLOCKING stage on its own: -> (_qid, _qv,
     _cid, _cv) pairs sharing a hyperplane bucket in >=1 table, deduped.
     Split out of ``lsh_topk_join`` so the ANN bench can measure the
-    candidate-set size (cost) separately from recall."""
+    candidate-set size (cost) separately from recall.
+
+    ``broadcast_queries=False`` falls back to a shuffle join on
+    (table, bucket) for large query sides — the broadcast replicates the
+    query rows ``n_tables`` times, so corpus-vs-corpus linking (queries
+    as big as the corpus) must NOT broadcast (mirrors
+    ``topk_join(broadcast_queries=...)``)."""
     def with_buckets(df, id_alias, vec_alias, idc, vecc):
         out = None
         for t in range(n_tables):
@@ -169,13 +176,15 @@ def lsh_matched_candidates(
 
     qs = with_buckets(queries, "_qid", "_qv", q_id, q_vec)
     cs = with_buckets(candidates, "_cid", "_cv", c_id, c_vec)
-    # the query side is the small side BY CONTRACT (a query batch vs a
+    # the query side is usually the small side (a query batch vs a
     # corpus) — hint it explicitly: without the hint Spark's estimator
     # has no stats for the mapInPandas/union candidate side and can pick
     # IT for broadcast, collecting the corpus' bucket rows to the driver
     # (observed at 1M vectors x 4 tables: a ~1 GiB broadcast build that
     # dies on spark.driver.maxResultSize)
-    return cs.join(F.broadcast(qs), ["table", "bucket"]) \
+    if broadcast_queries:
+        qs = F.broadcast(qs)
+    return cs.join(qs, ["table", "bucket"]) \
              .dropDuplicates(["_qid", "_cid"])
 
 
@@ -190,6 +199,8 @@ def lsh_topk_join(
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    broadcast_queries: bool = True,
+    exact_rescue: bool = False,
 ) -> DataFrame:
     """Approximate top-k: queries only score candidates sharing a
     hyperplane-signature bucket in at least one of ``n_tables`` independent
@@ -205,10 +216,21 @@ def lsh_topk_join(
     sweep (BENCH/BASELINE.md §ANN, round 4): recall@10 >= 0.9 against
     the exact baseline while scoring ~1-2% of the corpus per query; the
     old single-table 8-plane default measured ~0.3-0.6 recall.
+
+    ``exact_rescue=True`` guarantees every query returns
+    min(k, |corpus|) rows: queries whose bucket-matched candidate set
+    ranked to fewer than k results (possible at narrow plane counts —
+    all of a query's buckets can be empty) get a second, EXACT pass via
+    ``topk_join``. Starved queries are few by construction (the default
+    operating point leaves ~0-2% of queries short), so the rescue is a
+    small broadcast-side cartesian, not a corpus-wide crossproduct; the
+    extra cost is one count over the ranked frame plus the brute-force
+    scoring of just those query rows.
     """
     matched = lsh_matched_candidates(
         queries, candidates, dim, n_planes=n_planes, n_tables=n_tables,
-        q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec)
+        q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec,
+        broadcast_queries=broadcast_queries)
 
     @F.pandas_udf("double")
     def _cos(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
@@ -223,12 +245,25 @@ def lsh_topk_join(
 
     scored = matched.withColumn("score", _cos("_cv", "_qv"))
     w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_cid"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("_qid").alias(q_id), F.col("_cid").alias(c_id),
                 "score", "rank")
     )
+    if not exact_rescue:
+        return ranked
+    # materialize once: the ranked frame feeds both the fullness count
+    # and the final union, and re-running the LSH+score lineage twice
+    # would double the expensive part
+    ranked = ranked.localCheckpoint(eager=False)
+    full = ranked.groupBy(q_id).agg(F.count("*").alias("_n")) \
+                 .filter(F.col("_n") >= k).select(q_id)
+    starved = queries.join(full, on=q_id, how="left_anti")
+    rescued = topk_join(starved, candidates, k=k, q_id=q_id, q_vec=q_vec,
+                        c_id=c_id, c_vec=c_vec)
+    return ranked.join(starved.select(q_id), on=q_id, how="left_anti") \
+                 .unionByName(rescued)
 
 
 def neardup_pairs(

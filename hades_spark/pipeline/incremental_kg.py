@@ -47,6 +47,7 @@ documents).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -75,7 +76,63 @@ _STORE_COLS = {"raw": _RAW_COLS, "buckets": ["norm", "band", "bh"]}
 # for an Iceberg snapshot log): which batch ids COMMITTED end-to-end
 # (exactly-once replay detection survives compaction) and which
 # compaction records absorbed which batch dirs. Written atomically
-# (tmp + os.replace); single-writer per state dir, like the stores.
+# (tmp + os.replace); single-writer per state dir, ENFORCED by the
+# _writer.lock O_EXCL file every mutating entry point takes.
+
+class StateLockedError(RuntimeError):
+    """Another writer holds the state directory's lock."""
+
+
+@contextlib.contextmanager
+def _state_lock(state_dir: str):
+    """SINGLE-WRITER contract, made loud. The state stores commit via
+    driver-side tmp+rename and a json manifest — safe against crashes,
+    NOT against two concurrent updaters interleaving manifests. Every
+    mutating entry point (init / update / compact) takes this O_EXCL
+    lock file; a second writer fails immediately with StateLockedError
+    instead of corrupting state silently.
+
+    Staleness: the lock records the holder's pid; a lock whose pid is no
+    longer alive (same host — the driver is one process even on a
+    cluster) is broken and re-acquired. On a setup with drivers on
+    DIFFERENT hosts this check cannot see the other driver — there you
+    need a real catalog/storage lock (Iceberg's optimistic manifest
+    commit); this file is the local stand-in.
+    """
+    Path(state_dir).mkdir(parents=True, exist_ok=True)
+    lock = Path(state_dir) / "_writer.lock"
+    for _attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                pid = int(lock.read_text().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive:
+                raise StateLockedError(
+                    f"{lock} held by live pid {pid}; the incremental KG "
+                    f"state supports exactly one writer") from None
+            lock.unlink(missing_ok=True)  # stale: holder died
+    else:  # pragma: no cover - raced twice
+        raise StateLockedError(f"could not acquire {lock}")
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        lock.unlink(missing_ok=True)
+
 
 def _meta_path(state_dir: str) -> Path:
     return Path(state_dir) / "_meta.json"
@@ -150,6 +207,14 @@ def _heal_compactions(state_dir: str, meta: dict) -> None:
 
 def compact_state(spark: SparkSession, state_dir: str,
                   min_batches: int = 2) -> dict:
+    """Coalesce committed batch dirs into one baseline batch each; see
+    ``_compact_state_locked``. Takes the single-writer lock."""
+    with _state_lock(state_dir):
+        return _compact_state_locked(spark, state_dir, min_batches)
+
+
+def _compact_state_locked(spark: SparkSession, state_dir: str,
+                          min_batches: int = 2) -> dict:
     """Coalesce committed ``raw/batch=*`` and ``buckets/batch=*`` dirs
     into ONE baseline batch each — the Iceberg-manifest-compaction
     stand-in that keeps thousands of watermark updates from becoming a
@@ -166,14 +231,21 @@ def compact_state(spark: SparkSession, state_dir: str,
     ``_heal_compactions`` finishes the rename+delete on the next call.
 
     Legacy states (created before the manifest existed) are migrated on
-    first call by treating every current batch dir as completed — do not
-    call this mid-crash on such a state (document-level caveat; states
-    written by this version always have the manifest)."""
+    first call by treating every current batch dir as completed — but
+    ONLY if the state passes ``_state_complete`` (all four tables
+    present): a legacy state abandoned mid-init has a raw batch whose
+    rows never reached edges, and absorbing it as "committed" would bake
+    the half-applied batch in forever. Such states raise instead."""
     meta_existed = _meta_path(state_dir).exists()
     meta = _load_meta(state_dir)
     _heal_compactions(state_dir, meta)
     rawroot = Path(state_dir) / "raw"
     if not meta_existed and rawroot.exists():
+        if not _state_complete(state_dir):
+            raise ValueError(
+                f"compact_state: {state_dir} has no manifest and is "
+                f"incomplete (a crashed pre-manifest init/update); finish "
+                f"the build via incremental_update first, then compact")
         legacy = sorted(d.name.split("=", 1)[1]
                         for d in rawroot.glob("batch=*"))
         meta["completed"] = legacy
@@ -295,7 +367,15 @@ def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
     """Full build of the state directory from an initial page batch.
     Idempotent under re-runs with the same ``batch_id`` (the append
     no-ops once committed; pairs/cmap swap atomically; the edge write is
-    last), so a crashed init converges by re-running it."""
+    last), so a crashed init converges by re-running it. Takes the
+    single-writer lock."""
+    with _state_lock(state_dir):
+        _init_state_locked(spark, pages, state_dir, threshold, batch_id)
+
+
+def _init_state_locked(spark: SparkSession, pages: DataFrame,
+                       state_dir: str, threshold: float = 0.8,
+                       batch_id: str = "init") -> None:
     meta = _load_meta(state_dir)
     _heal_compactions(state_dir, meta)
     Path(state_dir, "raw").mkdir(parents=True, exist_ok=True)
@@ -345,7 +425,8 @@ def init_state(spark: SparkSession, pages: DataFrame, state_dir: str,
 
 def incremental_update(spark: SparkSession, new_pages: DataFrame,
                        state_dir: str, threshold: float = 0.8,
-                       batch_id: str | None = None) -> dict:
+                       batch_id: str | None = None,
+                       compact_every_n_batches: int | None = 32) -> dict:
     """Fold ``new_pages`` into the state; returns update stats.
 
     ``batch_id`` makes the update EXACTLY-ONCE resumable: the raw append
@@ -354,7 +435,35 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
     append) converges on re-run with the same batch_id — the batch's rows
     are counted once whether they sit in the store or in ``new_pages``.
     Without a batch_id, re-running the same batch double-counts (the
-    caller owns dedup, e.g. via the watermark manifest)."""
+    caller owns dedup, e.g. via the watermark manifest).
+
+    AUTO-COMPACTION: once the raw store holds
+    ``compact_every_n_batches`` batch dirs (default 32), the update ends
+    by compacting them into one baseline batch, so an unattended
+    thousand-update stream keeps O(1) dirs without anyone remembering to
+    call ``compact_state``. Pass ``None`` to disable (callers that
+    schedule compaction themselves). The compaction is a separate commit
+    AFTER this batch's completed-marker — a crash between the two leaves
+    a committed update and a no-op'd compaction, nothing half-done.
+
+    Takes the single-writer lock for the whole update (two concurrent
+    updaters raise StateLockedError instead of interleaving manifests).
+    """
+    with _state_lock(state_dir):
+        stats = _incremental_update_locked(spark, new_pages, state_dir,
+                                           threshold, batch_id)
+        if compact_every_n_batches is not None and not stats.get("replayed"):
+            n_dirs = len(list(
+                (Path(state_dir) / "raw").glob("batch=*")))
+            if n_dirs >= compact_every_n_batches:
+                stats["compaction"] = _compact_state_locked(
+                    spark, state_dir, min_batches=2)
+        return stats
+
+
+def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
+                               state_dir: str, threshold: float = 0.8,
+                               batch_id: str | None = None) -> dict:
     # heal any crash window from a previous run's atomic swaps AND any
     # half-applied compaction BEFORE deciding the path (a restored
     # pairs/cmap flips the state complete; an unfinished compaction
@@ -371,8 +480,9 @@ def incremental_update(spark: SparkSession, new_pages: DataFrame,
         # UNIQUE id — a fixed "init" id could collide with a half-built
         # raw/batch=init left by a crashed earlier init with DIFFERENT
         # pages, silently dropping the new pages (ADVICE r3).
-        init_state(spark, new_pages, state_dir, threshold,
-                   batch_id=batch_id or f"init-{uuid.uuid4().hex[:12]}")
+        _init_state_locked(spark, new_pages, state_dir, threshold,
+                           batch_id=batch_id or
+                           f"init-{uuid.uuid4().hex[:12]}")
         n = spark.read.parquet(f"{state_dir}/edges").count()
         return {"initialized": True, "edges": n}
     if batch_id is not None and batch_id in meta["completed"]:

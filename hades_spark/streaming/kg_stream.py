@@ -55,3 +55,53 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_kg(
+    spark: SparkSession,
+    pages_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    max_files_per_trigger: int = 32,
+    compact_every_n_batches: int | None = 32,
+):
+    """Stage-2 streaming: feed arriving page files straight into the
+    incremental KG state via ``foreachBatch`` — the end-to-end glue
+    between the watermark/file-source contract (I1) and the
+    exactly-once state updates (I2/I3).
+
+    Exactly-once composition: Structured Streaming's checkpoint commits
+    a micro-batch AFTER ``foreachBatch`` returns, so a crash between the
+    state commit and the sink commit REPLAYS that epoch on restart with
+    the SAME epoch id — and ``incremental_update``'s batch-id manifest
+    short-circuits the replay (``batch_id=f"stream-{epoch}"`` below).
+    The two idempotency layers compose into exactly-once edges without
+    either side trusting the other's failure window.
+
+    Scale shape: each micro-batch runs the O(new vocab + touched
+    buckets) update, never a rebuild; ``maxFilesPerTrigger`` bounds
+    per-batch memory; auto-compaction keeps the state at O(1) dirs over
+    an unbounded stream. ``available_now=True`` drains the backlog and
+    stops (the reference's sync semantics); unset it to tail forever.
+    """
+    from ..pipeline.incremental_kg import incremental_update
+
+    src = read_pages_stream(spark, pages_dir, max_files_per_trigger)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # nothing to fold; no state/manifest churn
+        incremental_update(
+            spark, batch_df, state_dir, threshold=threshold,
+            batch_id=f"stream-{epoch_id}",
+            compact_every_n_batches=compact_every_n_batches)
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -135,6 +135,15 @@ def _decode_hex(body: bytes) -> str:
 
 
 # --------------------------------------------------------------- content
+# inline-image delimiters: ID ends the image dict (must not be the tail
+# of a name/keyword), EI ends the binary payload (must be preceded by
+# whitespace and followed by a delimiter/EOF — a raw 0x45 0x49 byte pair
+# INSIDE the payload flanked by non-delimiters keeps scanning)
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z/])ID[\x00\x09\x0a\x0c\x0d\x20]")
+_INLINE_EI_RE = re.compile(
+    rb"[\x00\x09\x0a\x0c\x0d\x20]EI(?=[\x00\x09\x0a\x0c\x0d\x20/\[\]<(]|$)")
+
+
 def _iter_content_tokens(seg: bytes):
     """Yield ('str', bytes), ('op', name), ('num', float), ('name', str)
     and ('br', '['/']') tokens from a content stream."""
@@ -191,7 +200,24 @@ def _iter_content_tokens(seg: bytes):
         else:
             m = re.match(rb"[A-Za-z'\"*]+", seg[i:])
             if m:
-                yield "op", m.group(0).decode("latin-1")
+                op = m.group(0).decode("latin-1")
+                if op == "BI":
+                    # inline image: BI <dict pairs> ID <raw binary> EI.
+                    # The binary payload is NOT PDF syntax — unbalanced
+                    # parens / fake operators inside it would corrupt the
+                    # tokenizer, so skip it structurally: find the ID
+                    # token (not preceded by a letter or '/', so /ID-ish
+                    # names and Interpolate don't match), then the first
+                    # whitespace-EI-delimiter sequence after the payload.
+                    idm = _INLINE_ID_RE.search(seg, i + m.end())
+                    if not idm:
+                        break  # truncated image: nothing tokenizable left
+                    eim = _INLINE_EI_RE.search(seg, idm.end())
+                    if not eim:
+                        break
+                    i = eim.end()
+                    continue
+                yield "op", op
                 i += m.end()
             else:
                 i += 1
@@ -719,6 +745,84 @@ def _parse_tounicode(b: bytes):
     return codelen, cmap
 
 
+# Adobe-glyph-list subset: the names real-world /Differences arrays use
+# (punctuation + digits + the common Latin-1/typographic set). Names not
+# here fall through to the uniXXXX/uXXXXXX rules, then to "".
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "ecircumflex": "ê", "ccedilla": "ç", "ntilde": "ñ",
+    "iacute": "í", "oacute": "ó", "uacute": "ú",
+    "aring": "å", "oslash": "ø", "ae": "æ",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "dagger": "†", "daggerdbl": "‡", "Euro": "€",
+    "sterling": "£", "yen": "¥", "cent": "¢",
+    "section": "§", "paragraph": "¶", "copyright": "©",
+    "registered": "®", "trademark": "™", "degree": "°",
+    "plusminus": "±", "micro": "µ", "periodcentered": "·",
+    "guillemotleft": "«", "guillemotright": "»",
+    "exclamdown": "¡", "questiondown": "¿",
+}
+
+_UNI_NAME_RE = re.compile(r"uni([0-9A-Fa-f]{4})\Z")
+_U_NAME_RE = re.compile(r"u([0-9A-Fa-f]{4,6})\Z")
+
+
+def _glyph_to_char(name: str) -> str:
+    if len(name) == 1:  # /a /B /7 ... name IS the character
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    m = _UNI_NAME_RE.match(name) or _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+    return ""
+
+
+def _parse_differences(doc: "_Doc", fobj: dict):
+    """Simple-font ``/Encoding << /Differences [...] >>`` -> the same
+    (code_bytes, cmap) shape ToUnicode parsing yields: a FULL single-byte
+    map — latin-1 identity base (a workable stand-in for Standard/
+    WinAnsi, which agree with it on the printable ASCII range real
+    corpora mostly use) with the Differences overrides applied. The
+    array alternates: an integer sets the next code, following names
+    consume consecutive codes."""
+    enc = doc.resolve(fobj.get("/Encoding"))
+    if not isinstance(enc, dict):
+        return None
+    diffs = doc.resolve(enc.get("/Differences"))
+    if not isinstance(diffs, list):
+        return None
+    cmap = {i: chr(i) for i in range(256)}
+    code = 0
+    for item in diffs:
+        item = doc.resolve(item)
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, str) and item.startswith("/") and code < 256:
+            cmap[code] = _glyph_to_char(item[1:])
+            code += 1
+    return 1, cmap
+
+
 # ----------------------------------------------------------- page walk
 def _page_fonts(doc: _Doc, page: dict) -> dict:
     fonts: dict = {}
@@ -731,10 +835,15 @@ def _page_fonts(doc: _Doc, page: dict) -> dict:
     for name, fref in fd.items():
         fobj = doc.resolve(fref)
         parsed = None
-        if isinstance(fobj, dict) and "/ToUnicode" in fobj:
-            tub = doc.stream_of(fobj["/ToUnicode"])
-            if tub:
-                parsed = _parse_tounicode(tub)
+        if isinstance(fobj, dict):
+            if "/ToUnicode" in fobj:
+                tub = doc.stream_of(fobj["/ToUnicode"])
+                if tub:
+                    parsed = _parse_tounicode(tub)
+            if parsed is None:
+                # simple fonts remapped via /Encoding /Differences
+                # (ToUnicode wins when both exist — it is authoritative)
+                parsed = _parse_differences(doc, fobj)
         fonts[name[1:]] = parsed  # resource name without '/'
     return fonts
 
@@ -913,6 +1022,68 @@ def make_simple_pdf(lines: list[str], compress: bool = True) -> bytes:
         b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
         b"<< " + filt + f"/Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream",
+    ]
+    return _assemble(objs)
+
+
+def make_differences_pdf(parts: list[tuple[str, dict]]) -> bytes:
+    """Fixture: a Type1 font remapped via ``/Encoding /Differences``.
+    ``parts`` is a list of (line, {code: glyph_name}) — each line's show
+    string uses the raw codes, and extraction must come back through the
+    Differences map (e.g. code 1 -> /udieresis -> 'ü')."""
+    diffs: dict[int, str] = {}
+    ops = ["BT", "/F1 11 Tf", "72 720 Td"]
+    for i, (line, remap) in enumerate(parts):
+        diffs.update(remap)
+        if i:
+            ops.append("0 -14 Td")
+        safe = _escape_literal(line).encode("latin-1", "replace") \
+            .decode("latin-1")
+        ops.append(f"({safe}) Tj")
+    ops.append("ET")
+    content = zlib.compress("\n".join(ops).encode("latin-1"))
+    darr = " ".join(f"{c} /{n}" for c, n in sorted(diffs.items()))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        (f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+         f"/Encoding << /Type /Encoding /Differences [ {darr} ] >> "
+         f">>").encode("latin-1"),
+        b"<< /Filter /FlateDecode " + f"/Length {len(content)} >>".encode()
+        + b"\nstream\n" + content + b"\nendstream",
+    ]
+    return _assemble(objs)
+
+
+def make_inline_image_pdf(lines: list[str],
+                          payload: bytes | None = None) -> bytes:
+    """Fixture: text, then a BI..ID..EI inline image whose BINARY payload
+    contains tokenizer poison (unbalanced parens, fake operators, an EI
+    byte-pair with no delimiters), then more text. Extraction must keep
+    both text runs and emit nothing from the payload."""
+    if payload is None:
+        payload = (b"\x00\x01(\x9cET (FAKE) Tj BT \xffnotEIreally"
+                   b" EIX noEIyet\xfe\x00")
+    parts = [b"BT /F1 11 Tf 72 720 Td (" +
+             _escape_literal(lines[0]).encode("latin-1", "replace") +
+             b") Tj ET\n"]
+    parts.append(b"BI /W 4 /H 2 /CS /G /BPC 8 /F /AHx ID " + payload +
+                 b" EI\n")
+    for line in lines[1:]:
+        parts.append(b"BT /F1 11 Tf 72 600 Td (" +
+                     _escape_literal(line).encode("latin-1", "replace") +
+                     b") Tj ET\n")
+    content = b"".join(parts)
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< " + f"/Length {len(content)} >>".encode()
         + b"\nstream\n" + content + b"\nendstream",
     ]
     return _assemble(objs)

@@ -53,6 +53,46 @@ def _finditer_lines(pattern: re.Pattern, content: str):
         yield m, content.count("\n", 0, m.start()) + 1
 
 
+# spans whose BODY can contain signature-shaped lines that the
+# line-anchored grammars would false-match: triple-quoted strings
+# (python-style docstrings — the measured top FP class on the 40k-LoC
+# reference corpus: example `class Foo(Base):` blocks inside factory
+# docstrings) and C-family /* */ block comments (JSDoc/Javadoc code
+# examples). Masked to spaces with newlines preserved so every
+# surviving match keeps its true line number. Unterminated spans stay
+# unmasked (better a stray match than masking the rest of the file).
+# Each masker is ONE ordered alternation scanned left-to-right: the
+# maskable span alternatives come first, then one-line string literals
+# and line comments which are CONSUMED UNCHANGED — so a quote character
+# inside a string (e.g. the regex literal '["""]' found in the reference
+# corpus) or a comment can never open a span and misalign the pairing.
+_PY_NOISE_RE = re.compile(
+    r'("""[\s\S]*?"""|\'\'\'[\s\S]*?\'\'\')'   # 1: docstring -> blank
+    r'|"(?:[^"\\\n]|\\.)*"'                    # one-line strings: keep
+    r"|'(?:[^'\\\n]|\\.)*'"
+    r"|#[^\n]*")                               # line comment: keep
+_C_NOISE_RE = re.compile(
+    r"(/\*[\s\S]*?\*/)"                        # 1: block comment -> blank
+    r'|"(?:[^"\\\n]|\\.)*"'
+    r"|'(?:[^'\\\n]|\\.)*'"
+    r"|//[^\n]*")
+
+
+def _blank_spans(noise_re: re.Pattern, content: str) -> str:
+    return noise_re.sub(
+        lambda m: re.sub(r"[^\n]", " ", m.group(0)) if m.group(1)
+        else m.group(0),
+        content)
+
+
+def _mask_docstrings(content: str) -> str:
+    return _blank_spans(_PY_NOISE_RE, content)
+
+
+def _mask_block_comments(content: str) -> str:
+    return _blank_spans(_C_NOISE_RE, content)
+
+
 # --- javascript / typescript -------------------------------------------------
 
 _JS_FUNC = re.compile(
@@ -74,6 +114,7 @@ _TS_TYPE = re.compile(
 
 
 def _extract_js(content: str) -> dict[str, list[dict[str, Any]]]:
+    content = _mask_block_comments(content)
     symbols: dict[str, list[dict[str, Any]]] = {
         "functions": [], "classes": [], "imports": [], "exports": [],
         "interfaces": [], "types": [],
@@ -128,6 +169,7 @@ _JAVA_IMPORT = re.compile(r"^[ \t]*(import\s+(?:static\s+)?[\w.*]+\s*;)",
 
 
 def _extract_java(content: str) -> dict[str, list[dict[str, Any]]]:
+    content = _mask_block_comments(content)
     symbols: dict[str, list[dict[str, Any]]] = {
         "functions": [], "classes": [], "imports": [], "interfaces": [],
         "enums": [],
@@ -180,6 +222,7 @@ _GO_CONST_BLOCK = re.compile(r"^const\s*\(\s*\n(.*?)^\)",
 
 
 def _extract_go(content: str) -> dict[str, list[dict[str, Any]]]:
+    content = _mask_block_comments(content)
     symbols: dict[str, list[dict[str, Any]]] = {
         "functions": [], "types": [], "imports": [], "interfaces": [],
         "constants": [],
@@ -252,6 +295,7 @@ _RUST_USE = re.compile(r"^[ \t]*(use\s+[^;]+;)", re.MULTILINE)
 
 
 def _extract_rust(content: str) -> dict[str, list[dict[str, Any]]]:
+    content = _mask_block_comments(content)
     symbols: dict[str, list[dict[str, Any]]] = {
         "functions": [], "structs": [], "enums": [], "traits": [],
         "imports": [],
@@ -284,6 +328,7 @@ _C_KEYWORDS = {"if", "for", "while", "switch", "return", "sizeof", "catch"}
 
 
 def _extract_c(content: str) -> dict[str, list[dict[str, Any]]]:
+    content = _mask_block_comments(content)
     symbols: dict[str, list[dict[str, Any]]] = {
         "functions": [], "structs": [], "classes": [], "includes": [],
         "defines": [],
@@ -309,7 +354,8 @@ def _extract_c(content: str) -> dict[str, list[dict[str, Any]]]:
 
 _GENERIC_FUNC = re.compile(
     r"^[ \t]*(?:(?:public|private|protected|internal|open|override|static|"
-    r"final|suspend)\s+)*(?:def|fn|func|function|fun)\s+([A-Za-z_]\w*[!?]?)",
+    r"final|suspend|async)\s+)*(?:def|fn|func|function|fun)\s+"
+    r"([A-Za-z_]\w*[!?]?)",
     re.MULTILINE)
 _GENERIC_CLASS = re.compile(
     r"^[ \t]*(?:(?:public|private|abstract|open|final|case|sealed|data)\s+)*"
@@ -319,6 +365,7 @@ _GENERIC_IMPORT = re.compile(
 
 
 def _extract_generic(content: str) -> dict[str, list[dict[str, Any]]]:
+    content = _mask_docstrings(content)
     symbols: dict[str, list[dict[str, Any]]] = {
         "functions": [], "classes": [], "imports": [],
     }

@@ -328,3 +328,169 @@ class TestInitCrashResume:
         full = str(tmp_path / "wfull")
         init_state(spark, _pages(spark, BATCH1), full)
         assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+
+class TestWriterLockAndAutoCompact:
+    def test_concurrent_writer_raises(self, spark, tmp_path):
+        """A second writer hitting a live-locked state fails LOUDLY
+        (StateLockedError), never interleaves manifests silently."""
+        import pytest
+
+        from hades_spark.pipeline.incremental_kg import (StateLockedError,
+                                                         _state_lock)
+
+        inc = str(tmp_path / "locked")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        with _state_lock(inc):  # simulate another live writer (our pid)
+            with pytest.raises(StateLockedError):
+                incremental_update(spark, _pages(spark, BATCH2), inc,
+                                   batch_id="b2")
+        # lock released: the same update now proceeds
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        full = str(tmp_path / "lockfull")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_stale_lock_from_dead_pid_is_broken(self, spark, tmp_path):
+        """A lock left by a crashed (dead-pid) writer must not wedge the
+        state forever — it is broken and the update proceeds."""
+        from pathlib import Path
+
+        inc = str(tmp_path / "stale")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        # pid 2^22+ is above the default pid_max; certainly not alive
+        Path(inc, "_writer.lock").write_text("4999999")
+        stats = incremental_update(spark, _pages(spark, BATCH2), inc,
+                                   batch_id="b2")
+        assert not stats["initialized"]
+        assert not Path(inc, "_writer.lock").exists()
+
+    def test_auto_compaction_bounds_dirs(self, spark, tmp_path):
+        """A long unattended update sequence with NO explicit
+        compact_state call keeps O(1) batch dirs via the
+        compact_every_n_batches policy, and edges still equal a full
+        rebuild."""
+        from pathlib import Path
+
+        inc = str(tmp_path / "auto")
+        full = str(tmp_path / "autofull")
+        seen = []
+        for i in range(9):
+            s = f"Auto{chr(65 + i % 3)}{i} links Hub."
+            seen.append((i, s))
+            stats = incremental_update(spark, _pages(spark, [(i, s)]), inc,
+                                       batch_id=f"u{i}",
+                                       compact_every_n_batches=4)
+        # threshold 4: dir count stays bounded by the policy with no
+        # explicit compact_state call anywhere in the loop
+        assert len(list(Path(inc, "raw").glob("batch=*"))) <= 4
+        if "compaction" in stats:
+            assert stats["compaction"]["compacted"]
+        init_state(spark, _pages(spark, seen), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        # replay of an auto-compacted batch still short-circuits
+        st = incremental_update(spark, _pages(spark, [seen[0]]), inc,
+                                batch_id="u0",
+                                compact_every_n_batches=4)
+        assert st.get("replayed")
+
+    def test_legacy_incomplete_state_refuses_compaction(self, spark,
+                                                        tmp_path):
+        """A pre-manifest state missing its derived tables (crashed
+        mid-build) must NOT be migrated as 'all committed'."""
+        from pathlib import Path
+
+        import pytest
+
+        from hades_spark.pipeline.incremental_kg import compact_state
+
+        inc = str(tmp_path / "legacy")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        # make it look pre-manifest AND incomplete
+        Path(inc, "_meta.json").unlink()
+        shutil.rmtree(f"{inc}/edges")
+        with pytest.raises(ValueError, match="incomplete"):
+            compact_state(spark, inc)
+
+
+class TestStreamingIncrementalKg:
+    """foreachBatch glue: file-stream micro-batches -> incremental_update
+    with batch_id = stream epoch (the I1 -> I2/I3 end-to-end loop)."""
+
+    def _write_file(self, spark, pages_dir, rows):
+        _pages(spark, rows).coalesce(1).write.mode("append") \
+            .parquet(pages_dir)
+
+    def _run(self, spark, pages_dir, state_dir, ckpt):
+        from hades_spark.streaming.kg_stream import stream_incremental_kg
+
+        q = stream_incremental_kg(spark, pages_dir, state_dir, ckpt,
+                                  max_files_per_trigger=1)
+        try:
+            finished = q.awaitTermination(180)
+            assert q.exception() is None, q.exception()
+            assert finished, "availableNow stream did not drain in time"
+        finally:
+            # ALWAYS stop: a lingering query keeps the foreachBatch
+            # callback-server thread alive and hangs interpreter exit
+            q.stop()
+
+    def test_stream_equals_full_rebuild(self, spark, tmp_path):
+        pages_dir = str(tmp_path / "pages")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_file(spark, pages_dir, BATCH1)
+        self._write_file(spark, pages_dir, BATCH2)
+        extra = [(40, "Streamed links Zeta.")]
+        self._write_file(spark, pages_dir, extra)
+        self._run(spark, pages_dir, state, ckpt)
+        full = str(tmp_path / "full")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2 + extra), full)
+        assert _edge_set(spark, state) == _edge_set(spark, full)
+        # one completed manifest entry per non-empty epoch
+        import json
+        from pathlib import Path
+
+        meta = json.loads(Path(state, "_meta.json").read_text())
+        assert sum(1 for b in meta["completed"]
+                   if str(b).startswith(("stream-", "init"))) >= 3
+
+    def test_stream_restart_resumes_without_duplicates(self, spark,
+                                                       tmp_path):
+        pages_dir = str(tmp_path / "pages")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_file(spark, pages_dir, BATCH1)
+        self._run(spark, pages_dir, state, ckpt)
+        after1 = _edge_set(spark, state)
+        self._write_file(spark, pages_dir, BATCH2)
+        self._run(spark, pages_dir, state, ckpt)
+        full = str(tmp_path / "full")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, state) == _edge_set(spark, full)
+        assert after1 != _edge_set(spark, state)
+        # a third start with NO new files must change nothing
+        self._run(spark, pages_dir, state, ckpt)
+        assert _edge_set(spark, state) == _edge_set(spark, full)
+
+    def test_crash_between_state_commit_and_sink_commit(self, spark,
+                                                        tmp_path):
+        """The real crash window: incremental_update committed epoch 1
+        to the state, but the streaming checkpoint never recorded the
+        batch. The restarted stream REPLAYS epoch 1 — the batch-id
+        manifest must short-circuit it (no double-counted support)."""
+        pages_dir = str(tmp_path / "pages")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_file(spark, pages_dir, BATCH1)
+        self._run(spark, pages_dir, state, ckpt)  # epoch 0 committed
+        # simulate the crashed epoch-1 foreachBatch that finished its
+        # state commit before the sink checkpoint could commit
+        incremental_update(spark, _pages(spark, BATCH2), state,
+                           batch_id="stream-1")
+        self._write_file(spark, pages_dir, BATCH2)  # the same data arrives
+        self._run(spark, pages_dir, state, ckpt)   # replays as epoch 1
+        full = str(tmp_path / "full")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, state) == _edge_set(spark, full)

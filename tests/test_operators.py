@@ -734,6 +734,94 @@ class TestAnnRecall:
         assert recall >= 0.9, f"default-config planted recall {recall}"
 
 
+
+    def test_exact_rescue_pins_row_count(self, spark):
+        """exact_rescue=True: every query returns exactly k rows even
+        when its LSH buckets are empty of candidates, and rescued rows
+        equal the brute-force exact top-k for that query."""
+        import numpy as np
+
+        from hades_spark.operators.similarity import (lsh_topk_join,
+                                                      topk_join)
+
+        rng = np.random.RandomState(11)
+        dim, n_base, k = 32, 400, 5
+        base = rng.standard_normal((n_base, dim))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        cands = spark.createDataFrame(
+            [(i, base[i].tolist()) for i in range(n_base)],
+            "c_id long, c_vec array<double>")
+        qv = rng.standard_normal((6, dim))
+        qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+        queries = spark.createDataFrame(
+            [(q, qv[q].tolist()) for q in range(6)],
+            "q_id long, q_vec array<double>")
+        # 1 table x many planes: random queries often share NO bucket
+        # with any candidate -> starvation is likely; rescue must fill
+        got = lsh_topk_join(queries, cands, dim=dim, k=k, n_planes=12,
+                            n_tables=1, exact_rescue=True).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r["q_id"], []).append(r)
+        assert set(per_q) == set(range(6))
+        exact = topk_join(queries, cands, k=k).collect()
+        exact_by_q = {}
+        for r in exact:
+            exact_by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        for q, rows in per_q.items():
+            assert len(rows) == k, (q, len(rows))
+            assert len({r["c_id"] for r in rows}) == k  # k DISTINCT hits
+        # rescued (starved) queries must be byte-equal to exact top-k:
+        # find them by comparing against the no-rescue run
+        no_rescue = lsh_topk_join(queries, cands, dim=dim, k=k,
+                                  n_planes=12, n_tables=1,
+                                  exact_rescue=False).collect()
+        nr_by_q = {}
+        for r in no_rescue:
+            nr_by_q.setdefault(r["q_id"], []).append(r)
+        starved = [q for q in range(6) if len(nr_by_q.get(q, [])) < k]
+        assert starved, "fixture should starve at least one query"
+        for q in starved:
+            assert {r["c_id"] for r in per_q[q]} == exact_by_q[q], q
+
+    def test_matched_candidates_shuffle_mode_parity(self, spark):
+        """broadcast_queries=False (large query sides) must produce the
+        identical candidate set via a shuffle join, with no broadcast of
+        the query frame in the plan."""
+        import numpy as np
+
+        from hades_spark.operators.similarity import lsh_matched_candidates
+
+        rng = np.random.RandomState(3)
+        dim = 16
+        vecs = rng.standard_normal((60, dim))
+        cands = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(60)],
+            "c_id long, c_vec array<double>")
+        queries = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(10)],
+            "q_id long, q_vec array<double>")
+        bc = {(r["_qid"], r["_cid"]) for r in lsh_matched_candidates(
+            queries, cands, dim, n_planes=4, n_tables=2).collect()}
+        sh_df = lsh_matched_candidates(
+            queries, cands, dim, n_planes=4, n_tables=2,
+            broadcast_queries=False)
+        sh = {(r["_qid"], r["_cid"]) for r in sh_df.collect()}
+        assert bc == sh and bc
+        # no FORCED broadcast hint on the query side (AQE may still pick
+        # a broadcast join on its own for these tiny test frames — the
+        # contract is only that the caller's opt-out removes the hint,
+        # so a corpus-sized query side is free to shuffle)
+        opt = sh_df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in opt
+        hinted = lsh_matched_candidates(
+            queries, cands, dim, n_planes=4, n_tables=2,
+            broadcast_queries=True)
+        opt_h = hinted._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" in opt_h
+
+
+
 class TestWlLabels:
     def test_matches_python_twin(self, spark):
         from hades_spark.operators.graph_features import (
@@ -1128,6 +1216,50 @@ class TestPairScoresModes:
                               broadcast_threshold_rows=0) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
+
+
+    def test_bytes_gate_forces_shuffle(self, spark):
+        """The broadcast gate is byte-estimated: a vocabulary under the
+        ROW threshold but over the BYTE threshold must take the shuffle
+        path (ADVICE r4: wide shingle arrays => multi-GB broadcast)."""
+        from hades_spark.operators.lsh import pair_scores
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+        plan = pair_scores(pairs, keyed, 0.8, "containment",
+                           broadcast_threshold_bytes=1) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_explicit_broadcast_override_skips_probe(self, spark):
+        """broadcast=True/False bypasses the sizing aggregate entirely —
+        plan construction stays lazy (no Spark job) and the caller's
+        choice wins."""
+        from hades_spark.operators.lsh import pair_scores
+
+        import pyspark.sql as psql
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+
+        def _boom(self):  # pragma: no cover - failure path
+            raise AssertionError("size probe ran despite explicit override")
+
+        orig = psql.DataFrame.first
+        psql.DataFrame.first = _boom
+        try:
+            forced_bc = pair_scores(pairs, keyed, 0.8, "containment",
+                                    broadcast=True)
+            forced_sh = pair_scores(pairs, keyed, 0.8, "containment",
+                                    broadcast=False)
+        finally:
+            psql.DataFrame.first = orig
+        assert "BroadcastHashJoin" in forced_bc._jdf.queryExecution() \
+            .executedPlan().toString()
+        sh_plan = forced_sh._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
+        bc = {(r["a"], r["b"]) for r in forced_bc.collect()}
+        sh = {(r["a"], r["b"]) for r in forced_sh.collect()}
+        assert bc == sh and bc
 
     def test_hashed_shingle_scores_match_string_sets(self, spark):
         """Scores computed over xxhash64'd shingles must equal the exact

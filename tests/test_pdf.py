@@ -302,3 +302,86 @@ class TestNestedStreamDict:
                + str(len(content)).encode() + b" >>\nstream\n"
                + content + b"\nendstream\nendobj\n")
         assert pdf_to_text(pdf) == "Nested dict works."
+
+
+class TestEncodingDifferences:
+    def test_differences_remap_extracts_correct_text(self):
+        from hades_spark.textcore.pdf import make_differences_pdf
+
+        parts = [
+            ("Gr\x01\x02e, \x03rzte!",
+             {1: "udieresis", 2: "germandbls", 3: "Adieresis"}),
+            ("Caf\x04 \x05 cost", {4: "eacute", 5: "Euro"}),
+        ]
+        got = pdf_to_text(make_differences_pdf(parts))
+        assert got == "Grüße, Ärzte!\nCafé € cost"
+
+    def test_single_char_and_uni_names(self):
+        from hades_spark.textcore.pdf import make_differences_pdf
+
+        # /X names of length 1 map to themselves; /uniXXXX parses hex
+        parts = [("\x01\x02\x03", {1: "Z", 2: "uni0041", 3: "u00E9"})]
+        assert pdf_to_text(make_differences_pdf(parts)) == "ZAé"
+
+    def test_unknown_glyph_name_drops_silently(self):
+        from hades_spark.textcore.pdf import make_differences_pdf
+
+        parts = [("a\x01b", {1: "notarealglyphname"})]
+        assert pdf_to_text(make_differences_pdf(parts)) == "ab"
+
+    def test_tounicode_wins_over_differences(self):
+        # a font carrying BOTH maps must use ToUnicode (authoritative)
+        from hades_spark.textcore.pdf import make_cid_pdf
+
+        assert "Alpha" in pdf_to_text(make_cid_pdf(["Alpha"]))
+
+
+class TestInlineImages:
+    def test_inline_image_payload_not_extracted(self):
+        from hades_spark.textcore.pdf import make_inline_image_pdf
+
+        got = pdf_to_text(make_inline_image_pdf(
+            ["Before the image", "After the image"]))
+        assert "Before the image" in got
+        assert "After the image" in got
+        assert "FAKE" not in got
+
+    def test_ei_byte_pair_inside_payload_skipped(self):
+        from hades_spark.textcore.pdf import make_inline_image_pdf
+
+        # payload dense with EI-ish traps: letter-adjacent EI, EI
+        # followed by a non-delimiter — only the real " EI " terminates
+        payload = b"xEI yEIz (EI) EIX \x00EI\xff innerEI"
+        got = pdf_to_text(make_inline_image_pdf(
+            ["first line", "second line"], payload=payload))
+        assert "first line" in got and "second line" in got
+
+    def test_truncated_inline_image_never_raises(self):
+        from hades_spark.textcore.pdf import make_inline_image_pdf
+
+        pdf = make_inline_image_pdf(["kept text", "lost text"])
+        # cut inside the payload: ID seen, EI never arrives
+        cut = pdf[: pdf.rfind(b" EI")]
+        out = pdf_to_text(cut)  # must not raise
+        assert isinstance(out, str)
+
+    def test_mutation_fuzz_over_new_fixtures(self):
+        """Same harness as TestPdfFuzz: random byte mutations of the new
+        fixture classes must never raise."""
+        import random
+
+        from hades_spark.textcore.pdf import (make_differences_pdf,
+                                              make_inline_image_pdf)
+
+        rng = random.Random(5)
+        bases = [
+            make_differences_pdf([("m\x01tation", {1: "udieresis"})]),
+            make_inline_image_pdf(["fuzz me", "again"]),
+        ]
+        for base in bases:
+            for _ in range(60):
+                b = bytearray(base)
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                out = pdf_to_text(bytes(b))
+                assert isinstance(out, str)

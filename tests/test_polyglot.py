@@ -348,3 +348,72 @@ class TestGoStructBodies:
         s = extract_symbols("p.go", src)["symbols"]
         assert [t["name"] for t in s["types"]] == ["Alpha"]
         assert [t["name"] for t in s["interfaces"]] == ["Beta"]
+
+
+class TestAstCrossValidation:
+    """X8 accuracy, measured (VERDICT r4 #4): the regex grammar vs the
+    exact-AST extractor over the reference repo's own ~40k LoC of real
+    Python. Python is the one language with in-repo ground truth; the
+    bar below is the measured round-5 result (P=R=1.0 after docstring
+    masking + async-def support), held with a little slack."""
+
+    def test_generic_grammar_matches_ast_on_reference_corpus(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "tools"))
+        from polyglot_xval import xval_file
+
+        root = Path("/root/reference/core")
+        if not root.exists():
+            import pytest
+            pytest.skip("reference corpus not present")
+        tp = fp = fn = ctp = cfp = cfn = 0
+        files = 0
+        for p in sorted(root.rglob("*.py")):
+            r = xval_file(p.read_text(errors="replace"))
+            if r is None:
+                continue
+            files += 1
+            want_f, got_f, want_c, got_c = r
+            tp += len(want_f & got_f); fp += len(got_f - want_f)
+            fn += len(want_f - got_f)
+            ctp += len(want_c & got_c); cfp += len(got_c - want_c)
+            cfn += len(want_c - got_c)
+        assert files >= 50
+        f_prec = tp / max(tp + fp, 1); f_rec = tp / max(tp + fn, 1)
+        c_prec = ctp / max(ctp + cfp, 1); c_rec = ctp / max(ctp + cfn, 1)
+        assert f_prec >= 0.995 and f_rec >= 0.995, (f_prec, f_rec)
+        assert c_prec >= 0.99 and c_rec >= 0.99, (c_prec, c_rec)
+
+    def test_docstring_masking_kills_signature_fps(self):
+        from hades_spark.textcore.polyglot import _extract_generic
+
+        src = (
+            'def real_one():\n'
+            '    """Example:\n'
+            '        def fake_inside_docstring():\n'
+            '            class FakeClass:\n'
+            '    """\n'
+            '    return 1\n'
+            "pattern = '[\"\"\"]'  # quote chars inside a one-line string\n"
+            'async def real_async(): ...\n'
+            'class RealClass:\n'
+            '    pass\n')
+        out = _extract_generic(src)
+        names = {d["name"] for d in out["functions"]}
+        assert names == {"real_one", "real_async"}
+        assert {d["name"] for d in out["classes"]} == {"RealClass"}
+
+    def test_block_comment_masking_c_family(self):
+        from hades_spark.textcore.polyglot import _extract_js
+
+        src = (
+            "/*\n"
+            " * function commentedOut() {\n"
+            " */\n"
+            'const s = "/*";  // a block-comment opener inside a string\n'
+            "function realFn() { return 1; }\n")
+        out = _extract_js(src)
+        assert {d["name"] for d in out["functions"]} == {"realFn"}
