@@ -2110,6 +2110,47 @@ def x10(spark: SparkSession, sf: str) -> DataFrame:
     return wl_labels(edges, iterations=2)
 
 
+@register("x10_rgcn_embeddings")  # trained iterative model: no SQL oracle
+def x10_rgcn(spark: SparkSession, sf: str) -> DataFrame:
+    # X10 full path: learned RGCN structural embeddings (reference
+    # core/graph/model.py:34-149 + train.py:51-565) — numpy training on a
+    # deterministic bounded edge sample, distributed DataFrame inference.
+    # Graph: customer -[placed]-> order, order -[next]-> order chains
+    # (same order-chain graph the WL stand-in uses, plus a second
+    # relation so the basis decomposition is exercised). Rows-only by
+    # design: an iteratively trained model is not SQL-expressible; the
+    # numpy<->distributed parity and gradient checks live in
+    # tests/test_rgcn.py.
+    from pyspark.sql import Window
+
+    from .operators.rgcn import rgcn_node_embeddings
+
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordd = o.select(
+        "o_custkey",
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("node"),
+        F.row_number().over(w).alias("rn"))
+    nxt = ordd.select("o_custkey", F.col("node").alias("dst"),
+                      (F.col("rn") - 1).alias("rn"))
+    chain = ordd.join(nxt, ["o_custkey", "rn"]).select(
+        F.col("node").alias("src"), "dst", F.lit("next").alias("rel"))
+    placed = ordd.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.col("node").alias("dst"), F.lit("placed").alias("rel"))
+    edges = chain.unionByName(placed)
+    types = (edges.select(F.col("src").alias("node"))
+             .union(edges.select("dst")).distinct()
+             .select("node", F.substring("node", 1, 1).alias("type")))
+    emb, _ = rgcn_node_embeddings(edges, types, hidden_dim=16, embed_dim=8,
+                                  epochs=40, seed=42,
+                                  max_train_edges=50_000)
+    # round for rows-only stability across numpy versions
+    return emb.select(
+        "node",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding"))
+
+
 @register("st_sessionize", """
 WITH marked AS (
   SELECT user_id, ts,
