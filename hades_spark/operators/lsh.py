@@ -150,13 +150,21 @@ def lsh_bucket_size_stats(
 
 
 def cap_and_self_join(buckets: DataFrame,
-                      max_bucket_size: int) -> DataFrame:
+                      max_bucket_size: int,
+                      distinct: bool = True) -> DataFrame:
     """(_id, band, bh) bucket rows -> (a, b) candidate pairs, a < b: cap
     pathological buckets (boilerplate) BEFORE the self-join, pair within
     surviving buckets, dedup. THE single copy of the cap + pairing
     semantics (candidate generation, touch-pruned incremental generation,
     and the bucket-store path all call it — the incremental == full
-    invariant depends on one owner)."""
+    invariant depends on one owner).
+
+    ``distinct=False`` skips the final (a, b) dedup — an EXCHANGE of the
+    full multi-10M-row candidate frame. Callers feeding the broadcast
+    verification tail (``pair_scores(..., pairs_distinct=False)``) defer
+    dedup past the score filter, where the frame is 100-1000x smaller
+    (round-5 scaling decomposition: this exchange was the dominant
+    non-scaling term of the `pairs` stage on shared-bandwidth hosts)."""
     # Deliberately a window count + streaming self-join, NOT a
     # collect_list + combinatorial array transform: the array shape was
     # measured 2x SLOWER on the 200k-page vocabulary (same-JVM A/B,
@@ -172,12 +180,12 @@ def cap_and_self_join(buckets: DataFrame,
 
     left = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
     right = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
-    return (
+    pairs = (
         left.join(right, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .dropDuplicates(["a", "b"])
     )
+    return pairs.dropDuplicates(["a", "b"]) if distinct else pairs
 
 
 #: default broadcast ceiling for the hashed vocabulary in pair_scores.
@@ -191,7 +199,8 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
                 metric: str,
                 broadcast_threshold_rows: int = 1_000_000,
                 broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
-                broadcast: bool | None = None) -> DataFrame:
+                broadcast: bool | None = None,
+                pairs_distinct: bool = True) -> DataFrame:
     """Exact set-metric verification tail: (a, b) pairs x (_id, sh)
     shingled frame -> (a, b, score >= threshold). One owner for the
     jaccard/containment semantics.
@@ -222,6 +231,16 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     ``keyed`` — callers should pass a checkpoint-materialized frame (as
     ``verified_pairs`` does) so that job is a cheap re-scan, not a
     re-evaluation of the shingling lineage.
+
+    ``pairs_distinct=False`` declares that ``pairs`` may hold duplicate
+    (a, b) rows (a near-dup pair collides in many bands; the per-band
+    self-join emits it once per collision). The dedup then lands where it
+    is cheapest FOR THE CHOSEN JOIN MODE: in broadcast mode the dup rows
+    ride the map-side probe for free (identical score per copy — score is
+    a pure function of the two shingle sets) and the exchange dedups the
+    POST-FILTER frame, 100-1000x smaller than the candidate frame; in
+    shuffle mode the dedup stays BEFORE the join, where it shrinks the
+    big exchange instead. Output is distinct (a, b) either way.
     """
     hashed = F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
     # both joins consume the IDENTICAL projected frame (the a/b renames
@@ -247,6 +266,11 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
             small = False
     if small:
         ka, kb = F.broadcast(ka), F.broadcast(kb)
+    elif not pairs_distinct:
+        # shuffle mode ships every candidate row across the exchange:
+        # collapse duplicates FIRST so the big shuffle stays minimal
+        pairs = pairs.dropDuplicates(["a", "b"])
+        pairs_distinct = True
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     if metric == "jaccard":
         score = inter / F.size(F.array_union("sh_a", "sh_b"))
@@ -254,7 +278,7 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
         score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
     else:
         raise ValueError(f"unknown metric: {metric}")
-    return (
+    out = (
         pairs.join(ka, F.col("a") == ka["_id"])
         .select("a", "b", F.col("_sh_h").alias("sh_a"))
         .join(kb, F.col("b") == kb["_id"])
@@ -263,6 +287,12 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
         .filter(F.col("score") >= threshold)
         .select("a", "b", "score")
     )
+    if not pairs_distinct:
+        # broadcast mode: dedup AFTER the map-side probe + filter, on the
+        # verified frame (duplicate copies carry identical scores, so any
+        # survivor is the same row)
+        out = out.dropDuplicates(["a", "b"])
+    return out
 
 
 def lsh_candidate_pairs(
@@ -272,16 +302,19 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket_size: int = 200,
+    distinct: bool = True,
 ) -> DataFrame:
     """-> (a, b) candidate id pairs (a < b) sharing >= 1 LSH bucket.
 
     ``shingle_expr`` is a Column producing array<string> shingles, OR the
     string name of an existing array column (so callers that already
     shingled — e.g. verified_pairs — don't pay the shingling pass twice).
+    ``distinct=False`` defers the pair dedup to the caller (see
+    ``cap_and_self_join``).
     """
     buckets = lsh_buckets(df, id_col, shingle_expr,
                           num_hashes=num_hashes, bands=bands)
-    return cap_and_self_join(buckets, max_bucket_size)
+    return cap_and_self_join(buckets, max_bucket_size, distinct=distinct)
 
 
 def verified_pairs(
@@ -310,10 +343,16 @@ def verified_pairs(
     # accumulate catalog-pinned storage.
     keyed = df.select(F.col(id_col).alias("_id"), shingle_expr.alias("sh")) \
               .filter(F.size("sh") > 0).localCheckpoint(eager=False)
+    # distinct=False + pairs_distinct=False: the candidate-pair dedup
+    # lands after the broadcast probe's score filter (or, in shuffle
+    # mode, right back before the join) — the multi-10M-row candidate
+    # frame never pays its own exchange (round-5 scaling fix)
     pairs = lsh_candidate_pairs(keyed, "_id", "sh",
                                 num_hashes=num_hashes, bands=bands,
-                                max_bucket_size=max_bucket_size)
-    return pair_scores(pairs, keyed, threshold, metric)
+                                max_bucket_size=max_bucket_size,
+                                distinct=False)
+    return pair_scores(pairs, keyed, threshold, metric,
+                       pairs_distinct=False)
 
 
 def verified_pairs_touching(

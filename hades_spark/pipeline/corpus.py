@@ -364,11 +364,17 @@ def pages_df_distributed(spark: SparkSession, n_pages: int, seed: int = 42,
                          partitions: int | None = None,
                          with_text: bool = False,
                          richness: int = 1,
-                         vocab_size: int = 0) -> DataFrame:
+                         vocab_size: int = 0,
+                         start: int = 0) -> DataFrame:
     """Executor-side corpus generation: each task synthesises its index
     range (generation is a pure function of (seed, i), so the output is
     identical to ``pages_df`` regardless of parallelism). Use for bench
-    corpora — the driver never holds the pages."""
+    corpora — the driver never holds the pages.
+
+    ``start`` shifts the page-index range to ``[start, start+n_pages)``:
+    with the same seed, consecutive ranges extend the same corpus with
+    disjoint urls (page i's url embeds i) — the "next crawl batch" shape
+    the incremental-update bench needs."""
     import pandas as pd
 
     parts = partitions or spark.sparkContext.defaultParallelism * 2
@@ -386,7 +392,7 @@ def pages_df_distributed(spark: SparkSession, n_pages: int, seed: int = 42,
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
-    return spark.range(0, n_pages, 1, parts).mapInPandas(
+    return spark.range(start, start + n_pages, 1, parts).mapInPandas(
         gen_batch, schema=PAGES)
 
 

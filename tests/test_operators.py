@@ -1275,3 +1275,29 @@ class TestPairScoresModes:
             sa, sb = shingle_sets[r["a"]], shingle_sets[r["b"]]
             want = len(sa & sb) / min(len(sa), len(sb))
             assert abs(r["score"] - want) < 1e-12, (r["a"], r["b"])
+
+    def test_deferred_dedup_parity_both_modes(self, spark):
+        """pairs_distinct=False (round-5 scaling fix: the multi-10M-row
+        candidate frame never pays its own exchange) must produce the
+        IDENTICAL distinct verified set as the legacy distinct-candidate
+        path, in broadcast AND shuffle mode — and the candidate frame
+        must genuinely carry duplicates for the test to mean anything."""
+        from hades_spark.operators.lsh import (cap_and_self_join,
+                                               lsh_buckets, pair_scores)
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+        buckets = lsh_buckets(keyed, "_id", "sh", num_hashes=16, bands=16)
+        dup_pairs = cap_and_self_join(buckets, 150, distinct=False)
+        n_dup, n_distinct = dup_pairs.count(), pairs.count()
+        assert n_dup > n_distinct  # multi-band collisions really dup
+
+        legacy = {(r["a"], r["b"], round(r["score"], 9)) for r in
+                  pair_scores(pairs, keyed, 0.8, "containment").collect()}
+        for mode in (True, False):
+            got_df = pair_scores(dup_pairs, keyed, 0.8, "containment",
+                                 broadcast=mode, pairs_distinct=False)
+            got_rows = got_df.collect()
+            got = {(r["a"], r["b"], round(r["score"], 9))
+                   for r in got_rows}
+            assert got == legacy and got, f"mode broadcast={mode}"
+            assert len(got_rows) == len(got)  # output distinct
