@@ -112,13 +112,17 @@ def main() -> None:
         .filter(F.size("sh") > 0)
     keyed = stage("shingle", keyed)
 
+    # production shape (round-5 deferred dedup): candidate pairs stay
+    # non-distinct through the broadcast probe; dedup lands post-filter
     cand = cap_and_self_join(
         lsh_buckets(keyed, "_id", "sh", num_hashes=lsh["num_hashes"],
                     bands=lsh["bands"]),
-        lsh["max_bucket_size"])
+        lsh["max_bucket_size"], distinct=False)
 
     pairs = stage("pairs", pair_scores(cand, keyed, threshold,
-                                       "containment").select("a", "b"))
+                                       "containment",
+                                       pairs_distinct=False)
+                  .select("a", "b"))
 
     comp = stage("cc", alternating_components(pairs, "a", "b", max_iter=50))
 
