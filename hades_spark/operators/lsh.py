@@ -151,7 +151,8 @@ def lsh_bucket_size_stats(
 
 def cap_and_self_join(buckets: DataFrame,
                       max_bucket_size: int,
-                      distinct: bool = True) -> DataFrame:
+                      distinct: bool = True,
+                      keep_bucket: bool = False) -> DataFrame:
     """(_id, band, bh) bucket rows -> (a, b) candidate pairs, a < b: cap
     pathological buckets (boilerplate) BEFORE the self-join, pair within
     surviving buckets, dedup. THE single copy of the cap + pairing
@@ -164,7 +165,12 @@ def cap_and_self_join(buckets: DataFrame,
     verification tail (``pair_scores(..., pairs_distinct=False)``) defer
     dedup past the score filter, where the frame is 100-1000x smaller
     (round-5 scaling decomposition: this exchange was the dominant
-    non-scaling term of the `pairs` stage on shared-bandwidth hosts)."""
+    non-scaling term of the `pairs` stage on shared-bandwidth hosts).
+
+    ``keep_bucket=True`` emits (a, b, band, bh) — one row per GENERATING
+    bucket, already unique per (a, b, band, bh) — so callers can persist
+    pair provenance (the incremental-KG store needs it to re-evaluate the
+    bucket cap as buckets grow; see pipeline/incremental_kg.py)."""
     # Deliberately a window count + streaming self-join, NOT a
     # collect_list + combinatorial array transform: the array shape was
     # measured 2x SLOWER on the 200k-page vocabulary (same-JVM A/B,
@@ -180,11 +186,14 @@ def cap_and_self_join(buckets: DataFrame,
 
     left = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
     right = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
-    pairs = (
-        left.join(right, ["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
+    joined = left.join(right, ["band", "bh"]).filter(F.col("a") < F.col("b"))
+    if keep_bucket:
+        # per-bucket rows are unique by construction (one self-join row
+        # per pair per bucket); distinct only guards caller expectations
+        prov = joined.select("a", "b", "band", "bh")
+        return prov.dropDuplicates(["a", "b", "band", "bh"]) if distinct \
+            else prov
+    pairs = joined.select("a", "b")
     return pairs.dropDuplicates(["a", "b"]) if distinct else pairs
 
 
@@ -200,7 +209,8 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
                 broadcast_threshold_rows: int = 1_000_000,
                 broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
                 broadcast: bool | None = None,
-                pairs_distinct: bool = True) -> DataFrame:
+                pairs_distinct: bool = True,
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Exact set-metric verification tail: (a, b) pairs x (_id, sh)
     shingled frame -> (a, b, score >= threshold). One owner for the
     jaccard/containment semantics.
@@ -241,7 +251,14 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     POST-FILTER frame, 100-1000x smaller than the candidate frame; in
     shuffle mode the dedup stays BEFORE the join, where it shrinks the
     big exchange instead. Output is distinct (a, b) either way.
+
+    ``keep_cols`` names extra columns of ``pairs`` (e.g. the (band, bh)
+    provenance from ``cap_and_self_join(keep_bucket=True)``) to carry
+    through to the output; every dedup key becomes (a, b, *keep_cols), so
+    the output is one row per (pair, provenance) with its score — the
+    score is still a pure function of (a, b).
     """
+    dedup_keys = ["a", "b", *keep_cols]
     hashed = F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
     # both joins consume the IDENTICAL projected frame (the a/b renames
     # happen ABOVE the join) so the broadcast — or, past the threshold,
@@ -269,7 +286,7 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     elif not pairs_distinct:
         # shuffle mode ships every candidate row across the exchange:
         # collapse duplicates FIRST so the big shuffle stays minimal
-        pairs = pairs.dropDuplicates(["a", "b"])
+        pairs = pairs.dropDuplicates(dedup_keys)
         pairs_distinct = True
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     if metric == "jaccard":
@@ -278,20 +295,21 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
         score = inter / F.least(F.size("sh_a"), F.size("sh_b"))
     else:
         raise ValueError(f"unknown metric: {metric}")
+    carry = list(keep_cols)
     out = (
         pairs.join(ka, F.col("a") == ka["_id"])
-        .select("a", "b", F.col("_sh_h").alias("sh_a"))
+        .select("a", "b", *carry, F.col("_sh_h").alias("sh_a"))
         .join(kb, F.col("b") == kb["_id"])
-        .select("a", "b", "sh_a", F.col("_sh_h").alias("sh_b"))
+        .select("a", "b", *carry, "sh_a", F.col("_sh_h").alias("sh_b"))
         .withColumn("score", score)
         .filter(F.col("score") >= threshold)
-        .select("a", "b", "score")
+        .select("a", "b", *carry, "score")
     )
     if not pairs_distinct:
         # broadcast mode: dedup AFTER the map-side probe + filter, on the
         # verified frame (duplicate copies carry identical scores, so any
         # survivor is the same row)
-        out = out.dropDuplicates(["a", "b"])
+        out = out.dropDuplicates(dedup_keys)
     return out
 
 
@@ -390,20 +408,25 @@ def verified_pairs_touching(
 
 
 def touching_pairs_from_buckets(buckets: DataFrame, touch: DataFrame,
-                                max_bucket_size: int) -> DataFrame:
+                                max_bucket_size: int,
+                                keep_bucket: bool = False) -> DataFrame:
     """(_id, band, bh) bucket rows + touch id set -> candidate (a, b)
     pairs with >= 1 endpoint in ``touch``, generated ONLY from buckets
     containing a touch id; caps apply to the full bucket contents (the
     touch-adjacent-subset-of-full invariant). Shared by the inline
     touching generator above and the incremental-KG persistent bucket
-    store (which feeds pre-computed bucket rows)."""
+    store (which feeds pre-computed bucket rows). ``keep_bucket=True``
+    keeps the generating (band, bh) on every row (see
+    ``cap_and_self_join``)."""
+    cols = ["a", "b", "band", "bh"] if keep_bucket else ["a", "b"]
     keys = buckets.join(touch, "_id", "left_semi") \
                   .select("band", "bh").dropDuplicates(["band", "bh"])
     pruned = buckets.join(keys, ["band", "bh"], "left_semi")
-    pairs = cap_and_self_join(pruned, max_bucket_size)
+    pairs = cap_and_self_join(pruned, max_bucket_size, distinct=False,
+                              keep_bucket=keep_bucket)
     ta = pairs.join(touch.withColumnRenamed("_id", "a"), "a", "left_semi")
     tb = pairs.join(touch.withColumnRenamed("_id", "b"), "b", "left_semi")
-    return ta.unionByName(tb).dropDuplicates(["a", "b"])
+    return ta.unionByName(tb).dropDuplicates(cols)
 
 
 def verified_jaccard_pairs(df, id_col, shingle_expr, threshold,

@@ -11,7 +11,11 @@ north rule's resumable-pipeline contract implies:
   <state_dir>/buckets/ (norm, band, bh) persistent LSH bucket store —
                        batch=<id>/ partitions; updates hash NEW norms
                        only and read prior signatures from here
-  <state_dir>/pairs/   (a, b)   verified NORM alias pairs (the CC input)
+  <state_dir>/pairs/   (a, b, band, bh) verified NORM alias pairs WITH
+                       generating-bucket provenance, one row per bucket
+                       that produced the pair; the CC input is the
+                       distinct (a, b) of the rows whose bucket is still
+                       under the cap ("live")
   <state_dir>/cmap/    (norm, canonical_id)
   <state_dir>/edges/   (subj, pred, obj, edge_key, confidence, url, support)
 
@@ -34,11 +38,15 @@ north rule's resumable-pipeline contract implies:
 
 INVARIANT (tested e2e + hash-verified by the ``i2_incremental_kg``
 oracle): after any sequence of updates, the edge table is byte-identical
-to a full rebuild over all pages — provided the LSH bucket cap never
-binds differently between the incremental and full candidate runs (both
-cap on full bucket contents; a bucket crossing the cap BETWEEN updates is
-the one divergence source, same caveat the reference's seen-set dedup has
-on re-imports).
+to a full rebuild over all pages — INCLUDING when a bucket crosses the
+LSH cap between updates (the round-5 800k-base bench caught exactly that
+divergence: 123 crossing buckets, 275/290 edge diffs). The pairs store
+keeps per-bucket provenance and the component recompute filters pairs by
+LIVENESS (>= 1 generating bucket still under the cap — a pure function
+of the current bucket population, which a full rebuild computes the same
+way). Buckets only grow, so liveness only ever turns off, and a
+crossing bucket's pairs are treated as affected components exactly like
+new pairs are.
 
 Reference seams: ``nl_graph_materialize.py:366-387`` (onDuplicate=replace
 idempotent load), ``sync.py:496-543`` (watermark + anti-join dedup of new
@@ -58,8 +66,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.triples import raw_triples
 from ..operators.canonicalize import normalize_surface_col
 from ..operators.components import alternating_components
-from ..operators.lsh import (char_shingles, lsh_buckets, pair_scores,
-                             touching_pairs_from_buckets, verified_pairs)
+from ..operators.lsh import (cap_and_self_join, char_shingles, lsh_buckets,
+                             pair_scores, touching_pairs_from_buckets)
 from ..sources.io import (delete_by_key, recover_table, replace_table,
                           upsert_by_key, write_table)
 
@@ -337,7 +345,10 @@ def _norms_of(raw: DataFrame) -> DataFrame:
 
 
 def _cmap_from_pairs(norms: DataFrame, pairs: DataFrame) -> DataFrame:
-    comp = alternating_components(pairs.select("a", "b"), "a", "b")
+    # pairs may be provenance rows (a, b, band, bh) — one row per
+    # generating bucket; CC consumes the distinct pair set
+    comp = alternating_components(
+        pairs.select("a", "b").dropDuplicates(["a", "b"]), "a", "b")
     return (
         norms.join(comp, norms.norm == comp.node, "left")
         .select("norm",
@@ -406,10 +417,23 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
     # never re-hash the full vocabulary)
     _append_batch_dir(_bucket_rows(norms), state_dir, "buckets", batch_id,
                       absorbed=_absorbed_ids(meta, "buckets"))
-    pairs = verified_pairs(
-        norms, "norm", char_shingles(F.col("squash"), 3),
-        threshold=threshold, metric="containment", **_LSH,
-    ).select("a", "b")
+    # verified pairs WITH bucket provenance (a, b, band, bh): the store
+    # keeps one row per generating bucket so later updates can
+    # re-evaluate the cap as buckets grow (liveness = some generating
+    # bucket still <= cap). Same deferred-dedup broadcast tail as
+    # verified_pairs; all rows written here are live by construction
+    # (cap_and_self_join already dropped over-cap buckets).
+    keyed = norms.select(
+        F.col("norm").alias("_id"),
+        char_shingles(F.col("squash"), 3).alias("sh")) \
+        .filter(F.size("sh") > 0).localCheckpoint(eager=False)
+    cand_prov = cap_and_self_join(
+        lsh_buckets(keyed, "_id", "sh", num_hashes=_LSH["num_hashes"],
+                    bands=_LSH["bands"]),
+        _LSH["max_bucket_size"], distinct=False, keep_bucket=True)
+    pairs = pair_scores(cand_prov, keyed, threshold, "containment",
+                        pairs_distinct=False, keep_cols=("band", "bh")) \
+        .select("a", "b", "band", "bh")
     replace_table(pairs, f"{state_dir}/pairs")
     pairs = spark.read.parquet(f"{state_dir}/pairs")
     cmap = _cmap_from_pairs(norms, pairs)
@@ -507,6 +531,13 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
             .filter(F.col("batch").cast("string") != F.lit(str(batch_id))) \
             .select(*_RAW_COLS)
     old_pairs = spark.read.parquet(f"{state_dir}/pairs")
+    if "band" not in old_pairs.columns:
+        raise ValueError(
+            f"{state_dir}/pairs lacks bucket provenance (band, bh) — a "
+            f"state built by a pre-provenance version. Its pairs cannot "
+            f"be re-evaluated against the cap as buckets grow (the "
+            f"incremental == full-rebuild invariant needs that); rebuild "
+            f"the state with init_state over the full corpus once.")
     old_cmap = spark.read.parquet(f"{state_dir}/cmap")
 
     # 2. alias pairs touching a NEW norm, generated from the PERSISTENT
@@ -530,7 +561,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .select(F.col("norm").alias("_id"), "band", "bh")
     cand = touching_pairs_from_buckets(
         all_bk, new_norms.select(F.col("norm").alias("_id")),
-        _LSH["max_bucket_size"])
+        _LSH["max_bucket_size"], keep_bucket=True)
     # verify with shingles of the INVOLVED norms only (never the union)
     involved = cand.select(F.explode(F.array("a", "b")).alias("norm")) \
                    .dropDuplicates(["norm"])
@@ -542,17 +573,45 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=False)
     )
-    touching = pair_scores(cand, keyed, threshold, "containment") \
-        .select("a", "b")
+    # verified rows keep their generating (band, bh) — the pairs store is
+    # provenance rows, so the cap can be re-evaluated as buckets grow
+    touching_prov = pair_scores(cand, keyed, threshold, "containment",
+                                keep_cols=("band", "bh")) \
+        .select("a", "b", "band", "bh")
     if not (bdir / f"batch={cur_batch}").exists():
         _append_batch_dir(new_bk, state_dir, "buckets", cur_batch)
-    merged_pairs = old_pairs.unionByName(touching) \
-        .dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
+    merged_pairs = old_pairs.unionByName(touching_prov) \
+        .dropDuplicates(["a", "b", "band", "bh"]).localCheckpoint(eager=True)
+    touching = touching_prov.select("a", "b").dropDuplicates(["a", "b"])
+
+    # CAP CROSSINGS: a touched bucket whose population crosses
+    # max_bucket_size with this batch would contribute NO pairs in a full
+    # rebuild — its previously generated pairs must lose that bucket's
+    # support (they stay alive only via some other still-under-cap
+    # bucket). Only touched buckets change size, so the scan is O(touched
+    # bucket contents); buckets only ever grow (norms are never removed),
+    # so a bucket that crossed never comes back.
+    cap = _LSH["max_bucket_size"]
+    touched_keys = new_bk.select("band", "bh").dropDuplicates(["band", "bh"])
+    n_before = store_old.join(touched_keys, ["band", "bh"], "left_semi") \
+        .groupBy("band", "bh").agg(F.count("*").alias("n_before"))
+    n_add = new_bk.groupBy("band", "bh").agg(F.count("*").alias("n_add"))
+    crossing = (
+        n_add.join(n_before, ["band", "bh"], "left")
+        .fillna(0, subset=["n_before"])
+        .filter((F.col("n_before") <= cap)
+                & (F.col("n_before") + F.col("n_add") > cap))
+        .select("band", "bh")
+    )
+    # pairs whose liveness may have flipped: their components need the
+    # same recompute a new pair triggers
+    dimmed = old_pairs.join(crossing, ["band", "bh"], "left_semi") \
+        .select("a", "b").dropDuplicates(["a", "b"])
 
     # 3. recompute ONLY affected components: old components adjacent to a
-    # new pair (either endpoint — pairs never span components), plus the
-    # new norms themselves
-    ids_of_new_pairs = touching.select(
+    # new pair OR a liveness-flipped pair (either endpoint — pairs never
+    # span components), plus the new norms themselves
+    ids_of_new_pairs = touching.unionByName(dimmed).select(
         F.explode(F.array("a", "b")).alias("norm")).dropDuplicates(["norm"])
     affected_ids = old_cmap.join(ids_of_new_pairs, "norm", "left_semi") \
         .select("canonical_id").dropDuplicates(["canonical_id"])
@@ -560,8 +619,21 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .select("norm")
     sub_norms = affected_old.unionByName(new_norms.select("norm")) \
         .dropDuplicates(["norm"]).localCheckpoint(eager=True)
-    sub_pairs = merged_pairs.join(
+    sub_prov = merged_pairs.join(
         sub_norms.withColumnRenamed("norm", "a"), "a", "left_semi")
+    # LIVENESS: a pair feeds CC only while >= 1 of its generating buckets
+    # is still under the cap — exactly the pairs a full rebuild over the
+    # CURRENT bucket population would generate. Sizes are computed for
+    # the referenced buckets only (O(referenced bucket contents)).
+    ref_keys = sub_prov.select("band", "bh").dropDuplicates(["band", "bh"])
+    live_keys = (
+        all_bk.join(ref_keys, ["band", "bh"], "left_semi")
+        .groupBy("band", "bh").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select("band", "bh")
+    )
+    sub_pairs = sub_prov.join(live_keys, ["band", "bh"], "left_semi") \
+        .select("a", "b").dropDuplicates(["a", "b"])
     sub_cmap = _cmap_from_pairs(sub_norms, sub_pairs)
 
     new_cmap = (

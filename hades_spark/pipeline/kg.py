@@ -192,16 +192,35 @@ def default_kg_stage_dir() -> str:
     return f"{root}/hades_kg_oracle_stage"
 
 
-def kg_edges_oracle_sql(stage_dir: str | None = None) -> str:
+def kg_edges_oracle_sql(stage_dir: str | None = None,
+                        bucket_cap: int | None = None) -> str:
     """DuckDB twin of run_kg_pipeline_staged's distributed tail: recursive-
     CTE transitive closure -> min-label components over the staged verified
     pairs, canonical join onto the staged raw triples, sha256 edge keys and
-    the distinct-edge aggregation."""
+    the distinct-edge aggregation.
+
+    ``bucket_cap`` switches the pairs CTE to the incremental-KG state
+    shape: provenance rows (a, b, band, bh) filtered by LIVENESS — a pair
+    counts only while >= 1 of its generating buckets still holds <= cap
+    members in the state's bucket store. This makes the oracle re-derive
+    the same cap semantics a full rebuild applies, so the i2 hash check
+    verifies the liveness machinery too (see incremental_kg.py)."""
     if stage_dir is None:
         stage_dir = default_kg_stage_dir()
+    if bucket_cap is not None:
+        pairs_cte = f"""
+  SELECT DISTINCT p.a, p.b
+  FROM read_parquet('{stage_dir}/pairs/*.parquet') p
+  JOIN (
+    SELECT band, bh
+    FROM read_parquet('{stage_dir}/buckets/*/*.parquet')
+    GROUP BY band, bh HAVING count(*) <= {bucket_cap}
+  ) lv USING (band, bh)"""
+    else:
+        pairs_cte = f"""
+  SELECT a, b FROM read_parquet('{stage_dir}/pairs/*.parquet')"""
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT a, b FROM read_parquet('{stage_dir}/pairs/*.parquet')
+WITH RECURSIVE pairs AS ({pairs_cte}
 ),
 edges AS (
   SELECT a AS s, b AS d FROM pairs

@@ -869,7 +869,7 @@ def kg_edges_q(spark: SparkSession, sf: str) -> DataFrame:
 _I2_STATE = f"{STAGE_ROOT}/hades_i2_kg_state"
 
 
-@register("i2_incremental_kg", _kg_oracle(_I2_STATE))
+@register("i2_incremental_kg", _kg_oracle(_I2_STATE, bucket_cap=150))
 def i2_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # Incremental KG maintenance (stage-2): build state from the first 120
     # corpus pages, fold pages 120..170 in via incremental_update (bucket-

@@ -494,3 +494,74 @@ class TestStreamingIncrementalKg:
         full = str(tmp_path / "full")
         init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
         assert _edge_set(spark, state) == _edge_set(spark, full)
+
+
+class TestCapCrossing:
+    """A bucket crossing the LSH cap BETWEEN updates (the round-5
+    800k-base bench measured 123 such buckets -> 275/290 edge diffs) must
+    not diverge incremental from rebuild: the pairs store keeps
+    generating-bucket provenance and the component recompute drops pairs
+    with no under-cap bucket left ("dead").
+
+    Strings pinned by an offline minhash probe (xxhash64 is fixed, so
+    this is deterministic forever): with num_hashes=16/bands=16,
+    quxfoobar and quxfoobare share ALL 16 bucket keys, and quxfoobareb
+    joins every one of them — so at cap=2 the init-time (E1, E2) pair has
+    no surviving under-cap bucket after the update, and no live E1-E3 /
+    E2-E3 bucket exists either: a full rebuild keeps all three apart."""
+
+    E1, E2, E3 = "QuxFoobar", "QuxFoobare", "QuxFoobareb"
+
+    def _patch_cap(self, monkeypatch, cap=2):
+        import hades_spark.pipeline.incremental_kg as ikg
+
+        monkeypatch.setitem(ikg._LSH, "max_bucket_size", cap)
+
+    def test_crossing_bucket_keeps_incremental_equal_rebuild(
+            self, spark, tmp_path, monkeypatch):
+        self._patch_cap(monkeypatch)
+        b1 = [(0, f"{self.E1} uses Zeta."),
+              (1, f"{self.E2} stores Womp."),
+              (2, "UnrelatedThing cites Zeta.")]
+        b2 = [(10, f"{self.E3} embeds Blip.")]
+        inc, full = str(tmp_path / "xinc"), str(tmp_path / "xfull")
+
+        init_state(spark, _pages(spark, b1), inc)
+        pairs0 = spark.read.parquet(f"{inc}/pairs")
+        assert {"a", "b", "band", "bh"} <= set(pairs0.columns)
+        init_pairs = {(r["a"], r["b"]) for r in
+                      pairs0.select("a", "b").distinct().collect()}
+        assert ("quxfoobar", "quxfoobare") in init_pairs  # merged at init
+        merged_subj = {r["subj"] for r in
+                       spark.read.parquet(f"{inc}/edges").collect()}
+        assert "quxfoobare" not in merged_subj  # canonicalized to E1
+
+        incremental_update(spark, _pages(spark, b2), inc)
+        init_state(spark, _pages(spark, b1 + b2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+        # the crossing really bit: the old pair is STORED (provenance is
+        # history) but DEAD (no under-cap bucket left), so the maintained
+        # edges split the alias group exactly like the rebuild does
+        subs = {r["subj"] for r in
+                spark.read.parquet(f"{inc}/edges").collect()}
+        assert {"quxfoobar", "quxfoobare", "quxfoobareb"} <= subs
+        stored = {(r["a"], r["b"]) for r in
+                  spark.read.parquet(f"{inc}/pairs")
+                  .select("a", "b").distinct().collect()}
+        assert ("quxfoobar", "quxfoobare") in stored
+
+    def test_legacy_two_column_pairs_store_raises(self, spark, tmp_path):
+        import pyspark.sql.utils  # noqa: F401
+        import pytest
+
+        from hades_spark.sources.io import replace_table
+
+        inc = str(tmp_path / "legacy")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        # simulate a pre-provenance state: strip band/bh off the store
+        legacy = spark.read.parquet(f"{inc}/pairs").select("a", "b") \
+            .dropDuplicates(["a", "b"])
+        replace_table(legacy, f"{inc}/pairs")
+        with pytest.raises(ValueError, match="provenance"):
+            incremental_update(spark, _pages(spark, BATCH2), inc)

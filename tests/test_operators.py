@@ -1301,3 +1301,34 @@ class TestPairScoresModes:
                    for r in got_rows}
             assert got == legacy and got, f"mode broadcast={mode}"
             assert len(got_rows) == len(got)  # output distinct
+
+    def test_keep_cols_provenance_parity_both_modes(self, spark):
+        """keep_cols=(band, bh): the provenance output's distinct (a, b)
+        set must equal the legacy verified set in BOTH join modes, every
+        (a, b, band, bh) row must be unique, every provenance bucket must
+        really contain both endpoints, and scores must not depend on the
+        provenance row (pure function of the pair)."""
+        from hades_spark.operators.lsh import (cap_and_self_join,
+                                               lsh_buckets, pair_scores)
+
+        keyed, pairs = self._keyed_and_pairs(spark)
+        buckets = lsh_buckets(keyed, "_id", "sh", num_hashes=16,
+                              bands=16).localCheckpoint()
+        prov_cand = cap_and_self_join(buckets, 150, distinct=False,
+                                      keep_bucket=True)
+        legacy = {(r["a"], r["b"], round(r["score"], 9)) for r in
+                  pair_scores(pairs, keyed, 0.8, "containment").collect()}
+
+        membership = {(r["_id"], r["band"], r["bh"])
+                      for r in buckets.collect()}
+        for mode in (True, False):
+            rows = pair_scores(prov_cand, keyed, 0.8, "containment",
+                               broadcast=mode, pairs_distinct=False,
+                               keep_cols=("band", "bh")).collect()
+            quads = {(r["a"], r["b"], r["band"], r["bh"]) for r in rows}
+            assert len(rows) == len(quads), "provenance rows not unique"
+            got = {(r["a"], r["b"], round(r["score"], 9)) for r in rows}
+            assert got == legacy and got, f"mode broadcast={mode}"
+            for r in rows:
+                assert (r["a"], r["band"], r["bh"]) in membership
+                assert (r["b"], r["band"], r["bh"]) in membership
