@@ -8,10 +8,11 @@ north rule's resumable-pipeline contract implies:
 
   <state_dir>/raw/     (url, pred, confidence, subj_norm, obj_norm)
                        — batch=<id>/ partitions, exactly-once appends
-  <state_dir>/buckets/ (norm, band, bh) persistent LSH bucket store —
-                       batch=<id>/ partitions; updates hash NEW norms
-                       only and read prior signatures from here
-  <state_dir>/pairs/   (a, b, band, bh) verified NORM alias pairs WITH
+  <state_dir>/buckets/ (squash, band, bh) persistent LSH bucket store over
+                       DISTINCT SQUASHES — batch=<id>/ partitions; updates
+                       hash NEW squashes only and read prior signatures
+                       from here
+  <state_dir>/pairs/   (a, b, band, bh) verified SQUASH alias pairs WITH
                        generating-bucket provenance, one row per bucket
                        that produced the pair; the CC input is the
                        distinct (a, b) of the rows whose bucket is still
@@ -19,16 +20,27 @@ north rule's resumable-pipeline contract implies:
   <state_dir>/cmap/    (norm, canonical_id)
   <state_dir>/edges/   (subj, pred, obj, edge_key, confidence, url, support)
 
+The LSH unit is the SQUASH (norm with spaces removed), NOT the norm —
+mirroring ``canonicalize._distributed_norm_components`` (the full-rebuild
+path) exactly: squash-identical norms cluster for free via the squash key
+(no pairs needed, immune to the bucket cap), and bucket populations are
+counted in DISTINCT SQUASHES, so the cap binds identically in both paths.
+Keying by norm instead diverged at scale: a large squash-group inflated
+norm-level bucket counts past the cap where the rebuild's squash-level
+count stayed under it (800k-base bench, ~280 edge diffs).
+
 ``incremental_update``:
   1. extract triples from the NEW pages only (the expensive stage never
      re-runs on old pages);
-  2. generate alias pairs TOUCHING a new norm via the bucket store
+  2. generate alias pairs TOUCHING a new squash via the bucket store
      (``touching_pairs_from_buckets`` + ``pair_scores``): only buckets
-     containing a new norm self-join, only involved norms re-shingle,
-     and old-old pairs come from state;
+     containing a new squash self-join, shingles come from the squash
+     string itself (no raw re-scan), and old-old pairs come from state;
   3. recompute connected components ONLY for affected components (old
-     components adjacent to a new pair, plus new norms) — a new norm can
-     legitimately MERGE two previously-separate components;
+     components adjacent to a new or liveness-flipped pair, plus the
+     squashes of all new norms — a new norm can MERGE two previously
+     separate components, and can lower its component's min-norm
+     canonical id even when its squash is already known);
   4. rewrite ONLY the affected edge keys: rows whose norms changed
      canonical id (old components relabeled) plus the new rows — via a
      pred-partitioned ``upsert_by_key`` (only affected pred partitions are
@@ -44,9 +56,13 @@ divergence: 123 crossing buckets, 275/290 edge diffs). The pairs store
 keeps per-bucket provenance and the component recompute filters pairs by
 LIVENESS (>= 1 generating bucket still under the cap — a pure function
 of the current bucket population, which a full rebuild computes the same
-way). Buckets only grow, so liveness only ever turns off, and a
+way). Buckets only grow (squashes are never removed and a squash's
+minhash signature never changes), so liveness only ever turns off, and a
 crossing bucket's pairs are treated as affected components exactly like
-new pairs are.
+new pairs are. Provenance is complete forever for the same reason: the
+set of buckets containing a given squash pair is static, so the buckets
+recorded at generation time are ALL the buckets a future rebuild could
+generate the pair from.
 
 Reference seams: ``nl_graph_materialize.py:366-387`` (onDuplicate=replace
 idempotent load), ``sync.py:496-543`` (watermark + anti-join dedup of new
@@ -76,7 +92,7 @@ _LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
 
 _RAW_COLS = ["url", "pred", "confidence", "subj_norm", "obj_norm"]
 
-_STORE_COLS = {"raw": _RAW_COLS, "buckets": ["norm", "band", "bh"]}
+_STORE_COLS = {"raw": _RAW_COLS, "buckets": ["squash", "band", "bh"]}
 
 
 # ---------------------------------------------------------------- meta
@@ -318,13 +334,16 @@ def _append_raw_batch(spark: SparkSession, new_raw: DataFrame,
 
 
 def _bucket_rows(norms: DataFrame) -> DataFrame:
-    """(norm, squash) -> (norm, band, bh) minhash-LSH bucket rows — the
-    unit the persistent bucket store accumulates (deterministic per norm,
-    so store rows and freshly computed rows are interchangeable)."""
+    """(…, squash) -> (squash, band, bh) minhash-LSH bucket rows over the
+    DISTINCT squashes — the unit the persistent bucket store accumulates
+    (deterministic per squash, so store rows and freshly computed rows are
+    interchangeable). One row per (squash, band): bucket populations are
+    counted in distinct squashes, exactly like the full-rebuild path."""
+    squashes = norms.select("squash").dropDuplicates(["squash"])
     return lsh_buckets(
-        norms, "norm", char_shingles(F.col("squash"), 3),
+        squashes, "squash", char_shingles(F.col("squash"), 3),
         num_hashes=_LSH["num_hashes"], bands=_LSH["bands"],
-    ).select(F.col("_id").alias("norm"), "band", "bh")
+    ).select(F.col("_id").alias("squash"), "band", "bh")
 
 
 def _norm_raw(pages: DataFrame) -> DataFrame:
@@ -345,15 +364,23 @@ def _norms_of(raw: DataFrame) -> DataFrame:
 
 
 def _cmap_from_pairs(norms: DataFrame, pairs: DataFrame) -> DataFrame:
-    # pairs may be provenance rows (a, b, band, bh) — one row per
-    # generating bucket; CC consumes the distinct pair set
+    """(norm, squash) x squash-level pairs -> (norm, canonical_id), the
+    exact label semantics of ``_distributed_norm_components``: CC runs
+    over squashes, squash-identical norms share a component via the
+    squash key itself (even with no pairs at all), and the canonical id
+    is the lexicographically-smallest NORM in the component. ``pairs``
+    may be provenance rows (a, b, band, bh) — one row per generating
+    bucket; CC consumes the distinct pair set."""
     comp = alternating_components(
         pairs.select("a", "b").dropDuplicates(["a", "b"]), "a", "b")
-    return (
-        norms.join(comp, norms.norm == comp.node, "left")
+    base = norms.select("norm", "squash")
+    lab = (
+        base.join(comp, base.squash == comp.node, "left")
         .select("norm",
-                F.coalesce("component", F.col("norm")).alias("canonical_id"))
+                F.coalesce("component", F.col("squash")).alias("_comp"))
     )
+    canon = lab.groupBy("_comp").agg(F.min("norm").alias("canonical_id"))
+    return lab.join(canon, "_comp").select("norm", "canonical_id")
 
 
 def _edges_for(raw: DataFrame, cmap: DataFrame) -> DataFrame:
@@ -417,14 +444,14 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
     # never re-hash the full vocabulary)
     _append_batch_dir(_bucket_rows(norms), state_dir, "buckets", batch_id,
                       absorbed=_absorbed_ids(meta, "buckets"))
-    # verified pairs WITH bucket provenance (a, b, band, bh): the store
-    # keeps one row per generating bucket so later updates can
+    # verified SQUASH pairs WITH bucket provenance (a, b, band, bh): the
+    # store keeps one row per generating bucket so later updates can
     # re-evaluate the cap as buckets grow (liveness = some generating
     # bucket still <= cap). Same deferred-dedup broadcast tail as
     # verified_pairs; all rows written here are live by construction
     # (cap_and_self_join already dropped over-cap buckets).
-    keyed = norms.select(
-        F.col("norm").alias("_id"),
+    keyed = norms.select("squash").dropDuplicates(["squash"]).select(
+        F.col("squash").alias("_id"),
         char_shingles(F.col("squash"), 3).alias("sh")) \
         .filter(F.size("sh") > 0).localCheckpoint(eager=False)
     cand_prov = cap_and_self_join(
@@ -540,11 +567,15 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
             f"the state with init_state over the full corpus once.")
     old_cmap = spark.read.parquet(f"{state_dir}/cmap")
 
-    # 2. alias pairs touching a NEW norm, generated from the PERSISTENT
-    # bucket store: minhash signatures are computed for the new norms
-    # ONLY — the store carries every previous batch's bucket rows, so an
-    # update is O(new vocab + touched buckets), never a full-vocabulary
-    # re-hash. Old-old pairs come from state.
+    # 2. alias pairs touching a NEW squash, generated from the PERSISTENT
+    # bucket store: minhash signatures are computed for squashes never
+    # seen before ONLY — the store carries every previous batch's bucket
+    # rows, so an update is O(new vocab + touched buckets), never a
+    # full-vocabulary re-hash. Old-old pairs come from state. A new norm
+    # whose squash is already stored adds NOTHING to the bucket
+    # population (populations count distinct squashes, like the rebuild),
+    # so it can neither create pairs nor flip liveness — it only joins
+    # its squash's component and competes in the min-norm relabel.
     new_norms = _norms_of(new_raw) \
         .join(old_cmap.select("norm"), "norm", "left_anti") \
         .localCheckpoint(eager=True)
@@ -553,22 +584,34 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         # pre-bucket-store state: one-time rebuild of the old vocabulary
         _append_batch_dir(_bucket_rows(_norms_of(old_raw)), state_dir,
                           "buckets", "rebuild")
-    new_bk = _bucket_rows(new_norms).localCheckpoint(eager=True)
-    store_old = spark.read.parquet(str(bdir)) \
+    store_raw = spark.read.parquet(str(bdir))
+    if "squash" not in store_raw.columns:
+        raise ValueError(
+            f"{state_dir}/buckets is keyed by norm — a state built by a "
+            f"pre-squash-level version. Its bucket populations and pairs "
+            f"use different cap semantics than the full rebuild (the "
+            f"incremental == full-rebuild invariant needs squash-level "
+            f"counts); rebuild the state with init_state over the full "
+            f"corpus once.")
+    store_old = store_raw \
         .filter(F.col("batch").cast("string") != F.lit(str(cur_batch))) \
-        .select("norm", "band", "bh")
+        .select("squash", "band", "bh")
+    new_squashes = new_norms.select("squash").dropDuplicates(["squash"]) \
+        .join(store_old.select("squash"), "squash", "left_anti") \
+        .localCheckpoint(eager=True)
+    new_bk = _bucket_rows(new_squashes).localCheckpoint(eager=True)
     all_bk = store_old.unionByName(new_bk) \
-        .select(F.col("norm").alias("_id"), "band", "bh")
+        .select(F.col("squash").alias("_id"), "band", "bh")
     cand = touching_pairs_from_buckets(
-        all_bk, new_norms.select(F.col("norm").alias("_id")),
+        all_bk, new_squashes.select(F.col("squash").alias("_id")),
         _LSH["max_bucket_size"], keep_bucket=True)
-    # verify with shingles of the INVOLVED norms only (never the union)
-    involved = cand.select(F.explode(F.array("a", "b")).alias("norm")) \
-                   .dropDuplicates(["norm"])
-    union_norms = _norms_of(old_raw.unionByName(new_raw))
+    # verify shingles come from the squash STRING itself — no raw
+    # re-scan; only squashes involved in a candidate pair re-shingle
+    involved = cand.select(F.explode(F.array("a", "b")).alias("squash")) \
+                   .dropDuplicates(["squash"])
     keyed = (
-        union_norms.join(involved, "norm", "left_semi")
-        .select(F.col("norm").alias("_id"),
+        involved
+        .select(F.col("squash").alias("_id"),
                 char_shingles(F.col("squash"), 3).alias("sh"))
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=False)
@@ -584,13 +627,14 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .dropDuplicates(["a", "b", "band", "bh"]).localCheckpoint(eager=True)
     touching = touching_prov.select("a", "b").dropDuplicates(["a", "b"])
 
-    # CAP CROSSINGS: a touched bucket whose population crosses
-    # max_bucket_size with this batch would contribute NO pairs in a full
-    # rebuild — its previously generated pairs must lose that bucket's
-    # support (they stay alive only via some other still-under-cap
-    # bucket). Only touched buckets change size, so the scan is O(touched
-    # bucket contents); buckets only ever grow (norms are never removed),
-    # so a bucket that crossed never comes back.
+    # CAP CROSSINGS: a touched bucket whose population (distinct
+    # squashes) crosses max_bucket_size with this batch would contribute
+    # NO pairs in a full rebuild — its previously generated pairs must
+    # lose that bucket's support (they stay alive only via some other
+    # still-under-cap bucket). Only touched buckets change size, so the
+    # scan is O(touched bucket contents); buckets only ever grow
+    # (squashes are never removed), so a bucket that crossed never comes
+    # back.
     cap = _LSH["max_bucket_size"]
     touched_keys = new_bk.select("band", "bh").dropDuplicates(["band", "bh"])
     n_before = store_old.join(touched_keys, ["band", "bh"], "left_semi") \
@@ -609,18 +653,30 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .select("a", "b").dropDuplicates(["a", "b"])
 
     # 3. recompute ONLY affected components: old components adjacent to a
-    # new pair OR a liveness-flipped pair (either endpoint — pairs never
-    # span components), plus the new norms themselves
+    # new pair OR a liveness-flipped pair (either endpoint — live pairs
+    # never span components), plus the components of every new norm's
+    # squash (a new norm can lower its component's min-norm canonical id
+    # even when its squash — and therefore the pair set — is unchanged).
+    # squash -> old component is derivable from cmap alone: squash is a
+    # pure function of norm, and squash-identical norms always share a
+    # component, so any norm of the squash witnesses its canonical id.
+    old_sq_cmap = old_cmap.select(
+        F.regexp_replace("norm", " ", "").alias("squash"), "canonical_id") \
+        .dropDuplicates(["squash"])
     ids_of_new_pairs = touching.unionByName(dimmed).select(
-        F.explode(F.array("a", "b")).alias("norm")).dropDuplicates(["norm"])
-    affected_ids = old_cmap.join(ids_of_new_pairs, "norm", "left_semi") \
+        F.explode(F.array("a", "b")).alias("squash")) \
+        .unionByName(new_norms.select("squash")) \
+        .dropDuplicates(["squash"])
+    affected_ids = old_sq_cmap.join(ids_of_new_pairs, "squash", "left_semi") \
         .select("canonical_id").dropDuplicates(["canonical_id"])
     affected_old = old_cmap.join(affected_ids, "canonical_id", "left_semi") \
-        .select("norm")
-    sub_norms = affected_old.unionByName(new_norms.select("norm")) \
+        .select("norm",
+                F.regexp_replace("norm", " ", "").alias("squash"))
+    sub_norms = affected_old.unionByName(new_norms.select("norm", "squash")) \
         .dropDuplicates(["norm"]).localCheckpoint(eager=True)
+    sub_squashes = sub_norms.select("squash").dropDuplicates(["squash"])
     sub_prov = merged_pairs.join(
-        sub_norms.withColumnRenamed("norm", "a"), "a", "left_semi")
+        sub_squashes.withColumnRenamed("squash", "a"), "a", "left_semi")
     # LIVENESS: a pair feeds CC only while >= 1 of its generating buckets
     # is still under the cap — exactly the pairs a full rebuild over the
     # CURRENT bucket population would generate. Sizes are computed for

@@ -199,28 +199,28 @@ def kg_edges_oracle_sql(stage_dir: str | None = None,
     pairs, canonical join onto the staged raw triples, sha256 edge keys and
     the distinct-edge aggregation.
 
-    ``bucket_cap`` switches the pairs CTE to the incremental-KG state
-    shape: provenance rows (a, b, band, bh) filtered by LIVENESS — a pair
-    counts only while >= 1 of its generating buckets still holds <= cap
-    members in the state's bucket store. This makes the oracle re-derive
-    the same cap semantics a full rebuild applies, so the i2 hash check
-    verifies the liveness machinery too (see incremental_kg.py)."""
+    ``bucket_cap`` switches to the incremental-KG state shape, which is
+    SQUASH-level (see incremental_kg.py): pairs are provenance rows
+    (a, b, band, bh) of squashes, filtered by LIVENESS — a pair counts
+    only while >= 1 of its generating buckets still holds <= cap distinct
+    squashes in the state's bucket store — then components run over
+    squashes, every norm joins its squash's component (squash-identical
+    norms merge with no pair at all), and the canonical id is the
+    smallest NORM of the component. This re-derives both the rebuild's
+    cap semantics and its label semantics independently, so the i2 hash
+    check verifies the liveness + relabel machinery too."""
     if stage_dir is None:
         stage_dir = default_kg_stage_dir()
     if bucket_cap is not None:
-        pairs_cte = f"""
+        return f"""
+WITH RECURSIVE pairs AS (
   SELECT DISTINCT p.a, p.b
   FROM read_parquet('{stage_dir}/pairs/*.parquet') p
   JOIN (
     SELECT band, bh
     FROM read_parquet('{stage_dir}/buckets/*/*.parquet')
     GROUP BY band, bh HAVING count(*) <= {bucket_cap}
-  ) lv USING (band, bh)"""
-    else:
-        pairs_cte = f"""
-  SELECT a, b FROM read_parquet('{stage_dir}/pairs/*.parquet')"""
-    return f"""
-WITH RECURSIVE pairs AS ({pairs_cte}
+  ) lv USING (band, bh)
 ),
 edges AS (
   SELECT a AS s, b AS d FROM pairs
@@ -236,8 +236,63 @@ comp AS (
   SELECT node, least(node, min(reach)) AS component FROM walk GROUP BY node
 ),
 raw AS (
-  -- ** glob: matches both the flat staged layout and the incremental
-  -- state's raw/batch=<id>/ partition layout
+  SELECT url, pred, confidence, subj_norm, obj_norm
+  FROM read_parquet('{stage_dir}/raw/**/*.parquet')
+),
+norms AS (
+  SELECT DISTINCT norm FROM (
+    SELECT subj_norm AS norm FROM raw
+    UNION
+    SELECT obj_norm AS norm FROM raw
+  ) WHERE norm <> ''
+),
+lab AS (
+  SELECT n.norm,
+         coalesce(c.component, replace(n.norm, ' ', '')) AS _comp
+  FROM norms n
+  LEFT JOIN comp c ON c.node = replace(n.norm, ' ', '')
+),
+canon AS (
+  SELECT _comp, min(norm) AS canonical_id FROM lab GROUP BY _comp
+),
+cmap AS (
+  SELECT lab.norm, canon.canonical_id FROM lab JOIN canon USING (_comp)
+),
+triples AS (
+  SELECT coalesce(cs.canonical_id, r.subj_norm) AS subj,
+         r.pred,
+         coalesce(co.canonical_id, r.obj_norm) AS obj,
+         r.url, r.confidence
+  FROM raw r
+  LEFT JOIN cmap cs ON cs.norm = r.subj_norm
+  LEFT JOIN cmap co ON co.norm = r.obj_norm
+)
+SELECT subj, pred, obj,
+       sha256(subj || '|' || obj || '|' || pred) AS edge_key,
+       max(confidence) AS confidence,
+       min(url) AS url,
+       CAST(count(*) AS BIGINT) AS support
+FROM triples
+GROUP BY 1, 2, 3, 4
+"""
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM read_parquet('{stage_dir}/pairs/*.parquet')
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION
+  SELECT b AS s, a AS d FROM pairs
+),
+walk AS (
+  SELECT s AS node, d AS reach FROM edges
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+),
+comp AS (
+  SELECT node, least(node, min(reach)) AS component FROM walk GROUP BY node
+),
+raw AS (
   SELECT url, pred, confidence, subj_norm, obj_norm
   FROM read_parquet('{stage_dir}/raw/**/*.parquet')
 ),

@@ -565,3 +565,88 @@ class TestCapCrossing:
         replace_table(legacy, f"{inc}/pairs")
         with pytest.raises(ValueError, match="provenance"):
             incremental_update(spark, _pages(spark, BATCH2), inc)
+
+
+class TestSquashLevelState:
+    """The state's LSH unit is the SQUASH, mirroring the full rebuild
+    (`canonicalize._distributed_norm_components`): squash-identical norms
+    merge with no pairs at all, bucket populations count DISTINCT
+    squashes, and the canonical id is the min NORM of the component. The
+    800k-base bench measured the norm-level version diverging ~280 edges
+    precisely because its bucket counts crossed the cap where the
+    rebuild's squash counts did not."""
+
+    def _patch_cap(self, monkeypatch, cap):
+        import hades_spark.pipeline.incremental_kg as ikg
+
+        monkeypatch.setitem(ikg._LSH, "max_bucket_size", cap)
+
+    def test_squash_twins_merge_with_no_pairs(self, spark, tmp_path,
+                                              monkeypatch):
+        # cap=1: NO bucket can ever pair (pairing needs >= 2 members), so
+        # the merge can only come from the squash key itself
+        self._patch_cap(monkeypatch, 1)
+        b1 = [(0, "Alpha Beta uses Zeta.")]
+        b2 = [(10, "AlphaBeta stores Womp.")]
+        inc, full = str(tmp_path / "tinc"), str(tmp_path / "tfull")
+        init_state(spark, _pages(spark, b1), inc)
+        # the update's norm is NEW but its squash is ALREADY STORED: no
+        # new pair, no bucket growth — yet the component's min-norm
+        # canonical must relabel ('alpha beta' < 'alphabeta')
+        incremental_update(spark, _pages(spark, b2), inc)
+        init_state(spark, _pages(spark, b1 + b2), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        subs = {r["subj"] for r in
+                spark.read.parquet(f"{inc}/edges").collect()}
+        assert "alpha beta" in subs and "alphabeta" not in subs
+        # bucket store holds ONE row set for the shared squash
+        bk = spark.read.parquet(f"{inc}/buckets")
+        assert bk.columns[:1] == ["squash"] or "squash" in bk.columns
+        n = bk.filter(F.col("squash") == "alphabeta") \
+              .select("band", "bh").distinct().count()
+        dup = bk.filter(F.col("squash") == "alphabeta").count()
+        assert n == dup  # no squash hashed twice
+
+    def test_bucket_population_counts_squashes_not_norms(
+            self, spark, tmp_path, monkeypatch):
+        # cap=2: three NORMS share every bucket, but only two SQUASHES do
+        # — squash-level counting keeps the buckets under the cap, so the
+        # cross-squash pair verifies and everything merges (norm-level
+        # counting would cap the buckets out and split the group)
+        self._patch_cap(monkeypatch, 2)
+        b1 = [(0, "Qux Foobar uses Zeta."),
+              (1, "QuxFoobar stores Womp."),
+              (2, "QuxFoobare cites Blip.")]
+        inc, full = str(tmp_path / "pinc"), str(tmp_path / "pfull")
+        init_state(spark, _pages(spark, b1), inc)
+        init_state(spark, _pages(spark, b1), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        subs = {r["subj"] for r in
+                spark.read.parquet(f"{inc}/edges").collect()}
+        # all three canonicalize to the min norm 'qux foobar'
+        assert "qux foobar" in subs
+        assert not {"quxfoobar", "quxfoobare"} & subs
+        pairs = {(r["a"], r["b"]) for r in
+                 spark.read.parquet(f"{inc}/pairs")
+                 .select("a", "b").distinct().collect()}
+        assert ("quxfoobar", "quxfoobare") in pairs
+
+    def test_legacy_norm_level_bucket_store_raises(self, spark, tmp_path):
+        import pytest
+
+        from pathlib import Path
+
+        inc = str(tmp_path / "legacybk")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        # simulate a r4-era store: rename the squash column to norm
+        bdir = Path(inc) / "buckets"
+        legacy = spark.read.parquet(str(bdir)) \
+            .withColumnRenamed("squash", "norm") \
+            .select("norm", "band", "bh", "batch")
+        import shutil
+        tmp_out = str(tmp_path / "legacybk_rw")
+        legacy.write.partitionBy("batch").parquet(tmp_out)
+        shutil.rmtree(bdir)
+        shutil.move(tmp_out, str(bdir))
+        with pytest.raises(ValueError, match="squash-level"):
+            incremental_update(spark, _pages(spark, BATCH2), inc)
