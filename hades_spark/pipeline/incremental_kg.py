@@ -74,6 +74,7 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import time
 import uuid
 from pathlib import Path
 
@@ -84,8 +85,8 @@ from ..operators.canonicalize import normalize_surface_col
 from ..operators.components import alternating_components
 from ..operators.lsh import (cap_and_self_join, char_shingles, lsh_buckets,
                              pair_scores, touching_pairs_from_buckets)
-from ..sources.io import (delete_by_key, recover_table, replace_table,
-                          upsert_by_key, write_table)
+from ..sources.io import (recover_table, replace_table, upsert_by_key,
+                          write_table)
 
 
 _LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
@@ -93,6 +94,40 @@ _LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
 _RAW_COLS = ["url", "pred", "confidence", "subj_norm", "obj_norm"]
 
 _STORE_COLS = {"raw": _RAW_COLS, "buckets": ["squash", "band", "bh"]}
+
+
+class _StageClock:
+    """Driver-side per-stage stopwatch. Segments are measured BETWEEN
+    Spark actions (the update's eager checkpoints / table writes), so a
+    segment's wall covers exactly the jobs that materialize that stage."""
+
+    def __init__(self) -> None:
+        self.secs: dict[str, float] = {}
+        self._t = time.perf_counter()
+
+    def mark(self, stage: str) -> None:
+        now = time.perf_counter()
+        self.secs[stage] = round(self.secs.get(stage, 0.0) + now - self._t, 3)
+        self._t = now
+
+
+def _emit_metrics(state_dir: str, batch_id, op: str,
+                  secs: dict, rows: dict) -> dict:
+    """Append one JSON line per stage to ``<state_dir>/metrics.jsonl`` —
+    the north rule's per-stage throughput/lineage seam for the
+    INCREMENTAL path (the batch pipeline's twin is
+    ``persist.materialize_kg``, which writes parquet metrics rows). A
+    line records (batch, op, stage, sec, rows). JSONL over parquet here
+    deliberately: one tiny driver-side append per update instead of a
+    small-parquet-file explosion across thousands of watermark batches,
+    still trivially loadable (``spark.read.json``)."""
+    stages = {st: {"sec": sec, "rows": rows.get(st)}
+              for st, sec in secs.items()}
+    with open(Path(state_dir) / "metrics.jsonl", "a") as f:
+        for st, v in stages.items():
+            f.write(json.dumps({"batch": str(batch_id), "op": op,
+                                "stage": st, **v}) + "\n")
+    return stages
 
 
 # ---------------------------------------------------------------- meta
@@ -422,9 +457,11 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+    clock = _StageClock()
     appended = _append_raw_batch(spark, _norm_raw(pages), state_dir,
                                  batch_id,
                                  absorbed=_absorbed_ids(meta, "raw"))
+    clock.mark("extract")
     batch_dir = Path(state_dir) / "raw" / f"batch={batch_id}"
     if not appended and batch_dir.exists():
         # the batch id is already in the store: legit idempotent resume
@@ -444,6 +481,7 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
     # never re-hash the full vocabulary)
     _append_batch_dir(_bucket_rows(norms), state_dir, "buckets", batch_id,
                       absorbed=_absorbed_ids(meta, "buckets"))
+    clock.mark("hash")
     # verified SQUASH pairs WITH bucket provenance (a, b, band, bh): the
     # store keeps one row per generating bucket so later updates can
     # re-evaluate the cap as buckets grow (liveness = some generating
@@ -462,16 +500,26 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
                         pairs_distinct=False, keep_cols=("band", "bh")) \
         .select("a", "b", "band", "bh")
     replace_table(pairs, f"{state_dir}/pairs")
+    clock.mark("verify")
     pairs = spark.read.parquet(f"{state_dir}/pairs")
     cmap = _cmap_from_pairs(norms, pairs)
     replace_table(cmap, f"{state_dir}/cmap")
+    clock.mark("components")
     cmap = spark.read.parquet(f"{state_dir}/cmap")
     write_table(_edges_for(raw, cmap), f"{state_dir}/edges",
                 partition_by=["pred"])
+    clock.mark("edges")
     # the batch is now fully reflected in edges — record it so an
     # exactly-once replay short-circuits even after compaction removed
     # its batch dir
     _mark_completed(state_dir, meta, batch_id)
+    clock.mark("commit")
+    # counts from the written parquet: footer metadata, not recomputes
+    _emit_metrics(state_dir, batch_id, "init", clock.secs, {
+        "verify": pairs.count(),
+        "components": cmap.count(),
+        "edges": spark.read.parquet(f"{state_dir}/edges").count(),
+    })
 
 
 def incremental_update(spark: SparkSession, new_pages: DataFrame,
@@ -543,7 +591,9 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         return {"initialized": False, "replayed": True,
                 "edges": spark.read.parquet(f"{state_dir}/edges").count()}
     cur_batch = batch_id or f"b-{uuid.uuid4().hex[:12]}"
+    clock = _StageClock()
     new_raw = _norm_raw(new_pages).localCheckpoint(eager=True)
+    clock.mark("extract")
     already_appended = (
         batch_id is not None
         and (Path(state_dir) / "raw" / f"batch={batch_id}").exists())
@@ -579,6 +629,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     new_norms = _norms_of(new_raw) \
         .join(old_cmap.select("norm"), "norm", "left_anti") \
         .localCheckpoint(eager=True)
+    clock.mark("norms")
     bdir = Path(state_dir) / "buckets"
     if not bdir.exists() or not any(bdir.glob("batch=*")):
         # pre-bucket-store state: one-time rebuild of the old vocabulary
@@ -600,6 +651,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .join(store_old.select("squash"), "squash", "left_anti") \
         .localCheckpoint(eager=True)
     new_bk = _bucket_rows(new_squashes).localCheckpoint(eager=True)
+    clock.mark("hash")
     all_bk = store_old.unionByName(new_bk) \
         .select(F.col("squash").alias("_id"), "band", "bh")
     cand = touching_pairs_from_buckets(
@@ -625,6 +677,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         _append_batch_dir(new_bk, state_dir, "buckets", cur_batch)
     merged_pairs = old_pairs.unionByName(touching_prov) \
         .dropDuplicates(["a", "b", "band", "bh"]).localCheckpoint(eager=True)
+    clock.mark("verify")
     touching = touching_prov.select("a", "b").dropDuplicates(["a", "b"])
 
     # CAP CROSSINGS: a touched bucket whose population (distinct
@@ -674,6 +727,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
                 F.regexp_replace("norm", " ", "").alias("squash"))
     sub_norms = affected_old.unionByName(new_norms.select("norm", "squash")) \
         .dropDuplicates(["norm"]).localCheckpoint(eager=True)
+    clock.mark("scope")
     sub_squashes = sub_norms.select("squash").dropDuplicates(["squash"])
     sub_prov = merged_pairs.join(
         sub_squashes.withColumnRenamed("squash", "a"), "a", "left_semi")
@@ -697,6 +751,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .unionByName(sub_cmap)
         .localCheckpoint(eager=True)
     )
+    clock.mark("components")
 
     # 4. rewrite only affected edge keys: rows touching a norm whose
     # canonical changed (old relabeled components) or a new norm, plus
@@ -728,11 +783,35 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     # a new row over entirely-old norms still increments the support of an
     # existing edge key, so that key must be re-aggregated too
     key_source = touching_rows(all_raw, changed).unionByName(new_raw)
-    new_keys = _edges_for(key_source, new_cmap) \
-        .select("edge_key").dropDuplicates(["edge_key"])
-    # recompute those keys over ALL rows (support counts every contributor)
-    mapped_all = _edges_for(all_raw, new_cmap)
-    recomputed = mapped_all.join(new_keys, "edge_key", "left_semi") \
+    key_edges = _edges_for(key_source, new_cmap).localCheckpoint(eager=True)
+    new_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
+    # recompute those keys over ALL their contributor rows (support counts
+    # every contributor) — but NEVER over the whole corpus: a contributor
+    # of key (S, P, O) has canonical(subj_norm) = S, i.e. subj_norm is a
+    # norm of an affected subject component (or IS the canonical itself,
+    # the cmap-miss case), and likewise for obj. Pruning all_raw by those
+    # two (small, affected-scoped) norm sets before the cmap joins + the
+    # re-aggregation keeps this stage O(affected rows), not O(corpus) —
+    # the stage-metrics attribution measured the unpruned full-corpus
+    # re-aggregation as the single largest update cost (20.6s of 43.5s at
+    # an 800k-page base). A semi-join superset is safe: groupBy aggregates
+    # per (subj, pred, obj) group are unaffected by other groups' rows,
+    # and the edge_key semi-join below drops them.
+    def _norms_of_canon(canon_col: str) -> DataFrame:
+        canons = key_edges.select(F.col(canon_col).alias("canonical_id")) \
+            .dropDuplicates(["canonical_id"])
+        return new_cmap.join(canons, "canonical_id", "left_semi") \
+            .select("norm") \
+            .unionByName(canons.select(F.col("canonical_id").alias("norm"))) \
+            .dropDuplicates(["norm"])
+
+    aff_rows = all_raw \
+        .join(_norms_of_canon("subj").withColumnRenamed("norm", "subj_norm"),
+              "subj_norm", "left_semi") \
+        .join(_norms_of_canon("obj").withColumnRenamed("norm", "obj_norm"),
+              "obj_norm", "left_semi")
+    recomputed = _edges_for(aff_rows, new_cmap) \
+        .join(new_keys, "edge_key", "left_semi") \
         .localCheckpoint(eager=True)
 
     # old keys derived from the same rows under the OLD map that no longer
@@ -747,11 +826,14 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     dead = old_keys.join(new_keys, "edge_key", "left_anti") \
         .localCheckpoint(eager=True)
     n_dead = dead.count()
-    if n_dead:
-        delete_by_key(spark, f"{state_dir}/edges", dead, ["edge_key"],
-                      partition_by=["pred"])
+    # delete + upsert folded into ONE partition-scoped table pass (the
+    # dead keys ride the same anti-join); shuffle key joins, not
+    # broadcast — a merge storm's key set can be arbitrarily large
     upsert_by_key(spark, recomputed, f"{state_dir}/edges", ["edge_key"],
-                  partition_by=["pred"])
+                  partition_by=["pred"],
+                  delete_keys=dead if n_dead else None,
+                  broadcast_keys=False)
+    clock.mark("edges")
 
     # persist the grown state (atomic batch append under the SAME id the
     # bucket append used; atomic swaps for pairs/cmap)
@@ -767,10 +849,23 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     # crash before this line resumes via the batch-dir path, and a crash
     # after it short-circuits as a replay
     _mark_completed(state_dir, meta, cur_batch)
+    clock.mark("commit")
+    # row counts AFTER the stopwatch: every frame below is an eager
+    # checkpoint, so these are block-scan counts, not recomputes
+    stages = _emit_metrics(state_dir, cur_batch, "update", clock.secs, {
+        "extract": new_raw.count(),
+        "norms": new_norms.count(),
+        "hash": new_bk.count(),
+        "verify": merged_pairs.count(),
+        "scope": sub_norms.count(),
+        "components": new_cmap.count(),
+        "edges": recomputed.count(),
+    })
     return {
         "initialized": False,
         "new_norms": new_norms.count(),
         "changed_norms": changed.count(),
         "edges_rewritten": recomputed.count(),
         "edges_deleted": n_dead,
+        "stages": stages,
     }

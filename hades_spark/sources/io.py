@@ -115,21 +115,37 @@ def upsert_by_key(
     path: str,
     key_cols: list[str],
     partition_by: list[str] | None = None,
+    delete_keys: DataFrame | None = None,
+    broadcast_keys: bool = True,
 ) -> None:
     """MERGE-INTO semantics on a parquet path: rows in ``new_rows`` replace
     existing rows with the same key; everything else is kept. Write goes to
     a temp dir then atomically swaps, so a crash mid-write never leaves a
-    half table (the tmp-rename pattern of ``state_manager.py:84-117``)."""
+    half table (the tmp-rename pattern of ``state_manager.py:84-117``).
+
+    ``delete_keys`` folds a DELETE into the SAME pass: rows matching one of
+    those keys are dropped (unless re-added by ``new_rows``). A caller that
+    would otherwise run ``delete_by_key`` + ``upsert_by_key`` back-to-back
+    pays ONE table read + ONE affected-partition rewrite instead of two —
+    at 100 TB the table pass IS the cost. ``broadcast_keys=False`` keeps
+    the key matches as shuffle joins for key sets too large to broadcast
+    (e.g. a component-merge storm's dead-edge set)."""
     p = Path(path)
     _recover_table(p)
+    all_keys = new_rows.select(*key_cols).dropDuplicates(key_cols)
+    if delete_keys is not None:
+        all_keys = all_keys.unionByName(
+            delete_keys.select(*key_cols)).dropDuplicates(key_cols)
     if p.exists() and partition_by:
-        _upsert_partition_scoped(spark, new_rows, p, key_cols, partition_by)
+        _upsert_partition_scoped(spark, new_rows, p, key_cols, partition_by,
+                                 keys_df=all_keys,
+                                 broadcast_keys=broadcast_keys)
         return
 
     if p.exists():
         existing = spark.read.parquet(path).alias("_ex")
-        keys = new_rows.select(*key_cols).dropDuplicates(key_cols) \
-                       .alias("_keys")
+        keys = (F.broadcast(all_keys) if broadcast_keys else all_keys) \
+            .alias("_keys")
         # NULL-SAFE key match, same as the partition-scoped path: plain
         # equality would never match a NULL key, so a NULL-key row in
         # new_rows would be appended NEXT TO the old NULL-key row instead

@@ -86,12 +86,18 @@ def main() -> None:
     out["init_sec"] = round(time.perf_counter() - t0, 2)
 
     upd_secs = []
+    stage_acc: dict = {}
     for k, d in enumerate(upd_dirs):
         t0 = time.perf_counter()
-        incremental_update(spark, spark.read.parquet(d), state_dir,
-                           batch_id=f"upd{k}")
+        st = incremental_update(spark, spark.read.parquet(d), state_dir,
+                                batch_id=f"upd{k}")
         upd_secs.append(round(time.perf_counter() - t0, 2))
+        for stage, v in (st.get("stages") or {}).items():
+            stage_acc.setdefault(stage, []).append(v["sec"])
     out["update_secs"] = upd_secs
+    # per-stage attribution of the update wall (metrics.jsonl seam)
+    out["update_stage_secs"] = {
+        s: round(sum(v) / len(v), 2) for s, v in stage_acc.items()}
     out["update_pages_per_sec"] = round(
         upd * n_updates / max(sum(upd_secs), 1e-9), 1)
 

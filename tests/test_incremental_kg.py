@@ -650,3 +650,40 @@ class TestSquashLevelState:
         shutil.move(tmp_out, str(bdir))
         with pytest.raises(ValueError, match="squash-level"):
             incremental_update(spark, _pages(spark, BATCH2), inc)
+
+
+class TestStageMetrics:
+    """North-rule seam: per-stage throughput metrics emitted for every
+    init/update into <state_dir>/metrics.jsonl (the incremental twin of
+    persist.materialize_kg's parquet metrics rows)."""
+
+    def test_update_emits_stage_metrics(self, spark, tmp_path):
+        import json
+        from pathlib import Path
+
+        inc = str(tmp_path / "metr")
+        init_state(spark, _pages(spark, BATCH1), inc, batch_id="b1")
+        stats = incremental_update(spark, _pages(spark, BATCH2), inc,
+                                   batch_id="b2")
+        want = {"extract", "norms", "hash", "verify", "scope",
+                "components", "edges", "commit"}
+        assert set(stats["stages"]) == want
+        assert all(v["sec"] >= 0 for v in stats["stages"].values())
+        # rows recorded for every data-bearing stage
+        assert stats["stages"]["components"]["rows"] > 0
+        lines = [json.loads(ln) for ln in
+                 Path(inc, "metrics.jsonl").read_text().splitlines()]
+        ops = {(r["batch"], r["op"]) for r in lines}
+        assert ("b1", "init") in ops and ("b2", "update") in ops
+        upd = {r["stage"] for r in lines if r["op"] == "update"}
+        assert upd == want
+        init_stages = {r["stage"] for r in lines if r["op"] == "init"}
+        assert {"extract", "hash", "verify",
+                "components", "edges", "commit"} <= init_stages
+        # a replay emits NO new metrics (the update short-circuits)
+        n_before = len(lines)
+        incremental_update(spark, _pages(spark, BATCH2), inc,
+                           batch_id="b2")
+        n_after = len(Path(inc, "metrics.jsonl")
+                      .read_text().splitlines())
+        assert n_after == n_before
