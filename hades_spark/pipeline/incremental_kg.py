@@ -48,21 +48,23 @@ count stayed under it (800k-base bench, ~280 edge diffs).
      merge (rare; rewrites the table, the price of MERGE without a real
      catalog).
 
-INVARIANT (tested e2e + hash-verified by the ``i2_incremental_kg``
-oracle): after any sequence of updates, the edge table is byte-identical
-to a full rebuild over all pages — INCLUDING when a bucket crosses the
-LSH cap between updates (the round-5 800k-base bench caught exactly that
-divergence: 123 crossing buckets, 275/290 edge diffs). The pairs store
-keeps per-bucket provenance and the component recompute filters pairs by
+INVARIANT (tested e2e + hash-verified by the ``i2_incremental_kg`` /
+``s8_incremental_delete`` oracles): after any sequence of updates AND
+deletes, the edge table is byte-identical to a full rebuild over the
+surviving pages — INCLUDING when a bucket crosses the LSH cap between
+operations (the round-5 800k-base bench caught exactly that divergence:
+123 crossing buckets, 275/290 edge diffs). The pairs store keeps
+per-bucket provenance and the component recompute filters pairs by
 LIVENESS (>= 1 generating bucket still under the cap — a pure function
 of the current bucket population, which a full rebuild computes the same
-way). Buckets only grow (squashes are never removed and a squash's
-minhash signature never changes), so liveness only ever turns off, and a
-crossing bucket's pairs are treated as affected components exactly like
-new pairs are. Provenance is complete forever for the same reason: the
-set of buckets containing a given squash pair is static, so the buckets
-recorded at generation time are ALL the buckets a future rebuild could
-generate the pair from.
+way). Under updates buckets only grow (a squash's minhash signature
+never changes), so liveness only turns off and provenance recorded at
+generation time is complete forever. ``incremental_delete`` is the one
+operation that SHRINKS them: it removes vocabulary-departing squashes
+from the store, prunes their pairs (a removed squash can be a
+component's bridge), and re-pairs any bucket crossing the cap DOWNWARD
+— the one case where a rebuild would emit pairs the store never
+generated (they were over-cap at every prior batch).
 
 Reference seams: ``nl_graph_materialize.py:366-387`` (onDuplicate=replace
 idempotent load), ``sync.py:496-543`` (watermark + anti-join dedup of new
@@ -85,8 +87,8 @@ from ..operators.canonicalize import normalize_surface_col
 from ..operators.components import alternating_components
 from ..operators.lsh import (cap_and_self_join, char_shingles, lsh_buckets,
                              pair_scores, touching_pairs_from_buckets)
-from ..sources.io import (recover_table, replace_table, upsert_by_key,
-                          write_table)
+from ..sources.io import (delete_by_key, recover_table, replace_table,
+                          upsert_by_key, write_table)
 
 
 _LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
@@ -418,12 +420,50 @@ def _cmap_from_pairs(norms: DataFrame, pairs: DataFrame) -> DataFrame:
     return lab.join(canon, "_comp").select("norm", "canonical_id")
 
 
+def _touching_rows(raw: DataFrame, norms: DataFrame) -> DataFrame:
+    """Rows of ``raw`` whose subj_norm OR obj_norm is in ``norms`` — exact
+    row partition (semi + anti∘semi), NEVER dropDuplicates: legitimately
+    repeated raw rows must keep their multiplicity or recomputed support
+    counts drift from a full rebuild."""
+    sn = norms.withColumnRenamed("norm", "subj_norm")
+    on = norms.withColumnRenamed("norm", "obj_norm")
+    via_subj = raw.join(sn, "subj_norm", "left_semi")
+    via_obj_only = raw.join(sn, "subj_norm", "left_anti") \
+                      .join(on, "obj_norm", "left_semi")
+    return via_subj.unionByName(via_obj_only)
+
+
 def _edges_for(raw: DataFrame, cmap: DataFrame) -> DataFrame:
     """raw triples + canonical map -> aggregated edge rows (shared
     ``apply_canonical_map`` + ``distinct_edges`` contract)."""
     from .kg import apply_canonical_map, distinct_edges
 
     return distinct_edges(apply_canonical_map(raw, cmap))
+
+
+def _contributor_rows(raw: DataFrame, key_edges: DataFrame,
+                      cmap: DataFrame) -> DataFrame:
+    """Prune ``raw`` to the rows that can contribute to one of
+    ``key_edges``' keys under ``cmap`` — NEVER the whole corpus: a
+    contributor of key (S, P, O) has canonical(subj_norm) = S, i.e.
+    subj_norm is a norm of an affected subject component (or IS the
+    canonical itself, the cmap-miss case), and likewise for obj. A
+    semi-join superset is safe: groupBy aggregates per (subj, pred, obj)
+    group are unaffected by other groups' rows, and the caller's
+    edge_key semi-join drops the extras."""
+    def norms_of_canon(canon_col: str) -> DataFrame:
+        canons = key_edges.select(F.col(canon_col).alias("canonical_id")) \
+            .dropDuplicates(["canonical_id"])
+        return cmap.join(canons, "canonical_id", "left_semi") \
+            .select("norm") \
+            .unionByName(canons.select(F.col("canonical_id").alias("norm"))) \
+            .dropDuplicates(["norm"])
+
+    return raw \
+        .join(norms_of_canon("subj").withColumnRenamed("norm", "subj_norm"),
+              "subj_norm", "left_semi") \
+        .join(norms_of_canon("obj").withColumnRenamed("norm", "obj_norm"),
+              "obj_norm", "left_semi")
 
 
 def _state_complete(state_dir: str) -> bool:
@@ -767,17 +807,7 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         .localCheckpoint(eager=True)
     )
     all_raw = old_raw.unionByName(new_raw)
-
-    def touching_rows(raw, norms):
-        # exact row partition (semi + anti∘semi), NEVER dropDuplicates:
-        # legitimately repeated raw rows must keep their multiplicity or
-        # the recomputed support counts drift from a full rebuild
-        sn = norms.withColumnRenamed("norm", "subj_norm")
-        on = norms.withColumnRenamed("norm", "obj_norm")
-        via_subj = raw.join(sn, "subj_norm", "left_semi")
-        via_obj_only = raw.join(sn, "subj_norm", "left_anti") \
-                          .join(on, "obj_norm", "left_semi")
-        return via_subj.unionByName(via_obj_only)
+    touching_rows = _touching_rows
 
     # key sources: rows touching a relabeled norm PLUS every new raw row —
     # a new row over entirely-old norms still increments the support of an
@@ -786,30 +816,9 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     key_edges = _edges_for(key_source, new_cmap).localCheckpoint(eager=True)
     new_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
     # recompute those keys over ALL their contributor rows (support counts
-    # every contributor) — but NEVER over the whole corpus: a contributor
-    # of key (S, P, O) has canonical(subj_norm) = S, i.e. subj_norm is a
-    # norm of an affected subject component (or IS the canonical itself,
-    # the cmap-miss case), and likewise for obj. Pruning all_raw by those
-    # two (small, affected-scoped) norm sets before the cmap joins + the
-    # re-aggregation keeps this stage O(affected rows), not O(corpus) —
-    # the stage-metrics attribution measured the unpruned full-corpus
-    # re-aggregation as the single largest update cost (20.6s of 43.5s at
-    # an 800k-page base). A semi-join superset is safe: groupBy aggregates
-    # per (subj, pred, obj) group are unaffected by other groups' rows,
-    # and the edge_key semi-join below drops them.
-    def _norms_of_canon(canon_col: str) -> DataFrame:
-        canons = key_edges.select(F.col(canon_col).alias("canonical_id")) \
-            .dropDuplicates(["canonical_id"])
-        return new_cmap.join(canons, "canonical_id", "left_semi") \
-            .select("norm") \
-            .unionByName(canons.select(F.col("canonical_id").alias("norm"))) \
-            .dropDuplicates(["norm"])
-
-    aff_rows = all_raw \
-        .join(_norms_of_canon("subj").withColumnRenamed("norm", "subj_norm"),
-              "subj_norm", "left_semi") \
-        .join(_norms_of_canon("obj").withColumnRenamed("norm", "obj_norm"),
-              "obj_norm", "left_semi")
+    # every contributor) — but never over the whole corpus: the semi-join
+    # pruning keeps this stage O(affected rows), not O(corpus)
+    aff_rows = _contributor_rows(all_raw, key_edges, new_cmap)
     recomputed = _edges_for(aff_rows, new_cmap) \
         .join(new_keys, "edge_key", "left_semi") \
         .localCheckpoint(eager=True)
@@ -826,13 +835,16 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     dead = old_keys.join(new_keys, "edge_key", "left_anti") \
         .localCheckpoint(eager=True)
     n_dead = dead.count()
+    n_recomputed = recomputed.count()
     # delete + upsert folded into ONE partition-scoped table pass (the
-    # dead keys ride the same anti-join); shuffle key joins, not
-    # broadcast — a merge storm's key set can be arbitrarily large
+    # dead keys ride the same anti-join). The key-match joins broadcast
+    # only when the MEASURED key count is small (sha256 keys are ~100 B a
+    # row, so 500k keys ≈ 50 MB — a safe driver envelope); a component-
+    # merge storm's arbitrarily large key set falls back to shuffle joins
     upsert_by_key(spark, recomputed, f"{state_dir}/edges", ["edge_key"],
                   partition_by=["pred"],
                   delete_keys=dead if n_dead else None,
-                  broadcast_keys=False)
+                  broadcast_keys=(n_recomputed + n_dead) <= 500_000)
     clock.mark("edges")
 
     # persist the grown state (atomic batch append under the SAME id the
@@ -859,13 +871,306 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
         "verify": merged_pairs.count(),
         "scope": sub_norms.count(),
         "components": new_cmap.count(),
-        "edges": recomputed.count(),
+        "edges": n_recomputed,
     })
     return {
         "initialized": False,
         "new_norms": new_norms.count(),
         "changed_norms": changed.count(),
-        "edges_rewritten": recomputed.count(),
+        "edges_rewritten": n_recomputed,
+        "edges_deleted": n_dead,
+        "stages": stages,
+    }
+
+
+def incremental_delete(spark: SparkSession, urls, state_dir: str,
+                       threshold: float = 0.8,
+                       delete_id: str | None = None) -> dict:
+    """PURGE every triple contributed by ``urls`` from the standing state —
+    the incremental twin of the per-doc purge (S8, reference
+    ``nl_graph_materialize.py``'s delete-on-reingest seam) with the SAME
+    invariant as ``incremental_update``: after the delete, the edge table
+    is byte-identical to a full rebuild over the remaining pages.
+
+    Deletion is the HARD direction for the LSH state, because the
+    vocabulary can SHRINK — three effects a naive raw-purge misses:
+
+    - a squash left with no surviving norm leaves the vocabulary: its
+      bucket rows disappear, pairs with it as an endpoint must stop
+      feeding CC (a removed squash can be the BRIDGE of a component — the
+      component must split exactly like a rebuild without it), and its
+      components' min-norm canonical may change;
+    - bucket populations only shrink, so a bucket can cross the cap
+      DOWNWARD: a rebuild over the remaining corpus WOULD pair its
+      members, but the store never generated those pairs (they were
+      over-cap at every previous batch) — crossing buckets re-pair their
+      CURRENT membership and the verified pairs merge into the store
+      (previously stored-but-dimmed pairs re-light via the same rows);
+    - edge keys lose contributors: support re-aggregates for every key a
+      removed row contributed to, and keys with no remaining contributor
+      are deleted (folded into the same partition-scoped table pass).
+
+    EXACTLY-ONCE: pass a ``delete_id`` — a completed delete replays as a
+    no-op, and a crashed one converges on re-run: the removed rows are
+    STAGED (atomic rename) before the raw purge starts, so a re-run after
+    a partial purge still sees the full removed set; the raw purge,
+    bucket purge, and edge upsert are idempotent; pairs/cmap swap
+    atomically AFTER the edge fix; the completed marker is last.
+
+    ``urls`` is a DataFrame with a ``url`` column or an iterable of url
+    strings. Deleting the ENTIRE corpus raises — remove the state dir
+    instead (an empty state has no readable tables).
+    """
+    with _state_lock(state_dir):
+        return _incremental_delete_locked(spark, urls, state_dir,
+                                          threshold, delete_id)
+
+
+def _incremental_delete_locked(spark: SparkSession, urls, state_dir: str,
+                               threshold: float,
+                               delete_id: str | None) -> dict:
+    import shutil
+
+    meta = _load_meta(state_dir)
+    _heal_compactions(state_dir, meta)
+    recover_table(f"{state_dir}/pairs")
+    recover_table(f"{state_dir}/cmap")
+    if not _state_complete(state_dir):
+        raise ValueError(
+            f"incremental_delete: {state_dir} is not a complete state "
+            f"(crashed init?); finish the build via incremental_update "
+            f"before deleting")
+    if delete_id is not None and delete_id in meta["completed"]:
+        return {"replayed": True,
+                "edges": spark.read.parquet(f"{state_dir}/edges").count()}
+    del_id = delete_id or f"del-{uuid.uuid4().hex[:12]}"
+    clock = _StageClock()
+    if isinstance(urls, DataFrame):
+        urls_df = urls.select("url").dropDuplicates(["url"])
+    else:
+        urls_df = spark.createDataFrame([(u,) for u in urls],
+                                        "url string") \
+            .dropDuplicates(["url"])
+    urls_df = urls_df.localCheckpoint(eager=True)
+
+    # STAGE the removed rows FIRST (atomic rename): the raw purge below is
+    # per-partition — a crash mid-purge loses the purged rows from the
+    # store, and a re-run must still see the FULL removed set to scope the
+    # vocabulary/pair/edge fixes
+    stage = Path(state_dir) / f"_del-{del_id}"
+    removed_path = stage / "removed"
+    if not removed_path.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        tmp = stage / f".removed.tmp-{uuid.uuid4().hex[:8]}"
+        write_table(_read_raw(spark, state_dir)
+                    .join(urls_df, "url", "left_semi"), str(tmp))
+        tmp.rename(removed_path)
+    removed = spark.read.parquet(str(removed_path)) \
+        .localCheckpoint(eager=True)
+    n_removed = removed.count()
+    clock.mark("stage")
+    if n_removed == 0:
+        if delete_id is not None:
+            _mark_completed(state_dir, meta, del_id)
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"deleted_rows": 0, "replayed": False,
+                "edges": spark.read.parquet(f"{state_dir}/edges").count()}
+
+    # refuse BEFORE purging anything: an emptied store has no readable
+    # tables (and destroying data before raising would strand the state)
+    if _read_raw(spark, state_dir).join(urls_df, "url", "left_anti") \
+            .isEmpty():
+        raise ValueError(
+            f"incremental_delete: removing these urls empties "
+            f"{state_dir}; delete the state directory instead")
+    # purge the raw store (idempotent per-batch-partition swaps; only
+    # batch dirs holding a removed url are rewritten)
+    delete_by_key(spark, f"{state_dir}/raw", urls_df, ["url"],
+                  partition_by=["batch"], broadcast_keys=True)
+    remaining = _read_raw(spark, state_dir)
+    clock.mark("purge")
+
+    old_pairs = spark.read.parquet(f"{state_dir}/pairs")
+    if "band" not in old_pairs.columns:
+        raise ValueError(
+            f"{state_dir}/pairs lacks bucket provenance (band, bh); "
+            f"rebuild the state with init_state once before deleting")
+    old_cmap = spark.read.parquet(f"{state_dir}/cmap")
+    store_raw = spark.read.parquet(f"{state_dir}/buckets")
+    if "squash" not in store_raw.columns:
+        raise ValueError(
+            f"{state_dir}/buckets is keyed by norm (pre-squash-level "
+            f"state); rebuild the state with init_state once before "
+            f"deleting")
+    store_rows = store_raw.select("squash", "band", "bh")
+    cap = _LSH["max_bucket_size"]
+
+    # norms that leave the vocabulary: candidates are the removed rows'
+    # norms (small); a candidate survives iff some REMAINING row still
+    # uses it (column-pruned corpus scan, semi-joined to the candidates)
+    cand_norms = _norms_of(removed)
+    present = remaining \
+        .select(F.explode(F.array("subj_norm", "obj_norm")).alias("norm")) \
+        .join(cand_norms.select("norm"), "norm", "left_semi") \
+        .dropDuplicates(["norm"])
+    removed_norms = cand_norms.join(present, "norm", "left_anti") \
+        .localCheckpoint(eager=True)
+    # squashes that leave: no surviving norm squashes to them (cmap holds
+    # the full pre-delete vocabulary, so the check is vocab-sized)
+    cand_sq = removed_norms.select("squash").dropDuplicates(["squash"])
+    surviving_sq = (
+        old_cmap.select(
+            F.regexp_replace("norm", " ", "").alias("squash"), "norm")
+        .join(cand_sq, "squash", "left_semi")
+        .join(removed_norms.select("norm"), "norm", "left_anti")
+        .select("squash").dropDuplicates(["squash"])
+    )
+    removed_sq = cand_sq.join(surviving_sq, "squash", "left_anti") \
+        .localCheckpoint(eager=True)
+    clock.mark("norms")
+
+    # DOWNWARD cap crossings: a bucket losing a removed squash whose
+    # population drops from > cap to <= cap would pair its members in a
+    # rebuild — but the store never generated those pairs. Re-pair the
+    # bucket's CURRENT membership (<= cap rows each, O(touched buckets)).
+    dead_bk = store_rows.join(removed_sq, "squash", "left_semi")
+    pop_gone = dead_bk.groupBy("band", "bh").agg(F.count("*").alias("_ng"))
+    touched = dead_bk.select("band", "bh").dropDuplicates(["band", "bh"])
+    pop_before = store_rows.join(touched, ["band", "bh"], "left_semi") \
+        .groupBy("band", "bh").agg(F.count("*").alias("_nb"))
+    crossing = (
+        pop_before.join(pop_gone, ["band", "bh"])
+        .filter((F.col("_nb") > cap) & (F.col("_nb") - F.col("_ng") <= cap))
+        .select("band", "bh")
+    )
+    cur_store = store_rows.join(removed_sq, "squash", "left_anti")
+    members = cur_store.join(crossing, ["band", "bh"], "left_semi") \
+        .select(F.col("squash").alias("_id"), "band", "bh")
+    cand_pairs = cap_and_self_join(members, cap, distinct=False,
+                                   keep_bucket=True)
+    involved = cand_pairs \
+        .select(F.explode(F.array("a", "b")).alias("squash")) \
+        .dropDuplicates(["squash"])
+    keyed = involved.select(
+        F.col("squash").alias("_id"),
+        char_shingles(F.col("squash"), 3).alias("sh")) \
+        .filter(F.size("sh") > 0).localCheckpoint(eager=False)
+    regen = pair_scores(cand_pairs, keyed, threshold, "containment",
+                        keep_cols=("band", "bh")) \
+        .select("a", "b", "band", "bh")
+    # pairs with a removed endpoint leave the store PERMANENTLY (a removed
+    # squash may be the bridge of a component — keeping the pair would
+    # keep the component merged where a rebuild splits it)
+    pruned_pairs = old_pairs \
+        .join(removed_sq.withColumnRenamed("squash", "a"), "a",
+              "left_anti") \
+        .join(removed_sq.withColumnRenamed("squash", "b"), "b",
+              "left_anti")
+    merged_pairs = pruned_pairs.unionByName(regen) \
+        .dropDuplicates(["a", "b", "band", "bh"]).localCheckpoint(eager=True)
+    clock.mark("verify")
+
+    # affected components: every removed norm's squash (splits, min-norm
+    # relabels) + every re-paired squash (downward crossings can MERGE).
+    # Live pairs never span components, so pulling whole components into
+    # scope keeps the sub-recompute's min-norm labels globally correct.
+    old_sq_cmap = old_cmap.select(
+        F.regexp_replace("norm", " ", "").alias("squash"), "canonical_id") \
+        .dropDuplicates(["squash"])
+    seed_sq = removed_norms.select("squash") \
+        .unionByName(regen.select(F.explode(F.array("a", "b"))
+                                  .alias("squash"))) \
+        .dropDuplicates(["squash"])
+    affected_ids = old_sq_cmap.join(seed_sq, "squash", "left_semi") \
+        .select("canonical_id").dropDuplicates(["canonical_id"])
+    affected_members = old_cmap \
+        .join(affected_ids, "canonical_id", "left_semi").select("norm") \
+        .localCheckpoint(eager=True)
+    sub_norms = affected_members \
+        .join(removed_norms.select("norm"), "norm", "left_anti") \
+        .select("norm", F.regexp_replace("norm", " ", "").alias("squash")) \
+        .localCheckpoint(eager=True)
+    clock.mark("scope")
+
+    sub_squashes = sub_norms.select("squash").dropDuplicates(["squash"])
+    sub_prov = merged_pairs.join(
+        sub_squashes.withColumnRenamed("squash", "a"), "a", "left_semi")
+    ref_keys = sub_prov.select("band", "bh").dropDuplicates(["band", "bh"])
+    # liveness against the POST-delete population (the bucket-store purge
+    # happens later in the commit order; subtract at the DataFrame level)
+    live_keys = (
+        cur_store.join(ref_keys, ["band", "bh"], "left_semi")
+        .groupBy("band", "bh").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select("band", "bh")
+    )
+    sub_pairs = sub_prov.join(live_keys, ["band", "bh"], "left_semi") \
+        .select("a", "b").dropDuplicates(["a", "b"])
+    sub_cmap = _cmap_from_pairs(sub_norms, sub_pairs)
+    new_cmap = old_cmap.join(affected_members, "norm", "left_anti") \
+        .unionByName(sub_cmap).localCheckpoint(eager=True)
+    clock.mark("components")
+
+    # edge fix: keys whose support changed = keys of rows touching a
+    # relabeled norm (new map) + keys the removed rows contributed to
+    # (their remaining contributors re-aggregate; keys with none die)
+    changed = (
+        old_cmap.withColumnRenamed("canonical_id", "_old")
+        .join(new_cmap.withColumnRenamed("canonical_id", "_new"), "norm")
+        .filter(~F.col("_old").eqNullSafe(F.col("_new")))
+        .select("norm").localCheckpoint(eager=True)
+    )
+    key_edges = _edges_for(_touching_rows(remaining, changed), new_cmap) \
+        .unionByName(_edges_for(removed, new_cmap)) \
+        .localCheckpoint(eager=True)
+    new_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
+    aff_rows = _contributor_rows(remaining, key_edges, new_cmap)
+    recomputed = _edges_for(aff_rows, new_cmap) \
+        .join(new_keys, "edge_key", "left_semi").localCheckpoint(eager=True)
+    # candidate OLD keys: same source rows under the OLD map (the removed
+    # rows existed then). dead = candidates the recompute did NOT produce —
+    # anti against the RECOMPUTED key set, not the candidate set: a key
+    # whose every contributor was removed has no recomputed row at all
+    old_keys = _edges_for(
+        _touching_rows(remaining, changed).unionByName(removed), old_cmap) \
+        .select("edge_key").dropDuplicates(["edge_key"])
+    rec_keys = recomputed.select("edge_key").dropDuplicates(["edge_key"])
+    dead = old_keys.join(rec_keys, "edge_key", "left_anti") \
+        .localCheckpoint(eager=True)
+    n_dead = dead.count()
+    n_recomputed = recomputed.count()
+    upsert_by_key(spark, recomputed, f"{state_dir}/edges", ["edge_key"],
+                  partition_by=["pred"],
+                  delete_keys=dead if n_dead else None,
+                  broadcast_keys=(n_recomputed + n_dead) <= 500_000)
+    clock.mark("edges")
+
+    # commit: pairs/cmap swap AFTER the edge fix (a crash in between
+    # re-runs the whole delete against the OLD maps — the edge upsert is
+    # idempotent), bucket purge after the swaps (crossing detection and
+    # liveness already used post-delete populations), marker last
+    replace_table(merged_pairs, f"{state_dir}/pairs")
+    replace_table(new_cmap, f"{state_dir}/cmap")
+    delete_by_key(spark, f"{state_dir}/buckets", removed_sq, ["squash"],
+                  partition_by=["batch"], broadcast_keys=True)
+    _mark_completed(state_dir, meta, del_id)
+    shutil.rmtree(stage, ignore_errors=True)
+    clock.mark("commit")
+    stages = _emit_metrics(state_dir, del_id, "delete", clock.secs, {
+        "stage": n_removed,
+        "norms": removed_norms.count(),
+        "verify": merged_pairs.count(),
+        "scope": sub_norms.count(),
+        "components": new_cmap.count(),
+        "edges": n_recomputed,
+    })
+    return {
+        "replayed": False,
+        "deleted_rows": n_removed,
+        "removed_norms": removed_norms.count(),
+        "removed_squashes": removed_sq.count(),
+        "changed_norms": changed.count(),
+        "edges_rewritten": n_recomputed,
         "edges_deleted": n_dead,
         "stages": stages,
     }

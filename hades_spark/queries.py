@@ -2245,6 +2245,40 @@ def q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_S8_STATE = f"{STAGE_ROOT}/hades_s8_kg_delete_state"
+
+
+@register("s8_incremental_delete", _kg_oracle(_S8_STATE, bucket_cap=150))
+def s8_incremental_delete_q(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-doc purge from the standing KG state (S8, stateful edition):
+    # build state from 170 corpus pages, fold an update in, then DELETE
+    # every 5th page's url via incremental_delete (vocabulary shrinkage,
+    # pair pruning, downward-cap regeneration, support re-aggregation,
+    # dead-key deletes). The oracle recomputes the full rebuild tail
+    # (liveness-filtered recursive-CTE CC over the post-delete pairs +
+    # bucket stores, min-norm relabel, sha256 keys, distinct-edge agg)
+    # from the post-delete state — hash equality proves delete ==
+    # rebuild-over-remaining semantics end-to-end.
+    import shutil
+
+    from .pipeline.corpus import gen_pages
+    from .pipeline.incremental_kg import (incremental_delete,
+                                          incremental_update, init_state)
+    from .schemas import PAGES
+
+    shutil.rmtree(_S8_STATE, ignore_errors=True)
+    pages = gen_pages(170, seed=42, compute_text=False)
+    rows = [(p.url, p.warc_ts, p.html, None, p.lang) for p in pages]
+    init_state(spark, spark.createDataFrame(rows[:120], PAGES), _S8_STATE)
+    incremental_update(spark, spark.createDataFrame(rows[120:], PAGES),
+                       _S8_STATE)
+    incremental_delete(spark, [rows[i][0] for i in range(0, 170, 5)],
+                       _S8_STATE, delete_id="purge-1")
+    edges = spark.read.parquet(f"{_S8_STATE}/edges")
+    return edges.select("subj", "pred", "obj", "edge_key",
+                        "confidence", "url", "support")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation
 # ---------------------------------------------------------------------------

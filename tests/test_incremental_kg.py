@@ -687,3 +687,197 @@ class TestStageMetrics:
         n_after = len(Path(inc, "metrics.jsonl")
                       .read_text().splitlines())
         assert n_after == n_before
+
+
+class TestIncrementalDelete:
+    """Per-url purge from the standing state: delete == rebuild over the
+    remaining pages (the S8 per-doc-purge seam, stateful edition)."""
+
+    def test_delete_equals_rebuild_without_pages(self, spark, tmp_path):
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        inc = str(tmp_path / "dinc")
+        full = str(tmp_path / "dfull")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc)
+        # drop page 12 (NewThing cites Zeta) and page 3 (Zeta extends Qux)
+        gone = [f"https://t.example/{i}.html" for i in (3, 12)]
+        stats = incremental_delete(spark, gone, inc)
+        assert stats["deleted_rows"] > 0
+        keep = [r for r in BATCH1 + BATCH2 if r[0] not in (3, 12)]
+        init_state(spark, _pages(spark, keep), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_delete_relabels_when_canonical_norm_removed(self, spark,
+                                                         tmp_path):
+        """Deleting the page holding the component's min-norm canonical
+        must relabel the surviving members exactly like a rebuild."""
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        # 'alphabeta' (page 11, lowercase) is the min norm of the
+        # AlphaBeta component; removing BOTH alphabeta-bearing pages
+        # (0 and 11... page 0 holds 'AlphaBeta' which normalizes to the
+        # same norm) — instead remove page 11 only: norm 'alphabeta'
+        # survives via page 0, so remove pages 0, 2 and 11 to kill it
+        inc = str(tmp_path / "rinc")
+        full = str(tmp_path / "rfull")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), inc)
+        gone_ids = (0, 2, 11)
+        gone = [f"https://t.example/{i}.html" for i in gone_ids]
+        incremental_delete(spark, gone, inc)
+        keep = [r for r in BATCH1 + BATCH2 if r[0] not in gone_ids]
+        init_state(spark, _pages(spark, keep), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_delete_corpus_scale_equals_rebuild(self, spark, tmp_path):
+        """Synthetic-corpus e2e: build 90 pages, delete 25 scattered
+        urls, compare to a 65-page rebuild byte-identically."""
+        from hades_spark.pipeline.corpus import gen_pages
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        inc = str(tmp_path / "cinc")
+        full = str(tmp_path / "cfull")
+        all_pages = gen_pages(90, seed=42, compute_text=False)
+        rows = [(p.url, p.warc_ts, p.html, None, p.lang) for p in all_pages]
+        init_state(spark, spark.createDataFrame(rows[:60], PAGES), inc)
+        incremental_update(
+            spark, spark.createDataFrame(rows[60:], PAGES), inc)
+        gone = {rows[i][0] for i in range(0, 90, 4)}  # every 4th page
+        incremental_delete(spark, sorted(gone), inc)
+        remaining = [r for r in rows if r[0] not in gone]
+        init_state(spark, spark.createDataFrame(remaining, PAGES), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_downward_cap_crossing_regenerates_pairs(self, spark, tmp_path,
+                                                     monkeypatch):
+        """The hard direction: with E1/E2/E3 all sharing every bucket at
+        cap=2, no pairs were EVER generated (3 > cap). Deleting E3's page
+        drops the buckets to 2 <= cap — a rebuild would merge E1/E2, so
+        the delete must REGENERATE those never-stored pairs."""
+        import hades_spark.pipeline.incremental_kg as ikg
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        monkeypatch.setitem(ikg._LSH, "max_bucket_size", 2)
+        E1, E2, E3 = TestCapCrossing.E1, TestCapCrossing.E2, TestCapCrossing.E3
+        pages = [(0, f"{E1} uses Zeta."),
+                 (1, f"{E2} stores Womp."),
+                 (2, f"{E3} embeds Blip."),
+                 (3, "UnrelatedThing cites Zeta.")]
+        inc, full = str(tmp_path / "xinc"), str(tmp_path / "xfull")
+        init_state(spark, _pages(spark, pages), inc)
+        # over-cap at init: all three apart, no stored pair between E1/E2
+        stored0 = {(r["a"], r["b"]) for r in
+                   spark.read.parquet(f"{inc}/pairs")
+                   .select("a", "b").distinct().collect()}
+        assert ("quxfoobar", "quxfoobare") not in stored0
+        stats = incremental_delete(
+            spark, ["https://t.example/2.html"], inc)
+        assert stats["removed_squashes"] >= 1
+        init_state(spark, _pages(spark, pages[:2] + pages[3:]), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        # the regeneration really happened: E1-E2 is now stored AND live
+        subs = {r["subj"] for r in
+                spark.read.parquet(f"{inc}/edges").collect()}
+        assert "quxfoobare" not in subs  # canonicalized into quxfoobar
+        assert "quxfoobar" in subs
+
+    def test_bridge_removal_splits_component(self, spark, tmp_path):
+        """BATCH2's AlphaBetaGamma bridges the alphabeta and betagamma
+        components; deleting its page must SPLIT them back (the pruned
+        pair must stop feeding CC)."""
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        inc = str(tmp_path / "binc")
+        full = str(tmp_path / "bfull")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), inc)
+        subs0 = {r["subj"] for r in
+                 spark.read.parquet(f"{inc}/edges").collect()}
+        assert "betagamma" not in subs0  # merged via the bridge
+        incremental_delete(spark, ["https://t.example/10.html"], inc)
+        keep = [r for r in BATCH1 + BATCH2 if r[0] != 10]
+        init_state(spark, _pages(spark, keep), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        subs = {r["subj"] for r in
+                spark.read.parquet(f"{inc}/edges").collect()}
+        assert "betagamma" in subs  # split back apart
+
+    def test_exactly_once_replay_and_noop(self, spark, tmp_path):
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        inc = str(tmp_path / "einc")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), inc)
+        gone = ["https://t.example/3.html"]
+        incremental_delete(spark, gone, inc, delete_id="d1")
+        after = _edge_set(spark, inc)
+        replay = incremental_delete(spark, gone, inc, delete_id="d1")
+        assert replay["replayed"]
+        assert _edge_set(spark, inc) == after
+        # deleting urls that match nothing is a committed no-op
+        stats = incremental_delete(spark, ["https://nope.example/x.html"],
+                                   inc, delete_id="d2")
+        assert stats["deleted_rows"] == 0
+        assert incremental_delete(spark, ["https://nope.example/x.html"],
+                                  inc, delete_id="d2")["replayed"]
+
+    def test_crash_after_stage_and_partial_purge_converges(self, spark,
+                                                           tmp_path):
+        """Crash window: removed rows staged + raw fully purged, nothing
+        else applied. Re-running the same delete_id must converge to the
+        rebuild (the staged rows carry the scope a re-scan can't see)."""
+        import shutil as sh
+
+        from hades_spark.pipeline.incremental_kg import (
+            _read_raw, incremental_delete)
+        from hades_spark.sources.io import delete_by_key, write_table
+
+        inc = str(tmp_path / "crinc")
+        full = str(tmp_path / "crfull")
+        init_state(spark, _pages(spark, BATCH1 + BATCH2), inc)
+        gone = ["https://t.example/10.html", "https://t.example/3.html"]
+        # simulate the crashed first attempt by hand: stage + purge only
+        urls_df = spark.createDataFrame([(u,) for u in gone], "url string")
+        stage = tmp_path / "crinc" / "_del-d9" / "removed"
+        stage.parent.mkdir(parents=True)
+        tmpdir = str(stage.parent / ".removed.tmp")
+        write_table(_read_raw(spark, inc).join(
+            urls_df, "url", "left_semi"), tmpdir)
+        sh.move(tmpdir, str(stage))
+        delete_by_key(spark, f"{inc}/raw", urls_df, ["url"],
+                      partition_by=["batch"], broadcast_keys=True)
+        # resume with the SAME id
+        stats = incremental_delete(spark, gone, inc, delete_id="d9")
+        assert not stats["replayed"] and stats["deleted_rows"] > 0
+        keep = [r for r in BATCH1 + BATCH2 if r[0] not in (3, 10)]
+        init_state(spark, _pages(spark, keep), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        assert not (tmp_path / "crinc" / "_del-d9").exists()
+
+    def test_delete_everything_raises(self, spark, tmp_path):
+        import pytest
+
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        inc = str(tmp_path / "all")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        with pytest.raises(ValueError, match="empties"):
+            incremental_delete(
+                spark,
+                [f"https://t.example/{i}.html" for i, _ in BATCH1], inc)
+
+    def test_update_after_delete_stays_exact(self, spark, tmp_path):
+        """Interleaving: init, update, delete, update again — the final
+        state must equal a rebuild over exactly the surviving pages."""
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        inc = str(tmp_path / "iinc")
+        full = str(tmp_path / "ifull")
+        b3 = [(20, "Zeta powers NewThing."),
+              (21, "BetaGamma cites AlphaBeta.")]
+        init_state(spark, _pages(spark, BATCH1), inc)
+        incremental_update(spark, _pages(spark, BATCH2), inc)
+        incremental_delete(spark, ["https://t.example/10.html",
+                                   "https://t.example/1.html"], inc)
+        incremental_update(spark, _pages(spark, b3), inc)
+        keep = [r for r in BATCH1 + BATCH2 if r[0] not in (1, 10)] + b3
+        init_state(spark, _pages(spark, keep), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
