@@ -1174,3 +1174,116 @@ def _incremental_delete_locked(spark: SparkSession, urls, state_dir: str,
         "edges_deleted": n_dead,
         "stages": stages,
     }
+
+
+def incremental_reingest(spark: SparkSession, pages: DataFrame,
+                         state_dir: str, threshold: float = 0.8,
+                         batch_id: str | None = None,
+                         skip_unchanged: bool = True) -> dict:
+    """RE-CRAWL semantics: fold ``pages`` into the state where a url may
+    already be present — the reference's delete-on-reingest contract
+    (``nl_graph_materialize.py`` onDuplicate=replace): the url's OLD
+    triples are purged and the new page's triples take their place, so
+    the state equals a rebuild in which each url contributes its LATEST
+    crawl only. A plain ``incremental_update`` would double-count
+    (the old raw rows stay in the store).
+
+    ``skip_unchanged=True`` short-circuits per url on the EXTRACTED
+    triple set (I4 change detection at the semantic level): a re-crawled
+    page whose normalized triples are identical to the stored ones is
+    dropped before the purge — boilerplate-only recrawls (the common
+    case on a real crawl cadence) cost one anti-join, not a
+    delete+insert cycle. Byte-level fingerprint checks belong UPSTREAM
+    (cheaper, catches unchanged HTML before extraction); this guard
+    catches changed-HTML-same-triples.
+
+    EXACTLY-ONCE: with a ``batch_id``, the purge commits under
+    ``<batch_id>-purge`` and the insert under ``batch_id`` — each leg
+    replays/resumes independently through the same machinery as
+    update/delete, so a crash between the legs converges on re-run.
+    Returns the merged stats dict ({"purge": ..., "update": ...}).
+    """
+    purge_id = f"{batch_id}-purge" if batch_id else None
+    with _state_lock(state_dir):
+        meta = _load_meta(state_dir)
+        if not _state_complete(state_dir):
+            _init_state_locked(spark, pages, state_dir, threshold,
+                               batch_id=batch_id or
+                               f"init-{uuid.uuid4().hex[:12]}")
+            n = spark.read.parquet(f"{state_dir}/edges").count()
+            return {"initialized": True, "edges": n}
+        if batch_id is not None and batch_id in meta["completed"]:
+            return {"replayed": True, "edges":
+                    spark.read.parquet(f"{state_dir}/edges").count()}
+        t_guard = time.perf_counter()
+        page_urls = pages.select("url").dropDuplicates(["url"])
+        stored_urls = _read_raw(spark, state_dir) \
+            .select("url").dropDuplicates(["url"])
+        overlap = page_urls.join(stored_urls, "url", "left_semi") \
+            .localCheckpoint(eager=True)
+        if skip_unchanged and not overlap.isEmpty():
+            # a url is UNCHANGED when its stored triple multiset equals
+            # the fresh extraction: one order-insensitive per-url
+            # fingerprint on each side (sorted row-hash list, so
+            # multiplicity counts), inner-joined on url. Only OVERLAP
+            # pages are extracted here — brand-new urls skip straight to
+            # the insert leg, so the batch's dominant extraction cost is
+            # paid once, not twice, on the mostly-new-urls crawl shape.
+            new_raw = _norm_raw(
+                pages.join(overlap, "url", "left_semi")) \
+                .localCheckpoint(eager=True)
+
+            def _fp(rows: DataFrame) -> DataFrame:
+                h = F.xxhash64("pred", "confidence", "subj_norm",
+                               "obj_norm")
+                return rows.join(overlap, "url", "left_semi") \
+                    .select("url", h.alias("_h")) \
+                    .groupBy("url") \
+                    .agg(F.xxhash64(F.sort_array(F.collect_list("_h")))
+                         .alias("_fp"))
+
+            old_fp = _fp(_read_raw(spark, state_dir)) \
+                .withColumnRenamed("_fp", "_old")
+            new_fp = _fp(new_raw).withColumnRenamed("_fp", "_new")
+            # LEFT joins from overlap, null-safe compare: a url whose
+            # fresh crawl extracts ZERO triples has no new_fp row at all
+            # — an inner join would silently drop it as "unchanged" when
+            # it must be purged (null fp != stored fp)
+            diff_urls = overlap.join(old_fp, "url", "left") \
+                .join(new_fp, "url", "left") \
+                .filter(~F.col("_old").eqNullSafe(F.col("_new"))) \
+                .select("url")
+            overlap = overlap.join(diff_urls, "url", "left_semi") \
+                .localCheckpoint(eager=True)
+        stats: dict = {"initialized": False, "replayed": False}
+        n_over = overlap.count()
+        stats["reingested_urls"] = n_over
+        # the insert url set MATERIALIZES BEFORE the purge: the purge
+        # swaps raw partition files, and a lazy plan over the pre-purge
+        # read would fail FILE_NOT_EXIST when evaluated afterwards. Both
+        # sets are batch-bounded (small), never corpus-sized.
+        keep = page_urls.join(stored_urls, "url", "left_anti") \
+            .unionByName(overlap).dropDuplicates(["url"]) \
+            .localCheckpoint(eager=True)
+        stats["guard_sec"] = round(time.perf_counter() - t_guard, 3)
+        if n_over:
+            t0 = time.perf_counter()
+            stats["purge"] = _incremental_delete_locked(
+                spark, overlap, state_dir, threshold, purge_id)
+            stats["purge_sec"] = round(time.perf_counter() - t0, 3)
+        # insert: BRAND-NEW urls + the changed re-crawls (their old rows
+        # are gone now). Unchanged re-crawls are dropped entirely.
+        to_insert = pages.join(keep, "url", "left_semi")
+        if to_insert.isEmpty():
+            if batch_id is not None:
+                # RELOAD the manifest: the purge leg may have appended
+                # its own completed-marker since ``meta`` was read —
+                # saving the stale dict would clobber it
+                _mark_completed(state_dir, _load_meta(state_dir), batch_id)
+            stats["update"] = {"skipped": True, "reason": "no changes"}
+            return stats
+        t0 = time.perf_counter()
+        stats["update"] = _incremental_update_locked(
+            spark, to_insert, state_dir, threshold, batch_id)
+        stats["update_sec"] = round(time.perf_counter() - t0, 3)
+        return stats

@@ -2279,6 +2279,47 @@ def s8_incremental_delete_q(spark: SparkSession, sf: str) -> DataFrame:
                         "confidence", "url", "support")
 
 
+_S9_STATE = f"{STAGE_ROOT}/hades_s9_kg_reingest_state"
+
+
+@register("s9_incremental_reingest", _kg_oracle(_S9_STATE, bucket_cap=150))
+def s9_incremental_reingest_q(spark: SparkSession, sf: str) -> DataFrame:
+    # Stale-edge cleanup on re-crawl (S9, stateful edition — the
+    # reference's delete-on-reingest contract): build state from 170
+    # corpus pages, then reingest a mixed batch of (a) changed recrawls
+    # (same url, different html — bodies swapped in from a different
+    # generator seed), (b) unchanged recrawls (skipped by the semantic
+    # change guard before any purge), (c) brand-new urls. Each
+    # re-crawled url's OLD triples are purged before the fresh ones
+    # land, so the state equals a rebuild where every url contributes
+    # its LATEST crawl only. The oracle recomputes the full rebuild
+    # tail (liveness-filtered recursive-CTE CC, min-norm relabel,
+    # sha256 keys, distinct-edge agg) from the post-reingest state.
+    import shutil
+
+    from .pipeline.corpus import gen_pages
+    from .pipeline.incremental_kg import incremental_reingest, init_state
+    from .schemas import PAGES
+
+    shutil.rmtree(_S9_STATE, ignore_errors=True)
+    pages = gen_pages(190, seed=42, compute_text=False)
+    alt = gen_pages(40, seed=99, compute_text=False)
+    rows = [(p.url, p.warc_ts, p.html, None, p.lang) for p in pages]
+    init_state(spark, spark.createDataFrame(rows[:170], PAGES), _S9_STATE)
+    recrawl = []
+    for i in range(0, 170, 7):        # changed: url kept, body swapped
+        u, ts, _, _, lg = rows[i]
+        recrawl.append((u, ts, alt[i % 40].html, None, lg))
+    recrawl += [rows[i] for i in range(3, 170, 13)
+                if i % 7]                             # unchanged
+    recrawl += rows[170:]                             # brand new
+    incremental_reingest(spark, spark.createDataFrame(recrawl, PAGES),
+                         _S9_STATE, batch_id="recrawl-1")
+    edges = spark.read.parquet(f"{_S9_STATE}/edges")
+    return edges.select("subj", "pred", "obj", "edge_key",
+                        "confidence", "url", "support")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation
 # ---------------------------------------------------------------------------

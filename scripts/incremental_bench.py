@@ -105,7 +105,14 @@ def main() -> None:
     full = spark.read.parquet(base_dir, *upd_dirs)
     t0 = time.perf_counter()
     caches: list = []
-    triples = canonical_triples(full, caches=caches, local_threshold=20000)
+    # local_threshold=0 pins the DISTRIBUTED canonicalization path at any
+    # corpus size: the incremental state always runs distributed, and the
+    # driver-local small-vocab path's candidate index is a documented
+    # SUPERSET of banded LSH's (it containment-merges pathological giant
+    # norms LSH never pairs) — gating against it would flag phantom
+    # diffs at smoke scale. At bench scale (vocab >> 20k) the rebuild is
+    # distributed either way, so the timing baseline is unaffected.
+    triples = canonical_triples(full, caches=caches, local_threshold=0)
     edges_full = distinct_edges(triples).localCheckpoint()
     n_edges_full = edges_full.count()
     out["rebuild_sec"] = round(time.perf_counter() - t0, 2)
@@ -133,6 +140,123 @@ def main() -> None:
     out["mean_update_sec"] = round(mean_upd, 2)
     out["update_vs_rebuild_speedup"] = round(
         out["rebuild_sec"] / max(mean_upd, 1e-9), 1)
+
+    # "latest crawl" view of the corpus — the reingest phase swaps
+    # bodies in place, so every later gate rebuilds from THIS frame
+    corpus_latest = spark.read.parquet(base_dir, *upd_dirs)
+
+    # optional REINGEST phase (BENCH_REINGEST_PAGES > 0): re-crawl that
+    # many base urls — half with CHANGED bodies (donor html from a
+    # disjoint base sample; url/ts/lang kept), half verbatim (the
+    # unchanged-skip guard must drop them before any purge) — then
+    # verify state == rebuild-over-latest. This measures the
+    # delete-on-reingest path at real bucket populations AND the cost
+    # of the semantic change guard on a boilerplate-heavy recrawl.
+    n_re = int(os.environ.get("BENCH_REINGEST_PAGES", "0"))
+    if n_re:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        stride_r = max(base // n_re, 1)
+        h = F.abs(F.xxhash64("url")) % stride_r
+        base_pages = spark.read.parquet(base_dir)
+        # pair sample-1 urls with sample-2 bodies by rank (both samples
+        # are bench-bounded ~n_re rows, so the windows are trivial)
+        w = Window.orderBy("url")
+        a_rn = base_pages.filter(h == 1) \
+            .select("url", "warc_ts", "lang",
+                    F.row_number().over(w).alias("rn"))
+        b_rn = base_pages.filter(h == 2) \
+            .select(F.col("html").alias("new_html"),
+                    F.row_number().over(w).alias("rn"))
+        changed = a_rn.join(b_rn, "rn").select(
+            "url", "warc_ts", F.col("new_html").alias("html"),
+            F.lit(None).cast("string").alias("text"), "lang") \
+            .localCheckpoint()
+        unchanged = base_pages.filter(h == 3).localCheckpoint()
+        n_changed, n_unch = changed.count(), unchanged.count()
+        t0 = time.perf_counter()
+        rstats = incremental_reingest(
+            spark, changed.unionByName(unchanged), state_dir,
+            batch_id="bench-re")
+        out["reingest_sec"] = round(time.perf_counter() - t0, 2)
+        out["reingest_changed_sent"] = n_changed
+        out["reingest_unchanged_sent"] = n_unch
+        out["reingest_detected_changed"] = rstats.get("reingested_urls")
+        out["reingest_leg_secs"] = {
+            k: rstats.get(k) for k in
+            ("guard_sec", "purge_sec", "update_sec")}
+        out["reingest_purge_stage_secs"] = {
+            s: v["sec"] for s, v in
+            (rstats.get("purge", {}).get("stages") or {}).items()}
+        corpus_latest = corpus_latest \
+            .join(changed.select("url"), "url", "left_anti") \
+            .unionByName(changed)
+        t0 = time.perf_counter()
+        caches3: list = []
+        tr3 = canonical_triples(corpus_latest, caches=caches3,
+                                local_threshold=0)
+        edges_lat = distinct_edges(tr3).localCheckpoint()
+        n_edges_lat = edges_lat.count()
+        out["reingest_rebuild_sec"] = round(time.perf_counter() - t0, 2)
+        for c in caches3:
+            c.unpersist()
+        state_edges3 = spark.read.parquet(f"{state_dir}/edges") \
+            .select(*cols)
+        r_missing = edges_lat.select(*cols).exceptAll(state_edges3).count()
+        r_extra = state_edges3.exceptAll(edges_lat.select(*cols)).count()
+        out["reingest_edges"] = n_edges_lat
+        out["reingest_edges_match"] = (r_missing == 0 and r_extra == 0)
+        out["reingest_edges_missing"] = r_missing
+        out["reingest_edges_extra"] = r_extra
+
+    # optional DELETE phase (BENCH_DELETE_PAGES > 0): purge that many of
+    # the base corpus's urls from the state and verify delete ==
+    # rebuild-over-remaining — the downward-cap-crossing and
+    # pair-pruning machinery only bites at real bucket populations (the
+    # update-path divergence was likewise invisible below ~800k pages)
+    n_del = int(os.environ.get("BENCH_DELETE_PAGES", "0"))
+    if n_del:
+        from pyspark.sql import functions as F
+
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        # a deterministic ~n_del-url scatter over the base corpus: hash
+        # sampling (no sort, no window — order-free and reproducible)
+        stride = max(base // n_del, 1)
+        gone = spark.read.parquet(base_dir).select("url") \
+            .filter(F.abs(F.xxhash64("url")) % stride == 0) \
+            .localCheckpoint()
+        n_gone = gone.count()
+        t0 = time.perf_counter()
+        dstats = incremental_delete(spark, gone, state_dir,
+                                    delete_id="bench-del")
+        out["delete_sec"] = round(time.perf_counter() - t0, 2)
+        out["delete_urls"] = n_gone
+        out["delete_stage_secs"] = {
+            s: v["sec"] for s, v in (dstats.get("stages") or {}).items()}
+        out["delete_edges_rewritten"] = dstats.get("edges_rewritten")
+        out["delete_edges_deleted"] = dstats.get("edges_deleted")
+        remaining = corpus_latest.join(gone, "url", "left_anti")
+        t0 = time.perf_counter()
+        caches2: list = []
+        tr2 = canonical_triples(remaining, caches=caches2,
+                                local_threshold=0)
+        edges_rem = distinct_edges(tr2).localCheckpoint()
+        n_edges_rem = edges_rem.count()
+        out["delete_rebuild_sec"] = round(time.perf_counter() - t0, 2)
+        for c in caches2:
+            c.unpersist()
+        state_edges2 = spark.read.parquet(f"{state_dir}/edges") \
+            .select(*cols)
+        d_missing = edges_rem.select(*cols).exceptAll(state_edges2).count()
+        d_extra = state_edges2.exceptAll(edges_rem.select(*cols)).count()
+        out["delete_edges"] = n_edges_rem
+        out["delete_edges_match"] = (d_missing == 0 and d_extra == 0)
+        out["delete_edges_missing"] = d_missing
+        out["delete_edges_extra"] = d_extra
 
     print(json.dumps(out), flush=True)
     spark.stop()

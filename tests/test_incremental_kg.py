@@ -871,7 +871,7 @@ class TestIncrementalDelete:
 
         inc = str(tmp_path / "iinc")
         full = str(tmp_path / "ifull")
-        b3 = [(20, "Zeta powers NewThing."),
+        b3 = [(20, "Zeta indexes NewThing."),
               (21, "BetaGamma cites AlphaBeta.")]
         init_state(spark, _pages(spark, BATCH1), inc)
         incremental_update(spark, _pages(spark, BATCH2), inc)
@@ -880,4 +880,84 @@ class TestIncrementalDelete:
         incremental_update(spark, _pages(spark, b3), inc)
         keep = [r for r in BATCH1 + BATCH2 if r[0] not in (1, 10)] + b3
         init_state(spark, _pages(spark, keep), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+
+class TestIncrementalReingest:
+    """Re-crawl semantics: a url already in the state is purged before
+    its fresh triples land — the state equals a rebuild where each url
+    contributes its LATEST crawl only (delete-on-reingest)."""
+
+    def test_recrawl_changed_page_equals_latest_rebuild(self, spark,
+                                                        tmp_path):
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        inc = str(tmp_path / "rinc")
+        full = str(tmp_path / "rfull")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        # page 1 re-crawled with DIFFERENT content + one brand-new page
+        recrawl = [(1, "BetaGamma indexes Womp."),
+                   (5, "FreshThing cites Qux.")]
+        stats = incremental_reingest(spark, _pages(spark, recrawl), inc,
+                                     batch_id="rc1")
+        assert stats["reingested_urls"] == 1
+        assert stats["purge"]["deleted_rows"] > 0
+        latest = [r for r in BATCH1 if r[0] != 1] + recrawl
+        init_state(spark, _pages(spark, latest), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_unchanged_recrawl_is_skipped(self, spark, tmp_path):
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        inc = str(tmp_path / "uinc")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        before = _edge_set(spark, inc)
+        # same page, same triples (different whitespace wouldn't matter —
+        # the guard compares the normalized EXTRACTION, not bytes)
+        stats = incremental_reingest(
+            spark, _pages(spark, [BATCH1[0]]), inc, batch_id="rc2")
+        assert stats["reingested_urls"] == 0
+        assert stats["update"] == {"skipped": True, "reason": "no changes"}
+        assert _edge_set(spark, inc) == before
+        # the skipped batch still committed exactly-once
+        assert incremental_reingest(
+            spark, _pages(spark, [BATCH1[0]]), inc,
+            batch_id="rc2")["replayed"]
+
+    def test_mixed_batch_new_changed_unchanged(self, spark, tmp_path):
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        inc = str(tmp_path / "minc")
+        full = str(tmp_path / "mfull")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        batch = [BATCH1[0],                       # unchanged recrawl
+                 (2, "AlphaBeta replaces Qux."),    # changed recrawl
+                 (30, "Newcomer stores Zeta.")]   # brand new
+        incremental_reingest(spark, _pages(spark, batch), inc,
+                             batch_id="rc3")
+        latest = [BATCH1[0], BATCH1[1], (2, "AlphaBeta replaces Qux."),
+                  BATCH1[3], (30, "Newcomer stores Zeta.")]
+        init_state(spark, _pages(spark, latest), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_crash_between_purge_and_insert_converges(self, spark,
+                                                      tmp_path):
+        """Crash window: the purge leg committed, the insert leg never
+        ran. Re-running the same reingest must converge (the re-crawled
+        url is simply absent from the store now, so it inserts as new)."""
+        from hades_spark.pipeline.incremental_kg import (
+            incremental_delete, incremental_reingest)
+
+        inc = str(tmp_path / "cinc")
+        full = str(tmp_path / "cfull")
+        init_state(spark, _pages(spark, BATCH1), inc)
+        recrawl = [(1, "BetaGamma indexes Womp.")]
+        # simulate the crashed first attempt: purge leg only
+        incremental_delete(spark, ["https://t.example/1.html"], inc,
+                           delete_id="rc4-purge")
+        stats = incremental_reingest(spark, _pages(spark, recrawl), inc,
+                                     batch_id="rc4")
+        assert not stats.get("replayed")
+        latest = [r for r in BATCH1 if r[0] != 1] + recrawl
+        init_state(spark, _pages(spark, latest), full)
         assert _edge_set(spark, inc) == _edge_set(spark, full)
