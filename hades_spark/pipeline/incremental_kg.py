@@ -1179,7 +1179,8 @@ def _incremental_delete_locked(spark: SparkSession, urls, state_dir: str,
 def incremental_reingest(spark: SparkSession, pages: DataFrame,
                          state_dir: str, threshold: float = 0.8,
                          batch_id: str | None = None,
-                         skip_unchanged: bool = True) -> dict:
+                         skip_unchanged: bool = True,
+                         compact_every_n_batches: int | None = 32) -> dict:
     """RE-CRAWL semantics: fold ``pages`` into the state where a url may
     already be present — the reference's delete-on-reingest contract
     (``nl_graph_materialize.py`` onDuplicate=replace): the url's OLD
@@ -1201,6 +1202,8 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
     ``<batch_id>-purge`` and the insert under ``batch_id`` — each leg
     replays/resumes independently through the same machinery as
     update/delete, so a crash between the legs converges on re-run.
+    Auto-compaction fires after the insert leg under the same
+    ``compact_every_n_batches`` contract as ``incremental_update``.
     Returns the merged stats dict ({"purge": ..., "update": ...}).
     """
     purge_id = f"{batch_id}-purge" if batch_id else None
@@ -1286,4 +1289,13 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
         stats["update"] = _incremental_update_locked(
             spark, to_insert, state_dir, threshold, batch_id)
         stats["update_sec"] = round(time.perf_counter() - t0, 3)
+        # same auto-compaction contract as incremental_update: an
+        # unattended recrawl stream keeps O(1) raw dirs without anyone
+        # remembering to call compact_state
+        if compact_every_n_batches is not None:
+            n_dirs = len(list(
+                (Path(state_dir) / "raw").glob("batch=*")))
+            if n_dirs >= compact_every_n_batches:
+                stats["compaction"] = _compact_state_locked(
+                    spark, state_dir, min_batches=2)
         return stats

@@ -66,11 +66,20 @@ def stream_incremental_kg(
     available_now: bool = True,
     max_files_per_trigger: int = 32,
     compact_every_n_batches: int | None = 32,
+    reingest: bool = False,
 ):
     """Stage-2 streaming: feed arriving page files straight into the
     incremental KG state via ``foreachBatch`` — the end-to-end glue
     between the watermark/file-source contract (I1) and the
     exactly-once state updates (I2/I3).
+
+    ``reingest=True`` routes micro-batches through
+    ``incremental_reingest`` instead of ``incremental_update``: a real
+    crawl stream re-crawls urls it has seen, and the reingest path
+    purges each re-crawled url's old triples first (delete-on-reingest)
+    while skipping recrawls whose extracted triples are unchanged. Use
+    the plain update path only when the source guarantees never-seen
+    urls (e.g. a dedup'd frontier).
 
     Exactly-once composition: Structured Streaming's checkpoint commits
     a micro-batch AFTER ``foreachBatch`` returns, so a crash between the
@@ -86,14 +95,16 @@ def stream_incremental_kg(
     an unbounded stream. ``available_now=True`` drains the backlog and
     stops (the reference's sync semantics); unset it to tail forever.
     """
-    from ..pipeline.incremental_kg import incremental_update
+    from ..pipeline.incremental_kg import (incremental_reingest,
+                                           incremental_update)
 
     src = read_pages_stream(spark, pages_dir, max_files_per_trigger)
+    fold = incremental_reingest if reingest else incremental_update
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return  # nothing to fold; no state/manifest churn
-        incremental_update(
+        fold(
             spark, batch_df, state_dir, threshold=threshold,
             batch_id=f"stream-{epoch_id}",
             compact_every_n_batches=compact_every_n_batches)

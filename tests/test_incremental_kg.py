@@ -422,11 +422,12 @@ class TestStreamingIncrementalKg:
         _pages(spark, rows).coalesce(1).write.mode("append") \
             .parquet(pages_dir)
 
-    def _run(self, spark, pages_dir, state_dir, ckpt):
+    def _run(self, spark, pages_dir, state_dir, ckpt, reingest=False):
         from hades_spark.streaming.kg_stream import stream_incremental_kg
 
         q = stream_incremental_kg(spark, pages_dir, state_dir, ckpt,
-                                  max_files_per_trigger=1)
+                                  max_files_per_trigger=1,
+                                  reingest=reingest)
         try:
             finished = q.awaitTermination(180)
             assert q.exception() is None, q.exception()
@@ -493,6 +494,26 @@ class TestStreamingIncrementalKg:
         self._run(spark, pages_dir, state, ckpt)   # replays as epoch 1
         full = str(tmp_path / "full")
         init_state(spark, _pages(spark, BATCH1 + BATCH2), full)
+        assert _edge_set(spark, state) == _edge_set(spark, full)
+
+    def test_stream_reingest_recrawl_in_stream(self, spark, tmp_path):
+        """reingest=True: a later file in the stream RE-CRAWLS a url an
+        earlier epoch already folded in (changed body) alongside an
+        unchanged recrawl and a new page. The state must equal a rebuild
+        over each url's LATEST crawl — the plain update path would
+        double-count the re-crawled url's old triples."""
+        pages_dir = str(tmp_path / "pages")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_file(spark, pages_dir, BATCH1)
+        recrawl = [(0, "AlphaBeta replaces Womp."),   # changed body
+                   BATCH1[1],                         # unchanged recrawl
+                   (50, "Tailpage cites Zeta.")]      # brand new
+        self._write_file(spark, pages_dir, recrawl)
+        self._run(spark, pages_dir, state, ckpt, reingest=True)
+        full = str(tmp_path / "full")
+        latest = [r for r in BATCH1 if r[0] not in (0, 1)] + recrawl
+        init_state(spark, _pages(spark, latest), full)
         assert _edge_set(spark, state) == _edge_set(spark, full)
 
 
