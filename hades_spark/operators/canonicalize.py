@@ -28,6 +28,19 @@ from .lsh import char_shingles, verified_pairs
 _NON_ALNUM = re.compile(r"[^a-z0-9]+")
 
 
+# A squash longer than this is never an entity-alias CANDIDATE: real
+# mentions are short, and the over-length tail is extraction garbage
+# (format-mismatched pages emit whole-document "mentions") whose multi-KB
+# shingle sets swamp minhashing and the verify join for zero semantic
+# value — measured: ~10k such norms stalled an 800k-page reingest for
+# 40+ minutes in the LSH hash stage. Capped norms stay self-canonical,
+# and squash-IDENTICAL giants still merge through the squash key itself
+# (exact dedup needs no shingles). The cap is mirrored by the incremental
+# state's bucket store and the staged oracle pipeline, so the
+# rebuild == incremental invariant holds under it.
+MAX_ALIAS_SQUASH_LEN = 256
+
+
 def normalize_surface(s: str) -> str:
     """Pure-python twin of normalize_surface_col (for tests / oracles)."""
     return _NON_ALNUM.sub(" ", s.lower()).strip()
@@ -146,7 +159,8 @@ def _distributed_norm_components(
     source of duplicated pairs. canonical_id = min norm across the
     component (same contract as before: squash-level components are
     relabeled with the smallest member NORM)."""
-    squashes = norms.select("squash").dropDuplicates(["squash"])
+    squashes = norms.select("squash").dropDuplicates(["squash"]) \
+        .filter(F.length("squash") <= MAX_ALIAS_SQUASH_LEN)
     pairs = verified_pairs(
         squashes, "squash", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment",
@@ -206,6 +220,7 @@ def _local_canonical(norm_rows, threshold: float,
         r["norm"]: {r["squash"][i: i + 3]
                     for i in range(max(len(r["squash"]) - 2, 1))}
         for r in norm_rows
+        if len(r["squash"]) <= MAX_ALIAS_SQUASH_LEN
     }
     index: dict[str, list[str]] = {}
     for norm, sh in shingles.items():
@@ -213,6 +228,18 @@ def _local_canonical(norm_rows, threshold: float,
             index.setdefault(g, []).append(norm)
 
     parent: dict[str, str] = {n: n for n in shingles}
+    # over-cap norms never enter the shingle index, but squash-IDENTICAL
+    # norms must still merge (the distributed path gets this for free via
+    # the squash component key) — union them here by exact squash
+    by_squash: dict[str, str] = {}
+    for r in norm_rows:
+        if len(r["squash"]) <= MAX_ALIAS_SQUASH_LEN:
+            continue
+        parent.setdefault(r["norm"], r["norm"])
+        first = by_squash.setdefault(r["squash"], r["norm"])
+        if first != r["norm"]:
+            lo, hi = sorted((first, r["norm"]))
+            parent[hi] = lo
 
     def find(x: str) -> str:
         while parent[x] != x:
@@ -239,4 +266,4 @@ def _local_canonical(norm_rows, threshold: float,
                         lo, hi = (ra, rb) if ra < rb else (rb, ra)
                         parent[hi] = lo
 
-    return {n: find(n) for n in shingles}
+    return {n: find(n) for n in parent}

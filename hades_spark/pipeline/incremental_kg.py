@@ -83,7 +83,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.triples import raw_triples
-from ..operators.canonicalize import normalize_surface_col
+from ..operators.canonicalize import (MAX_ALIAS_SQUASH_LEN,
+                                      normalize_surface_col)
 from ..operators.components import alternating_components
 from ..operators.lsh import (cap_and_self_join, char_shingles, lsh_buckets,
                              pair_scores, touching_pairs_from_buckets)
@@ -95,7 +96,14 @@ _LSH = dict(num_hashes=16, bands=16, max_bucket_size=150)
 
 _RAW_COLS = ["url", "pred", "confidence", "subj_norm", "obj_norm"]
 
-_STORE_COLS = {"raw": _RAW_COLS, "buckets": ["squash", "band", "bh"]}
+_STORE_COLS = {"raw": _RAW_COLS, "buckets": ["squash", "band", "bh"],
+               "crawl_ts": ["url", "warc_ts"]}
+# batch-dir stores that append/compact/heal together. crawl_ts is a tiny
+# (url, warc_ts) sidecar — one row per url per ingesting batch — consulted
+# only by incremental_reingest's newer_only ordering guard (raw rows don't
+# carry the crawl timestamp; storing it per-row would bloat every triple).
+# Legacy states without the dir just skip the guard.
+_BATCH_STORES = ("raw", "buckets", "crawl_ts")
 
 
 class _StageClock:
@@ -237,7 +245,7 @@ def _heal_compactions(state_dir: str, meta: dict) -> None:
     store with both a compact batch and its absorbed sources visible."""
     recorded = {r["id"] for r in meta["compactions"]}
     for rec in meta["compactions"]:
-        for store in ("raw", "buckets"):
+        for store in _BATCH_STORES:
             absorbed = rec.get(store, [])
             if not absorbed:
                 continue
@@ -254,7 +262,7 @@ def _heal_compactions(state_dir: str, meta: dict) -> None:
                 for aid in absorbed:
                     shutil.rmtree(root / f"batch={aid}",
                                   ignore_errors=True)
-    for store in ("raw", "buckets"):
+    for store in _BATCH_STORES:
         root = Path(state_dir) / store
         if not root.exists():
             continue
@@ -315,7 +323,7 @@ def _compact_state_locked(spark: SparkSession, state_dir: str,
     cid = f"c-{uuid.uuid4().hex[:12]}"
     rec: dict = {"id": cid}
     stats: dict = {}
-    for store in ("raw", "buckets"):
+    for store in _BATCH_STORES:
         root = Path(state_dir) / store
         if not root.exists():
             continue
@@ -326,6 +334,11 @@ def _compact_state_locked(spark: SparkSession, state_dir: str,
         combined = spark.read.parquet(str(root)) \
             .filter(F.col("batch").cast("string").isin(elig)) \
             .select(*_STORE_COLS[store])
+        if store == "crawl_ts":
+            # a url re-crawled across absorbed batches keeps only its
+            # newest timestamp — exactly what the ordering guard reads
+            combined = combined.groupBy("url") \
+                .agg(F.max("warc_ts").alias("warc_ts"))
         write_table(combined, str(root / f".compact-{cid}.tmp"))
         rec[store] = elig
         stats[f"{store}_batches_absorbed"] = len(elig)
@@ -370,13 +383,38 @@ def _append_raw_batch(spark: SparkSession, new_raw: DataFrame,
                              "raw", batch_id, absorbed=absorbed)
 
 
+def _append_crawl_ts(spark: SparkSession, pages: DataFrame,
+                     state_dir: str, batch_id: str, meta: dict) -> None:
+    """Record the batch's per-url crawl timestamp in the ``crawl_ts``
+    sidecar (one tiny row per url; max over in-batch duplicates). Fed by
+    init/update/reingest; consulted only by ``incremental_reingest``'s
+    newer_only ordering guard. Tolerates ts-less callers (legacy frames)
+    — the guard simply has nothing to compare for those urls. Idempotent
+    per batch id (same atomic-dir-rename machinery as raw).
+    ``incremental_delete`` leaves sidecar entries in place: they are
+    inert while the url is absent from raw (the guard only consults
+    overlap urls), and they re-arm the guard at the historical max if
+    the url is later re-added."""
+    if "warc_ts" not in pages.columns:
+        return
+    _append_batch_dir(
+        pages.select("url", "warc_ts").groupBy("url")
+        .agg(F.max("warc_ts").alias("warc_ts")),
+        state_dir, "crawl_ts", batch_id,
+        absorbed=_absorbed_ids(meta, "crawl_ts"))
+
+
 def _bucket_rows(norms: DataFrame) -> DataFrame:
     """(…, squash) -> (squash, band, bh) minhash-LSH bucket rows over the
     DISTINCT squashes — the unit the persistent bucket store accumulates
     (deterministic per squash, so store rows and freshly computed rows are
     interchangeable). One row per (squash, band): bucket populations are
-    counted in distinct squashes, exactly like the full-rebuild path."""
-    squashes = norms.select("squash").dropDuplicates(["squash"])
+    counted in distinct squashes, exactly like the full-rebuild path.
+    Over-cap squashes (extraction garbage, see MAX_ALIAS_SQUASH_LEN) get
+    NO bucket rows — same exclusion the rebuild applies — so they never
+    generate candidates, never re-shingle, never count against caps."""
+    squashes = norms.select("squash").dropDuplicates(["squash"]) \
+        .filter(F.length("squash") <= MAX_ALIAS_SQUASH_LEN)
     return lsh_buckets(
         squashes, "squash", char_shingles(F.col("squash"), 3),
         num_hashes=_LSH["num_hashes"], bands=_LSH["bands"],
@@ -501,6 +539,7 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
     appended = _append_raw_batch(spark, _norm_raw(pages), state_dir,
                                  batch_id,
                                  absorbed=_absorbed_ids(meta, "raw"))
+    _append_crawl_ts(spark, pages, state_dir, batch_id, meta)
     clock.mark("extract")
     batch_dir = Path(state_dir) / "raw" / f"batch={batch_id}"
     if not appended and batch_dir.exists():
@@ -528,7 +567,8 @@ def _init_state_locked(spark: SparkSession, pages: DataFrame,
     # bucket still <= cap). Same deferred-dedup broadcast tail as
     # verified_pairs; all rows written here are live by construction
     # (cap_and_self_join already dropped over-cap buckets).
-    keyed = norms.select("squash").dropDuplicates(["squash"]).select(
+    keyed = norms.select("squash").dropDuplicates(["squash"]) \
+        .filter(F.length("squash") <= MAX_ALIAS_SQUASH_LEN).select(
         F.col("squash").alias("_id"),
         char_shingles(F.col("squash"), 3).alias("sh")) \
         .filter(F.size("sh") > 0).localCheckpoint(eager=False)
@@ -851,6 +891,9 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
     # bucket append used; atomic swaps for pairs/cmap)
     if not already_appended:
         _append_raw_batch(spark, new_raw, state_dir, cur_batch)
+    # outside the guard: a crash between the raw append and this line
+    # resumes with already_appended=True and must still record the ts
+    _append_crawl_ts(spark, new_pages, state_dir, cur_batch, meta)
     # ATOMIC swaps (write-tmp + rename), never a bare overwrite: a crash
     # mid-write must leave the OLD pairs/cmap readable — losing old-old
     # pairs would split components forever (touching-pair generation
@@ -1180,6 +1223,7 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
                          state_dir: str, threshold: float = 0.8,
                          batch_id: str | None = None,
                          skip_unchanged: bool = True,
+                         newer_only: bool = True,
                          compact_every_n_batches: int | None = 32) -> dict:
     """RE-CRAWL semantics: fold ``pages`` into the state where a url may
     already be present — the reference's delete-on-reingest contract
@@ -1197,6 +1241,17 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
     delete+insert cycle. Byte-level fingerprint checks belong UPSTREAM
     (cheaper, catches unchanged HTML before extraction); this guard
     catches changed-HTML-same-triples.
+
+    ``newer_only=True`` enforces latest-crawl ORDERING on out-of-order
+    delivery (a crawl fleet's batches arrive in completion order, not
+    crawl order): within the batch only each url's newest ``warc_ts``
+    row survives, and a url whose batch timestamp is STRICTLY older than
+    the state's recorded crawl ts (the ``crawl_ts`` sidecar store) is
+    dropped before any extraction — replaying last week's batch after
+    today's cannot regress a url to stale content. Equal timestamps fall
+    through to the fingerprint guard (a re-delivery of the same crawl is
+    unchanged by definition). Legacy states without the sidecar skip the
+    check and start recording from the next batch.
 
     EXACTLY-ONCE: with a ``batch_id``, the purge commits under
     ``<batch_id>-purge`` and the insert under ``batch_id`` — each leg
@@ -1219,11 +1274,42 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
             return {"replayed": True, "edges":
                     spark.read.parquet(f"{state_dir}/edges").count()}
         t_guard = time.perf_counter()
+        if newer_only and "warc_ts" in pages.columns:
+            # within-batch latest-crawl: keep each url's newest row only
+            # (batch-bounded window — never corpus-sized)
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+            pages = pages.withColumn("_rn", F.row_number().over(w)) \
+                .filter(F.col("_rn") == 1).drop("_rn")
         page_urls = pages.select("url").dropDuplicates(["url"])
         stored_urls = _read_raw(spark, state_dir) \
             .select("url").dropDuplicates(["url"])
         overlap = page_urls.join(stored_urls, "url", "left_semi") \
             .localCheckpoint(eager=True)
+        ts_root = Path(state_dir) / "crawl_ts"
+        if (newer_only and "warc_ts" in pages.columns
+                and ts_root.exists() and not overlap.isEmpty()):
+            # cross-batch ordering: drop recrawls STRICTLY older than the
+            # state's recorded crawl ts — before the (expensive)
+            # fingerprint extraction ever sees them. The sidecar scan is
+            # two tiny columns semi-joined to the batch's overlap urls.
+            stored_ts = spark.read.parquet(str(ts_root)) \
+                .join(overlap, "url", "left_semi") \
+                .groupBy("url").agg(F.max("warc_ts").alias("_stored"))
+            stale = pages.select("url", "warc_ts") \
+                .join(stored_ts, "url") \
+                .filter(F.col("warc_ts") < F.col("_stored")) \
+                .select("url").localCheckpoint(eager=True)
+            n_stale = stale.count()
+            overlap = overlap.join(stale, "url", "left_anti") \
+                .localCheckpoint(eager=True)
+            # stale urls must not reach the insert leg either: they are
+            # neither brand-new (they're stored) nor in overlap now
+            pages = pages.join(stale, "url", "left_anti")
+            page_urls = pages.select("url").dropDuplicates(["url"])
+        else:
+            n_stale = 0
         if skip_unchanged and not overlap.isEmpty():
             # a url is UNCHANGED when its stored triple multiset equals
             # the fresh extraction: one order-insensitive per-url
@@ -1261,6 +1347,7 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
         stats: dict = {"initialized": False, "replayed": False}
         n_over = overlap.count()
         stats["reingested_urls"] = n_over
+        stats["stale_dropped"] = n_stale
         # the insert url set MATERIALIZES BEFORE the purge: the purge
         # swaps raw partition files, and a lazy plan over the pre-purge
         # read would fail FILE_NOT_EXIST when evaluated afterwards. Both

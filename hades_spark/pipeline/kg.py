@@ -171,8 +171,11 @@ def run_kg_pipeline_staged(spark, n_pages: int = 150, seed: int = 42,
         .withColumn("squash", F.regexp_replace("norm", " ", ""))
         .filter(F.length("squash") > 0)
     )
+    from ..operators.canonicalize import MAX_ALIAS_SQUASH_LEN
+
     pairs = verified_pairs(
-        keyed, "norm", char_shingles(F.col("squash"), 3),
+        keyed.filter(F.length("squash") <= MAX_ALIAS_SQUASH_LEN),
+        "norm", char_shingles(F.col("squash"), 3),
         threshold=threshold, metric="containment",
         num_hashes=16, bands=16, max_bucket_size=150,
     ).select("a", "b")

@@ -961,6 +961,95 @@ class TestIncrementalReingest:
         init_state(spark, _pages(spark, latest), full)
         assert _edge_set(spark, inc) == _edge_set(spark, full)
 
+    def _pages_ts(self, spark, rows, day):
+        """_pages with an explicit crawl day (rows = [(i, sentence)])."""
+        import datetime as dt
+
+        from hades_spark.schemas import PAGES
+
+        ts = dt.datetime(2025, 1, day, tzinfo=dt.timezone.utc)
+        data = [(f"https://t.example/{i}.html", ts,
+                 f"<html><body><p>{s}</p></body></html>".encode(),
+                 None, "en") for i, s in rows]
+        return spark.createDataFrame(data, PAGES)
+
+    def test_out_of_order_recrawl_is_dropped(self, spark, tmp_path):
+        """A batch delivering LAST WEEK's crawl of a url after today's
+        must not regress the url to stale content (newer_only guard on
+        the crawl_ts sidecar)."""
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        inc = str(tmp_path / "oinc")
+        init_state(spark, self._pages_ts(spark, BATCH1, day=10), inc)
+        before = _edge_set(spark, inc)
+        stale_batch = self._pages_ts(
+            spark, [(0, "AlphaBeta regressed StaleThing.")], day=3)
+        stats = incremental_reingest(spark, stale_batch, inc,
+                                     batch_id="old1")
+        assert stats["stale_dropped"] == 1
+        assert stats["reingested_urls"] == 0
+        assert _edge_set(spark, inc) == before
+        # the dropped batch still committed exactly-once
+        assert incremental_reingest(spark, stale_batch, inc,
+                                    batch_id="old1")["replayed"]
+        # a genuinely NEWER recrawl of the same url still lands
+        fresh = self._pages_ts(
+            spark, [(0, "AlphaBeta replaces FreshThing.")], day=20)
+        stats2 = incremental_reingest(spark, fresh, inc, batch_id="new1")
+        assert stats2["stale_dropped"] == 0
+        assert stats2["reingested_urls"] == 1
+        full = str(tmp_path / "ofull")
+        init_state(spark, _pages(spark, [r for r in BATCH1
+                                         if r[0] != 0]), full)
+        incremental_reingest(spark, fresh, full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_within_batch_duplicate_keeps_newest_crawl(self, spark,
+                                                       tmp_path):
+        """One batch carrying TWO crawls of the same url (out-of-order
+        fleet delivery) folds only the newest one."""
+        import datetime as dt
+
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+        from hades_spark.schemas import PAGES
+
+        inc = str(tmp_path / "winc")
+        full = str(tmp_path / "wfull")
+        init_state(spark, _pages(spark, BATCH1[1:]), inc)
+
+        def _row(i, s, day):
+            return (f"https://t.example/{i}.html",
+                    dt.datetime(2025, 1, day, tzinfo=dt.timezone.utc),
+                    f"<html><body><p>{s}</p></body></html>".encode(),
+                    None, "en")
+
+        batch = spark.createDataFrame(
+            [_row(0, "AlphaBeta stores OldCrawl.", 5),
+             _row(0, "AlphaBeta stores NewCrawl.", 9)], PAGES)
+        incremental_reingest(spark, batch, inc, batch_id="dup1")
+        init_state(spark, _pages(spark, BATCH1[1:]
+                                 + [(0, "AlphaBeta stores NewCrawl.")]),
+                   full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+
+    def test_legacy_state_without_sidecar_skips_guard(self, spark,
+                                                      tmp_path):
+        """A pre-sidecar state (no crawl_ts dir) must not break: the
+        ordering guard is skipped and the fingerprint guard decides."""
+        import shutil as sh
+
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        inc = str(tmp_path / "linc")
+        init_state(spark, self._pages_ts(spark, BATCH1, day=10), inc)
+        sh.rmtree(f"{inc}/crawl_ts")
+        older = self._pages_ts(
+            spark, [(0, "AlphaBeta legacy OlderCrawl.")], day=3)
+        stats = incremental_reingest(spark, older, inc, batch_id="lg1")
+        # no sidecar -> no ordering info -> the changed recrawl lands
+        assert stats["stale_dropped"] == 0
+        assert stats["reingested_urls"] == 1
+
     def test_crash_between_purge_and_insert_converges(self, spark,
                                                       tmp_path):
         """Crash window: the purge leg committed, the insert leg never

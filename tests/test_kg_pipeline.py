@@ -118,6 +118,40 @@ class TestAdaptiveExecution:
         assert by_surface["unrelated thing"] not in (
             by_surface["HADES"], by_surface["Apache Spark"])
 
+    def test_giant_norms_capped_out_of_alias_clustering(self, spark):
+        """Over-cap squashes (extraction garbage — a format-mismatched
+        page emits a whole document as one 'mention') never enter LSH:
+        a giant containing a short entity name must NOT merge with it,
+        squash-identical giants still merge via the squash key, and the
+        local and distributed paths agree on all of it."""
+        from hades_spark.operators.canonicalize import (
+            MAX_ALIAS_SQUASH_LEN, canonical_map)
+
+        blob = "alphaproject " + "page window batch scan " * (
+            MAX_ALIAS_SQUASH_LEN // 10)
+        assert len(blob.replace(" ", "")) > MAX_ALIAS_SQUASH_LEN
+        surfaces = spark.createDataFrame(
+            [("AlphaProject",), ("the AlphaProject system",),
+             (blob,), (blob.upper(),),            # squash-identical pair
+             (blob + " tail",)],                  # a DIFFERENT giant
+            "surface string")
+        local = {(r["surface"], r["canonical_id"])
+                 for r in canonical_map(surfaces).collect()}
+        dist = {(r["surface"], r["canonical_id"])
+                for r in canonical_map(surfaces, local_threshold=0)
+                .collect()}
+        assert local == dist
+        by = dict(local)
+        # short alias pair still clusters
+        assert by["AlphaProject"] == by["the AlphaProject system"]
+        # the giant CONTAINS 'alphaproject' (containment 1.0 on the
+        # short side) but is excluded from candidates by the cap
+        assert by[blob] != by["AlphaProject"]
+        # squash-identical giants merge with no shingles at all
+        assert by[blob] == by[blob.upper()]
+        # distinct giants stay apart
+        assert by[blob + " tail"] != by[blob]
+
 
 class TestRealisticPages:
     def test_pr_holds_on_rich_pages(self, spark):
