@@ -1348,6 +1348,17 @@ def incremental_reingest(spark: SparkSession, pages: DataFrame,
         n_over = overlap.count()
         stats["reingested_urls"] = n_over
         stats["stale_dropped"] = n_stale
+        if batch_id is not None:
+            # record the WHOLE surviving batch's crawl timestamps now —
+            # including unchanged-skipped recrawls, which never reach the
+            # insert leg: their newer ts must still arm the guard, or a
+            # delayed middle-aged crawl with different content would later
+            # replace content a newer crawl already confirmed. The insert
+            # leg's own append no-ops on the existing batch dir. Replay
+            # safety: an own-batch ts in the store compares EQUAL, and the
+            # stale filter is strictly-less-than, so a crash-and-rerun
+            # still reaches the fingerprint guard and converges.
+            _append_crawl_ts(spark, pages, state_dir, batch_id, meta)
         # the insert url set MATERIALIZES BEFORE the purge: the purge
         # swaps raw partition files, and a lazy plan over the pre-purge
         # read would fail FILE_NOT_EXIST when evaluated afterwards. Both

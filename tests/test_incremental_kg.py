@@ -1004,6 +1004,28 @@ class TestIncrementalReingest:
         incremental_reingest(spark, fresh, full)
         assert _edge_set(spark, inc) == _edge_set(spark, full)
 
+    def test_unchanged_recrawl_still_arms_the_ordering_guard(self, spark,
+                                                             tmp_path):
+        """Crawl T1 stores content A; crawl T3 re-delivers A (unchanged,
+        skipped — but its NEWER ts must be recorded); a DELAYED crawl T2
+        with different content then arrives and must be dropped: the
+        newest crawl (T3) already confirmed content A."""
+        from hades_spark.pipeline.incremental_kg import incremental_reingest
+
+        inc = str(tmp_path / "ginc")
+        init_state(spark, self._pages_ts(spark, BATCH1, day=1), inc)
+        before = _edge_set(spark, inc)
+        # T3: same content, newer crawl — skipped but ts recorded
+        t3 = self._pages_ts(spark, [BATCH1[0]], day=3)
+        assert incremental_reingest(spark, t3, inc,
+                                    batch_id="t3")["reingested_urls"] == 0
+        # T2: delayed, different content — older than T3, must drop
+        t2 = self._pages_ts(
+            spark, [(0, "AlphaBeta regressed MiddleCrawl.")], day=2)
+        stats = incremental_reingest(spark, t2, inc, batch_id="t2")
+        assert stats["stale_dropped"] == 1
+        assert _edge_set(spark, inc) == before
+
     def test_within_batch_duplicate_keeps_newest_crawl(self, spark,
                                                        tmp_path):
         """One batch carrying TWO crawls of the same url (out-of-order
