@@ -851,29 +851,43 @@ def _incremental_update_locked(spark: SparkSession, new_pages: DataFrame,
 
     # key sources: rows touching a relabeled norm PLUS every new raw row —
     # a new row over entirely-old norms still increments the support of an
-    # existing edge key, so that key must be re-aggregated too
+    # existing edge key, so that key must be re-aggregated too. The OLD-map
+    # edges of the same trigger rows ride along as recompute candidates:
+    # when a cap-crossing SPLITS a component, part of it keeps the old
+    # label, and an old key whose trigger contributors relabeled away may
+    # STILL be derivable from its label-stable remaining contributors —
+    # without the old edges in the candidate set that key would never be
+    # recomputed and would be wrongly classified dead (the 800k delete
+    # bench caught exactly this shape on the delete path).
     key_source = touching_rows(all_raw, changed).unionByName(new_raw)
-    key_edges = _edges_for(key_source, new_cmap).localCheckpoint(eager=True)
-    new_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
+    old_edges = _edges_for(touching_rows(old_raw, changed), old_cmap) \
+        .localCheckpoint(eager=True)
+    key_edges = _edges_for(key_source, new_cmap).unionByName(old_edges) \
+        .localCheckpoint(eager=True)
+    scope_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
     # recompute those keys over ALL their contributor rows (support counts
     # every contributor) — but never over the whole corpus: the semi-join
-    # pruning keeps this stage O(affected rows), not O(corpus)
+    # pruning keeps this stage O(affected rows), not O(corpus). Every key
+    # in scope_keys is FULLY covered: aff_rows pulls all rows whose norms
+    # map (under the NEW cmap) into any scoped key's subj/obj canonical,
+    # so recomputed values equal a full rebuild's for those keys.
     aff_rows = _contributor_rows(all_raw, key_edges, new_cmap)
     recomputed = _edges_for(aff_rows, new_cmap) \
-        .join(new_keys, "edge_key", "left_semi") \
+        .join(scope_keys, "edge_key", "left_semi") \
         .localCheckpoint(eager=True)
 
     # old keys derived from the same rows under the OLD map that no longer
     # exist must be deleted (a merge relabels subj/obj -> new edge_key)
-    affected_rows_old = touching_rows(old_raw, changed)
-    old_keys = _edges_for(affected_rows_old, old_cmap) \
-        .select("edge_key").dropDuplicates(["edge_key"])
+    old_keys = old_edges.select("edge_key").dropDuplicates(["edge_key"])
     # dead keys stay a DATAFRAME end-to-end: a large component merge (the
     # boilerplate-anchor storm SURVEY §7.4.3 warns about) can relabel many
     # norms at once, and a driver collect + isin literal list would blow
-    # the driver/plan exactly then (VERDICT r3 #1)
-    dead = old_keys.join(new_keys, "edge_key", "left_anti") \
-        .localCheckpoint(eager=True)
+    # the driver/plan exactly then (VERDICT r3 #1). Anti against the
+    # RECOMPUTED keys (like the delete path): an old key still derivable
+    # from label-stable contributors was recomputed above and must live
+    dead = old_keys.join(
+        recomputed.select("edge_key").dropDuplicates(["edge_key"]),
+        "edge_key", "left_anti").localCheckpoint(eager=True)
     n_dead = dead.count()
     n_recomputed = recomputed.count()
     # delete + upsert folded into ONE partition-scoped table pass (the
@@ -1163,20 +1177,30 @@ def _incremental_delete_locked(spark: SparkSession, urls, state_dir: str,
         .filter(~F.col("_old").eqNullSafe(F.col("_new")))
         .select("norm").localCheckpoint(eager=True)
     )
+    # candidate OLD edges: same source rows under the OLD map (the removed
+    # rows existed then). These ride in the recompute candidate set too:
+    # a removal can SPLIT a component so that the trigger contributors of
+    # an old key relabel away while its label-stable REMAINING
+    # contributors still derive it — without the old edges as candidates
+    # that key is never recomputed and gets wrongly deleted (caught by
+    # the 800k delete bench: 50 missing edges, all in one split
+    # component's stable half).
+    old_edges = _edges_for(
+        _touching_rows(remaining, changed).unionByName(removed), old_cmap) \
+        .localCheckpoint(eager=True)
     key_edges = _edges_for(_touching_rows(remaining, changed), new_cmap) \
         .unionByName(_edges_for(removed, new_cmap)) \
+        .unionByName(old_edges) \
         .localCheckpoint(eager=True)
-    new_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
+    scope_keys = key_edges.select("edge_key").dropDuplicates(["edge_key"])
     aff_rows = _contributor_rows(remaining, key_edges, new_cmap)
     recomputed = _edges_for(aff_rows, new_cmap) \
-        .join(new_keys, "edge_key", "left_semi").localCheckpoint(eager=True)
-    # candidate OLD keys: same source rows under the OLD map (the removed
-    # rows existed then). dead = candidates the recompute did NOT produce —
-    # anti against the RECOMPUTED key set, not the candidate set: a key
-    # whose every contributor was removed has no recomputed row at all
-    old_keys = _edges_for(
-        _touching_rows(remaining, changed).unionByName(removed), old_cmap) \
-        .select("edge_key").dropDuplicates(["edge_key"])
+        .join(scope_keys, "edge_key", "left_semi") \
+        .localCheckpoint(eager=True)
+    # dead = old candidates the recompute did NOT produce — anti against
+    # the RECOMPUTED key set, not the candidate set: a key whose every
+    # contributor was removed has no recomputed row at all
+    old_keys = old_edges.select("edge_key").dropDuplicates(["edge_key"])
     rec_keys = recomputed.select("edge_key").dropDuplicates(["edge_key"])
     dead = old_keys.join(rec_keys, "edge_key", "left_anti") \
         .localCheckpoint(eager=True)

@@ -904,6 +904,45 @@ class TestIncrementalDelete:
         assert _edge_set(spark, inc) == _edge_set(spark, full)
 
 
+class TestSplitSparesStableKeys:
+    """The 800k delete-bench divergence (50 missing edges, 0 extra): a
+    removal SPLITS a component; an edge key whose trigger contributor
+    (the removed row) relabeled away is still derivable from its
+    label-STABLE remaining contributors — the dead-key classification
+    must recompute it from the old-map candidate set, not delete it."""
+
+    def test_split_spares_keys_still_derivable_from_stable_half(
+            self, spark, tmp_path):
+        from hades_spark.pipeline.incremental_kg import incremental_delete
+
+        # B bridges two halves by containment: sh(A) ⊂ sh(B) ⊃ sh(X);
+        # A—X share no grams. Removing url 0 (the only user of B) splits
+        # {A, Y} (label stays 'alphabeta') from {X} (relabels).
+        A, Y = "AlphaBeta", "AlphaBetaZ"
+        B, X = "AlphaBetaGammaDelta", "GammaDelta"
+        base = [(0, f"Senti uses {B}."),    # removed: trigger contributor
+                (1, f"Senti uses {Y}."),    # stable contributor, SAME key
+                (2, f"{A} cites Zeta."),    # keeps A alive
+                (3, f"{X} stores Blip.")]   # keeps X alive (relabels)
+        inc, full = str(tmp_path / "sinc"), str(tmp_path / "sfull")
+        init_state(spark, _pages(spark, base), inc)
+        cmap = {r["norm"]: r["canonical_id"] for r in
+                spark.read.parquet(f"{inc}/cmap").collect()}
+        # precondition: one component labeled 'alphabeta' spans both halves
+        assert cmap.get("gammadelta") == "alphabeta"
+        assert cmap.get("alphabetaz") == "alphabeta"
+        incremental_delete(spark, ["https://t.example/0.html"], inc,
+                           delete_id="d1")
+        init_state(spark, _pages(spark, base[1:]), full)
+        assert _edge_set(spark, inc) == _edge_set(spark, full)
+        edges = {(r["subj"], r["pred"], r["obj"]) for r in
+                 spark.read.parquet(f"{inc}/edges").collect()}
+        # the stable-half key SURVIVED (pre-fix it was wrongly deleted)
+        assert ("senti", "uses", "alphabeta") in edges
+        # and the split really happened
+        assert ("gammadelta", "stores", "blip") in edges
+
+
 class TestIncrementalReingest:
     """Re-crawl semantics: a url already in the state is purged before
     its fresh triples land — the state equals a rebuild where each url
