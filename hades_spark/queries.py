@@ -2320,6 +2320,44 @@ def s9_incremental_reingest_q(spark: SparkSession, sf: str) -> DataFrame:
                         "confidence", "url", "support")
 
 
+@register("ann_ivf_topk", """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 4)
+      AS score
+  FROM embeddings c CROSS JOIN q),
+ranked AS (
+  SELECT q_id, c_id, score,
+    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id ASC)
+      AS rnk
+  FROM scored)
+SELECT q_id, c_id, score, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= 5
+""")
+def ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF (k-means inverted lists) ANN — probed at nprobe == n_centroids
+    # here, which is provably EXACT (every candidate sits in exactly one
+    # list and all lists are probed), so the full machinery (bounded-
+    # sample codebook training, distributed assignment, probe explode,
+    # list join, rescore, rank) gets a DuckDB value-hash oracle. Pruned
+    # recall (nprobe < n_centroids) is asserted vs brute force in
+    # tests/test_operators.py::TestIvf. Registered at the BACK so the
+    # driver's curated 50-key window is unchanged (J8 already has
+    # j8_cosine_topk under the hard signal).
+    from .operators.ivf import ivf_topk_join, train_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = train_centroids(emb, n_centroids=8, sample_rows=2000, seed=7)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cands = emb.select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_vec"))
+    return ivf_topk_join(queries, cands, cents, k=5, nprobe=8,
+                         score_decimals=4)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order curation
 # ---------------------------------------------------------------------------

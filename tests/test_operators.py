@@ -822,6 +822,143 @@ class TestAnnRecall:
 
 
 
+class TestIvf:
+    """IVF (k-means inverted-list) ANN — operators/ivf.py."""
+
+    def _frames(self, spark, seed=7, n_clusters=8, per_cluster=60, dim=32,
+                spread=0.25):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        centers = rng.standard_normal((n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows, vid = [], 0
+        for c in range(n_clusters):
+            for _ in range(per_cluster):
+                v = centers[c] + spread * rng.standard_normal(dim)
+                v /= np.linalg.norm(v)
+                rows.append((vid, c, v.tolist()))
+                vid += 1
+        emb = spark.createDataFrame(
+            rows, "vec_id long, cluster int, embedding array<double>")
+        return emb, centers
+
+    def test_full_probe_equals_brute_force(self, spark):
+        """nprobe == n_centroids is provably exact: every candidate lives
+        in exactly one list and all lists are probed — the registered
+        query's oracle contract."""
+        from hades_spark.operators.ivf import ivf_topk_join, train_centroids
+        from hades_spark.operators.similarity import topk_join
+
+        emb, _ = self._frames(spark, per_cluster=40)
+        cents = train_centroids(emb, n_centroids=6, sample_rows=500)
+        queries = emb.filter(F.col("vec_id") % 37 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        cands = emb.select(F.col("vec_id").alias("c_id"),
+                           F.col("embedding").alias("c_vec"))
+        got = sorted(
+            (r["q_id"], r["rank"], r["c_id"])
+            for r in ivf_topk_join(queries, cands, cents, k=5,
+                                   nprobe=6).collect())
+        exact = sorted(
+            (r["q_id"], r["rank"], r["c_id"])
+            for r in topk_join(queries, cands, k=5).collect())
+        assert got == exact
+
+    def test_pruned_probe_recall_on_clustered_data(self, spark):
+        """nprobe=2 of 8 lists on well-clustered vectors keeps recall@10
+        high — the data-dependent pruning IVF exists for."""
+        from hades_spark.operators.ivf import ivf_topk_join, train_centroids
+        from hades_spark.operators.similarity import topk_join
+
+        emb, _ = self._frames(spark, n_clusters=8, per_cluster=60)
+        cents = train_centroids(emb, n_centroids=8, sample_rows=480)
+        queries = emb.filter(F.col("vec_id") % 53 == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        cands = emb.select(F.col("vec_id").alias("c_id"),
+                           F.col("embedding").alias("c_vec"))
+        approx = ivf_topk_join(queries, cands, cents, k=10,
+                               nprobe=2).collect()
+        by_q: dict = {}
+        for r in approx:
+            by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        exact = topk_join(queries, cands, k=10).collect()
+        ex_by_q: dict = {}
+        for r in exact:
+            ex_by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+        recalls = [len(by_q.get(q, set()) & ex_by_q[q]) / len(ex_by_q[q])
+                   for q in ex_by_q]
+        mean = sum(recalls) / len(recalls)
+        assert mean >= 0.9, f"IVF recall@10 at nprobe=2/8: {recalls}"
+
+    def test_codebook_deterministic_unit_and_reseed(self, spark):
+        """Same corpus -> same codebook (xxhash64 sample + seeded init);
+        centroids are unit; duplicate-heavy samples (emptied clusters)
+        still yield k finite unit centroids via the deterministic
+        farthest-point reseed."""
+        import numpy as np
+
+        from hades_spark.operators.ivf import train_centroids
+
+        emb, _ = self._frames(spark, per_cluster=30)
+        c1 = train_centroids(emb, n_centroids=5, sample_rows=200)
+        c2 = train_centroids(emb, n_centroids=5, sample_rows=200)
+        assert np.array_equal(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+        # 2 distinct points, 4 centroids: >=2 clusters empty every round
+        dup = spark.createDataFrame(
+            [(i, [1.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0])
+             for i in range(40)],
+            "vec_id long, embedding array<double>")
+        cd = train_centroids(dup, n_centroids=4, sample_rows=40)
+        assert cd.shape == (4, 3)
+        assert np.all(np.isfinite(cd))
+        assert np.allclose(np.linalg.norm(cd, axis=1), 1.0, atol=1e-9)
+
+    def test_null_vectors_never_rank(self, spark):
+        """A NULL candidate vector is web-scale dirt, not a crash: it
+        lands in list 0 with cosine 0.0 and loses to any real match."""
+        from hades_spark.operators.ivf import ivf_topk_join, train_centroids
+
+        emb, _ = self._frames(spark, n_clusters=4, per_cluster=20)
+        cents = train_centroids(emb, n_centroids=4, sample_rows=80)
+        cands = emb.select(
+            F.col("vec_id").alias("c_id"),
+            F.when(F.col("vec_id") == 3, F.lit(None))
+             .otherwise(F.col("embedding")).alias("c_vec"))
+        queries = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        got = ivf_topk_join(queries, cands, cents, k=5, nprobe=4).collect()
+        assert len(got) == 5
+        assert all(r["c_id"] != 3 for r in got)
+        assert all(r["score"] > 0 for r in got)
+
+    def test_probe_join_plan_modes(self, spark):
+        """Default broadcasts the exploded query side; corpus-vs-corpus
+        opt-out degrades to a shuffle join keyed on the centroid id."""
+        from hades_spark.operators.ivf import ivf_topk_join, train_centroids
+
+        emb, _ = self._frames(spark, n_clusters=4, per_cluster=20)
+        cents = train_centroids(emb, n_centroids=4, sample_rows=80)
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        cands = emb.select(F.col("vec_id").alias("c_id"),
+                           F.col("embedding").alias("c_vec"))
+        bc = ivf_topk_join(queries, cands, cents, k=3, nprobe=2)
+        opt = bc._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" in opt
+        sh = ivf_topk_join(queries, cands, cents, k=3, nprobe=2,
+                           broadcast_queries=False)
+        opt_sh = sh._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in opt_sh
+        # parity between the two modes
+        rows_bc = sorted((r["q_id"], r["rank"], r["c_id"])
+                         for r in bc.collect())
+        rows_sh = sorted((r["q_id"], r["rank"], r["c_id"])
+                         for r in sh.collect())
+        assert rows_bc == rows_sh
+
+
 class TestWlLabels:
     def test_matches_python_twin(self, spark):
         from hades_spark.operators.graph_features import (
