@@ -144,9 +144,12 @@ _INLINE_EI_RE = re.compile(
     rb"[\x00\x09\x0a\x0c\x0d\x20]EI(?=[\x00\x09\x0a\x0c\x0d\x20/\[\]<(]|$)")
 
 
-def _iter_content_tokens(seg: bytes):
+def _iter_content_tokens(seg: bytes, inline_images: list | None = None):
     """Yield ('str', bytes), ('op', name), ('num', float), ('name', str)
-    and ('br', '['/']') tokens from a content stream."""
+    and ('br', '['/']') tokens from a content stream. When
+    ``inline_images`` is a list, each skipped BI..ID..EI binary payload
+    is appended to it (the OCR seam's inline-image inventory — same
+    structural delimiters as the skip, so the two paths can't diverge)."""
     i, n = 0, len(seg)
     while i < n:
         b = seg[i]
@@ -215,6 +218,8 @@ def _iter_content_tokens(seg: bytes):
                     eim = _INLINE_EI_RE.search(seg, idm.end())
                     if not eim:
                         break
+                    if inline_images is not None:
+                        inline_images.append(seg[idm.end():eim.start()])
                     i = eim.end()
                     continue
                 yield "op", op
@@ -520,6 +525,41 @@ class _Doc:
         if isinstance(v, tuple) and len(v) == 2 and v[0] == "R":
             return self.get(v[1])[1]
         return None
+
+    def raw_object(self, v) -> tuple:
+        """-> (value, RAW stream bytes | None) for a reference — the
+        stream is cut but NOT filter-decoded. An image XObject's raw
+        stream IS the image file (a /DCTDecode payload is the JPEG
+        bytes), which is what an OCR/decode backend consumes and what
+        ``_apply_filters`` would refuse as unsupported. ObjStm members
+        carry no streams (spec 7.5.7) -> (value, None)."""
+        if not (isinstance(v, tuple) and len(v) == 2 and v[0] == "R"):
+            return (self.resolve(v), None)
+        num = v[1]
+        off = self.offsets.get(num)
+        if off is None:
+            return (self.get(num)[0], None)
+        cur = _Cursor(self.data, off)
+        val = cur.value()
+        if not isinstance(val, dict):
+            return (val, None)
+        cur._ws()
+        if not self.data.startswith(b"stream", cur.i):
+            return (val, None)
+        j = cur.i + 6
+        if self.data.startswith(b"\r\n", j):
+            j += 2
+        elif self.data.startswith(b"\n", j) or \
+                self.data.startswith(b"\r", j):
+            j += 1
+        length = self.resolve(val.get("/Length"))
+        if isinstance(length, int) and j + length <= len(self.data) \
+                and b"endstream" in self.data[j + length:j + length + 20]:
+            return (val, self.data[j:j + length])
+        end = self.data.find(b"endstream", j)
+        if end < 0:
+            return (val, None)
+        return (val, self.data[j:end].rstrip(b"\r\n"))
 
     # -- xref overlay -------------------------------------------------
     def _overlay_xrefs(self):
@@ -864,9 +904,9 @@ def _walk_pages(doc: _Doc, node, out: list, depth: int = 0):
             _walk_pages(doc, kid, out, depth + 1)
 
 
-def _extract_via_pages(doc: _Doc) -> str | None:
-    """Page-tree extraction path -> text, or None when no usable page
-    tree exists (fall back to the stream scan)."""
+def _find_pages(doc: _Doc) -> list[dict]:
+    """Catalog -> page-tree walk -> flat page list (kid order). Empty
+    list when no usable page tree exists."""
     root = doc.trailer_root
     if root is None:  # no/broken trailer: find the catalog by scan
         for num in doc.offsets:
@@ -882,25 +922,36 @@ def _extract_via_pages(doc: _Doc) -> str | None:
                 root = ("R", num)
     cat = doc.resolve(root)
     if not isinstance(cat, dict):
-        return None
+        return []
     pages: list[dict] = []
     _walk_pages(doc, cat.get("/Pages"), pages)
+    return pages
+
+
+def _page_content(doc: _Doc, pg: dict) -> bytes:
+    """A page's decoded content stream(s), concatenated."""
+    contents = pg.get("/Contents")
+    refs = doc.resolve(contents) if isinstance(contents, list) \
+        else [contents]
+    if not isinstance(refs, list):
+        return b""
+    parts = []
+    for r in refs:
+        sb = doc.stream_of(r)
+        if sb:
+            parts.append(sb)
+    return b"\n".join(parts)
+
+
+def _extract_via_pages(doc: _Doc) -> str | None:
+    """Page-tree extraction path -> text, or None when no usable page
+    tree exists (fall back to the stream scan)."""
+    pages = _find_pages(doc)
     if not pages:
         return None
     blocks: list[str] = []
     for pg in pages:
-        contents = pg.get("/Contents")
-        refs = doc.resolve(contents) if isinstance(contents, list) \
-            else [contents]
-        if isinstance(refs, list):
-            parts = []
-            for r in refs:
-                sb = doc.stream_of(r)
-                if sb:
-                    parts.append(sb)
-            content = b"\n".join(parts)
-        else:
-            content = b""
+        content = _page_content(doc, pg)
         if not content:
             continue
         t = _stream_text(content, _page_fonts(doc, pg))
@@ -966,6 +1017,74 @@ def pdf_to_text(data: bytes | bytearray | None) -> str:
     except Exception:
         pass
     return _scan_all_streams(data)
+
+
+def pdf_page_images(data: bytes | bytearray | None) -> list[dict]:
+    """Per-page image inventory — the input side of the OCR seam for
+    scanned / image-only pages (reference behavior: Docling layout+OCR,
+    ``core/extractors/extractors_docling.py:100-227``).
+
+    Returns one dict per image, page-tree kid order::
+
+        {page_no, name, width, height, filter, payload, page_has_text}
+
+    ``payload`` is the RAW (still-encoded) stream — a /DCTDecode
+    XObject's payload is the JPEG file itself; decode is the OCR
+    backend's job, not the parser's. Inline images (BI..ID..EI) are
+    inventoried via the tokenizer's own skip delimiters under names
+    ``inline-<k>`` (dimensions unparsed — the raster header carries
+    them). ``page_has_text`` lets callers OCR only pages whose text
+    layer came up empty. Never raises; a malformed document or page
+    contributes nothing (same contract as ``pdf_to_text``)."""
+    if not data:
+        return []
+    data = bytes(data)
+    if not data.startswith(b"%PDF-"):
+        return []
+    try:
+        doc = _Doc(data)
+        pages = _find_pages(doc)
+    except Exception:
+        return []
+    out: list[dict] = []
+    for pno, pg in enumerate(pages):
+        try:
+            content = _page_content(doc, pg)
+            inline: list[bytes] = []
+            has_text = False
+            if content:
+                for _ in _iter_content_tokens(content, inline):
+                    pass
+                has_text = bool(
+                    _stream_text(content, _page_fonts(doc, pg)))
+            res = doc.resolve(pg.get("/Resources"))
+            xod = doc.resolve(res.get("/XObject")) \
+                if isinstance(res, dict) else None
+            if isinstance(xod, dict):
+                for name, ref in xod.items():
+                    val, raw = doc.raw_object(ref)
+                    if not (isinstance(val, dict) and raw
+                            and val.get("/Subtype") == "/Image"):
+                        continue
+                    filt = doc.resolve(val.get("/Filter"))
+                    if isinstance(filt, list):
+                        filt = filt[-1] if filt else None
+                    w = doc.resolve(val.get("/Width"))
+                    h = doc.resolve(val.get("/Height"))
+                    out.append({
+                        "page_no": pno, "name": name[1:],
+                        "width": w if isinstance(w, int) else None,
+                        "height": h if isinstance(h, int) else None,
+                        "filter": filt if isinstance(filt, str) else None,
+                        "payload": raw, "page_has_text": has_text})
+            for k, payload in enumerate(inline):
+                out.append({
+                    "page_no": pno, "name": f"inline-{k}",
+                    "width": None, "height": None, "filter": None,
+                    "payload": payload, "page_has_text": has_text})
+        except Exception:
+            continue
+    return out
 
 
 # ------------------------------------------------------ fixture writers
@@ -1226,4 +1345,44 @@ def make_image_only_pdf() -> bytes:
         b"/Length " + str(len(fake_jpeg)).encode() + b" >>\nstream\n"
         + fake_jpeg + b"\nendstream",
     ]
+    return _assemble(objs)
+
+
+OCR_MARKER = b"%OCR:"
+
+
+def make_scanned_pdf(pages: list[str]) -> bytes:
+    """Fixture: an N-page scanned document — every page is image-only
+    (no text operators), its sole /DCTDecode image XObject embedding the
+    page's 'scanned' text utf-8-encoded behind ``OCR_MARKER`` inside the
+    fake-JPEG payload. ``FakeOcrBackend`` recognizes exactly that
+    marker, standing in for a raster whose pixels render the text —
+    ``pdf_to_text`` must yield '' on these while the OCR path recovers
+    the full text."""
+    objs: list[bytes] = [
+        b"",  # 1: catalog, patched below once kid ids are known
+        b"",  # 2: pages node
+    ]
+    kid_ids: list[int] = []
+    for text in pages:
+        base = len(objs) + 1  # next object number
+        kid_ids.append(base)
+        content = f"q 612 0 0 792 0 0 cm /Im{base} Do Q".encode()
+        payload = (b"\xff\xd8\xff\xe0" + b"\x00" * 8 + OCR_MARKER
+                   + text.encode("utf-8") + b"\xff\xd9")
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /XObject << /Im{base} {base + 2} 0 R >> >> "
+            f"/Contents {base + 1} 0 R >>".encode())
+        objs.append(b"<< /Length " + str(len(content)).encode()
+                    + b" >>\nstream\n" + content + b"\nendstream")
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width 1275 /Height 1650 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream")
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{k} 0 R" for k in kid_ids)
+    objs[1] = (f"<< /Type /Pages /Kids [{kids}] "
+               f"/Count {len(kid_ids)} >>").encode()
     return _assemble(objs)

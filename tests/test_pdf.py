@@ -385,3 +385,143 @@ class TestInlineImages:
                     b[rng.randrange(len(b))] = rng.randrange(256)
                 out = pdf_to_text(bytes(b))
                 assert isinstance(out, str)
+
+
+class TestOcrSeam:
+    """pdf_page_images + the OCR backend seam (functions/ocr.py) —
+    reference behavior: Docling layout+OCR for scanned pages
+    (core/extractors/extractors_docling.py:100-227)."""
+
+    def test_image_only_pdf_inventoried(self):
+        from hades_spark.textcore.pdf import (make_image_only_pdf,
+                                              pdf_page_images)
+
+        imgs = pdf_page_images(make_image_only_pdf())
+        assert len(imgs) == 1
+        im = imgs[0]
+        assert im["page_no"] == 0 and im["name"] == "Im1"
+        assert im["filter"] == "/DCTDecode"
+        assert im["width"] == 8 and im["height"] == 8
+        assert im["page_has_text"] is False
+        # raw payload == the embedded fake JPEG, byte-exact (no decode)
+        assert im["payload"].startswith(b"\xff\xd8\xff\xe0")
+        assert im["payload"].endswith(b"\xff\xd9")
+
+    def test_text_pdf_has_no_images(self):
+        from hades_spark.textcore.pdf import pdf_page_images
+
+        assert pdf_page_images(make_simple_pdf(["just text"])) == []
+
+    def test_inline_image_inventoried_with_text_flag(self):
+        from hades_spark.textcore.pdf import (make_inline_image_pdf,
+                                              pdf_page_images)
+
+        payload = b"\x00\x01rawraster\xff\xfe"
+        imgs = pdf_page_images(
+            make_inline_image_pdf(["text a", "text b"], payload=payload))
+        assert len(imgs) == 1
+        assert imgs[0]["name"] == "inline-0"
+        assert imgs[0]["payload"] == payload
+        assert imgs[0]["page_has_text"] is True  # mixed page
+
+    def test_scanned_fixture_roundtrip(self):
+        from hades_spark.functions.ocr import FakeOcrBackend
+        from hades_spark.textcore.pdf import (make_scanned_pdf,
+                                              pdf_page_images)
+
+        pages = ["Hello scanned page",
+                 "Zweite Seite — naïve café 日本",
+                 ""]
+        data = make_scanned_pdf(pages)
+        # no text layer anywhere
+        assert pdf_to_text(data) == ""
+        imgs = pdf_page_images(data)
+        assert [im["page_no"] for im in imgs] == [0, 1, 2]
+        assert all(im["page_has_text"] is False for im in imgs)
+        got = FakeOcrBackend().recognize([im["payload"] for im in imgs])
+        assert got == pages
+
+    def test_real_backend_is_documented_seam(self):
+        import pytest
+
+        from hades_spark.functions.ocr import RealOcrBackend
+
+        with pytest.raises(NotImplementedError):
+            RealOcrBackend()
+
+    def test_fake_ocr_illegible_and_null(self):
+        from hades_spark.functions.ocr import FakeOcrBackend
+
+        b = FakeOcrBackend()
+        assert b.recognize([b"\xff\xd8no marker", None, b""]) \
+            == ["", "", ""]
+
+    def test_backend_singleton_cached(self):
+        from hades_spark.functions.ocr import (FakeOcrBackend,
+                                               get_ocr_backend)
+
+        a = get_ocr_backend(FakeOcrBackend)
+        assert get_ocr_backend(FakeOcrBackend) is a
+
+    def test_ocr_scanned_pages_e2e(self, spark):
+        from hades_spark.functions.ocr import ocr_scanned_pages
+        from hades_spark.textcore.pdf import (make_scanned_pdf,
+                                              make_simple_pdf)
+
+        rows = [
+            ("u1", make_scanned_pdf(["scan one", "scan two"])),
+            ("u2", make_simple_pdf(["digital text, no OCR needed"])),
+            ("u3", make_scanned_pdf(["third doc"])),
+            ("u4", None),
+        ]
+        df = spark.createDataFrame(rows, "url string, payload binary") \
+            .repartition(3)
+        out = ocr_scanned_pages(df).orderBy("url", "page_no").collect()
+        assert [(r["url"], r["page_no"], r["n_images"], r["text"])
+                for r in out] == [
+            ("u1", 0, 1, "scan one"), ("u1", 1, 1, "scan two"),
+            ("u3", 0, 1, "third doc")]
+
+    def test_include_text_pages_reocrs_everything(self, spark):
+        from hades_spark.functions.ocr import ocr_scanned_pages
+        from hades_spark.textcore.pdf import make_inline_image_pdf
+
+        # a MIXED page (text layer + inline raster): skipped by default,
+        # OCR'd (illegible raster -> '') when include_text_pages=True
+        df = spark.createDataFrame(
+            [("u1", make_inline_image_pdf(["has text", "more"]))],
+            "url string, payload binary")
+        assert ocr_scanned_pages(df).count() == 0
+        out = ocr_scanned_pages(df, include_text_pages=True).collect()
+        assert [(r["url"], r["page_no"], r["text"]) for r in out] \
+            == [("u1", 0, "")]
+
+    def test_mutation_fuzz_page_images_never_raises(self):
+        import random
+
+        from hades_spark.textcore.pdf import (make_scanned_pdf,
+                                              pdf_page_images)
+
+        rng = random.Random(11)
+        base = make_scanned_pdf(["fuzz page", "two"])
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            out = pdf_page_images(bytes(b))
+            assert isinstance(out, list)
+
+    def test_page_images_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hades_spark.textcore.pdf import pdf_page_images
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.binary(max_size=300))
+        def prop(data):
+            assert isinstance(pdf_page_images(data), list)
+            assert isinstance(
+                pdf_page_images(b"%PDF-1.4\n" + data), list)
+
+        prop()
