@@ -796,39 +796,6 @@ def mm_meta_q(spark: SparkSession, sf: str) -> DataFrame:
                        "width", "height", "duration_ms")
 
 
-@register("ocr_scanned_pages", """
-SELECT CAST(doc_id AS VARCHAR) AS url, 0 AS page_no,
-       1 AS n_images, COALESCE(text, '') AS text
-FROM documents
-""")
-def ocr_scanned_q(spark: SparkSession, sf: str) -> DataFrame:
-    # scanned-PDF OCR seam end-to-end: each document's text becomes a
-    # one-page image-only PDF (make_scanned_pdf — no text operators, the
-    # 'raster' carries the text behind the OCR marker), then the OCR
-    # stage must recover it through the full distributed path: page-tree
-    # walk, raw XObject cut, mapInPandas, worker-singleton backend. The
-    # oracle is the original text — an exact byte roundtrip.
-    import pandas as pd
-
-    from .functions.ocr import FakeOcrBackend, ocr_scanned_pages
-    from .textcore.pdf import make_scanned_pdf
-
-    docs = load_table(spark, sf, "documents")
-
-    # local annotations are strings under `from __future__ import
-    # annotations`, which pandas_udf's signature inference rejects —
-    # real type objects via __annotations__ sidestep it
-    def _scan(s):
-        return s.map(lambda t: make_scanned_pdf([t if t is not None
-                                                 else ""]))
-    _scan.__annotations__ = {"s": pd.Series, "return": pd.Series}
-    to_scanned = F.pandas_udf(_scan, "binary")
-
-    pdfs = docs.select(F.col("doc_id").cast("string").alias("url"),
-                       to_scanned(F.col("text")).alias("payload"))
-    return ocr_scanned_pages(pdfs, FakeOcrBackend)
-
-
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthetic pages corpus; Python-regex UDF semantics =>
 # rows-only driver checks, no SQL oracle)
@@ -2430,3 +2397,38 @@ def _curate_order() -> None:
 
 
 _curate_order()
+
+
+# registered AFTER _curate_order so it appends BEYOND the driver's
+# fixed 50-key window (a mid-file slot would displace j10 from #50)
+@register("ocr_scanned_pages", """
+SELECT CAST(doc_id AS VARCHAR) AS url, 0 AS page_no,
+       1 AS n_images, COALESCE(text, '') AS text
+FROM documents
+""")
+def ocr_scanned_q(spark: SparkSession, sf: str) -> DataFrame:
+    # scanned-PDF OCR seam end-to-end: each document's text becomes a
+    # one-page image-only PDF (make_scanned_pdf — no text operators, the
+    # 'raster' carries the text behind the OCR marker), then the OCR
+    # stage must recover it through the full distributed path: page-tree
+    # walk, raw XObject cut, mapInPandas, worker-singleton backend. The
+    # oracle is the original text — an exact byte roundtrip.
+    import pandas as pd
+
+    from .functions.ocr import FakeOcrBackend, ocr_scanned_pages
+    from .textcore.pdf import make_scanned_pdf
+
+    docs = load_table(spark, sf, "documents")
+
+    # local annotations are strings under `from __future__ import
+    # annotations`, which pandas_udf's signature inference rejects —
+    # real type objects via __annotations__ sidestep it
+    def _scan(s):
+        return s.map(lambda t: make_scanned_pdf([t if t is not None
+                                                 else ""]))
+    _scan.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    to_scanned = F.pandas_udf(_scan, "binary")
+
+    pdfs = docs.select(F.col("doc_id").cast("string").alias("url"),
+                       to_scanned(F.col("text")).alias("payload"))
+    return ocr_scanned_pages(pdfs, FakeOcrBackend)
