@@ -44,8 +44,22 @@ triples = canonical_triples(pages, caches=caches, local_threshold=20000)
 n_edges = distinct_edges(triples).count()
 sec = time.perf_counter() - t0
 n_triples = triples.count()
+# whole-JVM GC time via JMX (local mode: driver JVM == the executor, so
+# this is the complete picture) — the 2-vs-8-core legs share one heap
+# size, and long 2-core runs can spend a materially different fraction
+# of wall in GC; report it so efficiency ratios carry their context
+gc_ms = 0
+try:
+    beans = spark.sparkContext._jvm.java.lang.management \
+        .ManagementFactory.getGarbageCollectorMXBeans()
+    gc_ms = sum(b.getCollectionTime() for b in beans)
+except Exception:
+    pass
 print(json.dumps({{"sec": round(sec, 2), "triples": n_triples,
-                   "edges": n_edges}}), flush=True)
+                   "edges": n_edges, "gc_sec": round(gc_ms / 1000.0, 1),
+                   "gc_pct_of_wall": round(100.0 * gc_ms / 1000.0 / sec,
+                                           1) if sec else 0.0}}),
+      flush=True)
 spark.stop()
 """
 
