@@ -171,3 +171,83 @@ def shortest_path(
                      .select("parent").collect()
         parent = nxt[0]["parent"] if nxt else None
     return list(reversed(path)) if path[-1] == source_id else None
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+    dangling: str = "redistribute",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """-> (node, rank) after ``iterations`` synchronous power iterations
+    of PageRank with damping ``damping`` over the distinct directed edge
+    set. ``dangling='redistribute'`` (textbook: sinks' mass spreads
+    uniformly, ranks sum to 1 every iteration) or ``'ignore'`` (sink mass
+    leaks — the cheaper variant some engines ship).
+
+    The reference stores its KG in ArangoDB, whose graph API exposes
+    centrality over the edge collections; here the analytics consumer of
+    the materialized (subj, pred, obj) edges is a pure DataFrame loop:
+
+    - edges are deduped, degree-annotated, repartitioned by ``src`` and
+      persisted ONCE — every iteration's contribution join reuses that
+      partitioning, so only the (node, rank) frame (tiny relative to a
+      web-scale edge table) moves per round;
+    - per-iteration cost is one join on src + one map-side-combinable
+      groupBy(dst) sum — the minimal two-shuffle shape;
+    - the rank frame is ``localCheckpoint``-ed every ``checkpoint_every``
+      rounds: without lineage truncation the plan doubles per iteration
+      and the driver dies on plan compilation long before data does;
+    - dangling mass is a one-row aggregate cross-joined back (broadcast
+      of a scalar), not a driver collect, so the loop stays lazy apart
+      from the checkpoints and the node count.
+    """
+    if dangling not in ("redistribute", "ignore"):
+        raise ValueError(f"dangling must be redistribute/ignore: {dangling}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+             .dropDuplicates(["_s", "_d"])
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .dropDuplicates(["node"])
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    ed = e.join(deg, "_s").repartition("_s").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "_s"), "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                     ).alias("rank"))
+        )
+        if dangling == "redistribute":
+            sink_mass = (
+                ranks.join(deg.withColumnRenamed("_s", "node"),
+                           "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_sm"))
+            )
+            nxt = nxt.crossJoin(F.broadcast(sink_mass)).select(
+                "node",
+                (F.col("rank")
+                 + F.lit(damping) * F.col("_sm") / n).alias("rank"))
+        ranks = nxt
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

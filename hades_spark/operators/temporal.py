@@ -1,0 +1,211 @@
+"""Temporal joins: as-of join and bucketed range join.
+
+Neither exists as a built-in Spark join strategy, and both are staples of
+web-crawl / event-stream processing at scale (match each page fetch to the
+most recent prior robots.txt snapshot; count fetches inside maintenance
+windows). The reference's closest analogues are its watermark/anti-join
+incremental sync (``core/cli/commands/arxiv/sync.py:496-543``) and
+time-bounded AQL filters; these operators generalize both to first-class
+relational joins.
+
+Scale design:
+
+- ``asof_join`` is JOIN-FREE: the classic union + running-``last`` window.
+  One shuffle on the key columns, one sort, zero join nodes — compared to
+  the naive ``left.ts >= right.ts`` theta-join, which Spark can only plan
+  as a broadcast-nested-loop (quadratic per key, and a full right-side
+  broadcast). The window frame is running (``unboundedPreceding ..
+  currentRow``), so Spark evaluates it in a single streaming pass per
+  partition — no per-row rescans.
+- ``range_join`` never materializes the cross product: intervals explode
+  into fixed-width bucket ids (bounded per interval, asserted at runtime),
+  points hash into one bucket, and the join is a plain equi-join on the
+  bucket id (+ optional keys) that Catalyst plans as a shuffled hash /
+  sort-merge join — never ``BroadcastNestedLoopJoin``. The exact
+  containment predicate re-filters after the equi-join, so bucket width
+  only affects cost, never correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    *,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the same key and the
+    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
+    (``forward``) its ``left_ts`` — DuckDB/pandas ``ASOF JOIN`` semantics,
+    inclusive at equality. Unmatched left rows keep NULLs (left join).
+
+    ``right_cols`` are the right-side columns to attach (default: all
+    except the keys; ``right_ts`` is attached under its own name and must
+    not collide with a left column). ``tolerance`` (an interval/duration
+    Column, e.g. ``F.expr("INTERVAL 7 DAYS")``) nulls out matches whose
+    timestamp is further than that from ``left_ts``.
+
+    Contract: right must be unique per (key, ``right_ts``) — among
+    equal-timestamp right rows the running-``last`` pick is tie-ordered by
+    Spark's partition sort, which is not deterministic. Pre-aggregate
+    (e.g. ``max_by``) to one row per (key, ts) first.
+
+    Skew note: one key's full left+right history lands in one partition
+    (inherent to ordered semantics). For web-scale keys (url, host) the
+    key space is wide, so the shuffle is balanced; a single pathological
+    key should be pre-split by time range with boundary-state carryover.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns
+                      if c not in keys and c != right_ts]
+    payload_cols = [right_ts] + [c for c in right_cols if c != right_ts]
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right columns {sorted(clash)} collide with left columns; "
+            f"rename before joining")
+
+    # union schema: keys, _ts, _side, _lrow (left payload), _rrow (right
+    # payload). Side ordering makes equality-inclusive matching exact:
+    # backward scans ascending and the right row must sort BEFORE an
+    # equal-ts left row; forward scans the following frame and the right
+    # row must sort AFTER it.
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    lp = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    rp = F.struct(*[F.col(c) for c in payload_cols]).alias("_rrow")
+    lu = left.select(*keys, F.col(left_ts).alias("_ts"),
+                     F.lit(l_side).alias("_side"), lp,
+                     F.lit(None).cast(
+                         right.select(rp).schema["_rrow"].dataType
+                     ).alias("_rrow"))
+    ru = right.select(*keys, F.col(right_ts).alias("_ts"),
+                      F.lit(r_side).alias("_side"),
+                      F.lit(None).cast(
+                          left.select(lp).schema["_lrow"].dataType
+                      ).alias("_lrow"), rp)
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last("_rrow", ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.first("_rrow", ignorenulls=True).over(frame)
+
+    out = (
+        lu.unionByName(ru)
+        .withColumn("_m", matched)
+        .filter(F.col("_side") == l_side)
+    )
+    if tolerance is not None:
+        gap_ok = (
+            (F.col("_ts") <= F.col("_m." + right_ts) + tolerance)
+            if direction == "backward"
+            else (F.col("_m." + right_ts) <= F.col("_ts") + tolerance)
+        )
+        out = out.withColumn(
+            "_m", F.when(gap_ok, F.col("_m")))
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    *,
+    on: str | list[str] | None = None,
+    bucket_width: int = 86_400,
+    how: str = "inner",
+    max_buckets_per_interval: int = 4_096,
+) -> DataFrame:
+    """Join points to half-open intervals ``[start, end)`` (optionally also
+    on equality ``on`` keys) without a nested-loop plan.
+
+    Timestamps are compared on the epoch-seconds axis; ``bucket_width`` is
+    seconds (default 1 day). Each interval emits one row per covered
+    bucket id (``floor(start/w) .. floor(end/w)``, runtime-asserted
+    ``<= max_buckets_per_interval`` so a malformed unbounded interval
+    fails loudly instead of exploding the stage); each point hashes into
+    exactly one bucket; the bucket id joins as a plain equi-key and the
+    exact predicate ``start <= ts < end`` re-filters. Pick ``bucket_width``
+    near the typical interval length: candidate rows per point ≈ intervals
+    overlapping its bucket.
+
+    ``how='inner'`` (default) or ``'left'`` (points keep NULL interval
+    columns when nothing covers them — implemented without re-scanning
+    points). Output: all point columns + all interval columns (names must
+    not collide).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left: {how}")
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = set(points.columns) & set(intervals.columns) - set(keys)
+    if clash:
+        raise ValueError(
+            f"point/interval columns collide: {sorted(clash)}; rename first")
+
+    def _epoch(c: str, df: DataFrame) -> Column:
+        # date and timestamp_ntz don't cast to long directly; routing via
+        # timestamp is session-tz-consistent across both sides, and bucket
+        # correctness needs only a shared monotonic mapping (the exact
+        # predicate re-filters on the original values)
+        t = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        if t.startswith("date") or t == "timestamp_ntz":
+            col = col.cast("timestamp")
+        return col.cast("long")
+
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
+    s, e = _epoch(start_col, intervals), _epoch(end_col, intervals)
+    seq = F.sequence(F.floor(s / w), F.floor(e / w))
+    # guard INSIDE the exploded expression: a dropped guard column gets
+    # pruned by Catalyst and never evaluates (verified), so the raise must
+    # be on the value path itself
+    guarded = F.when(
+        F.size(seq) <= max_buckets_per_interval, seq
+    ).otherwise(F.raise_error(F.lit(
+        f"interval spans more than {max_buckets_per_interval} buckets of "
+        f"{w}s — raise bucket_width or max_buckets_per_interval")))
+    iv = intervals.withColumn("_bk", F.explode(guarded))
+    pt = points.withColumn(
+        "_bk", F.floor(_epoch(point_ts, points) / w))
+
+    exact = (
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) < F.col(end_col))
+    )
+    matched = (
+        pt.join(iv, keys + ["_bk"])
+        .filter(exact)
+        .drop("_bk")
+    )
+    if how == "inner":
+        return matched
+    # left: re-attach points that matched nothing. The anti side works on
+    # the ALREADY-BUCKETED frames (no second scan of points' lineage).
+    hit_keys = matched.select(*points.columns).dropDuplicates(points.columns)
+    misses = points.join(hit_keys, points.columns, "left_anti")
+    for c in intervals.columns:
+        if c not in keys:
+            misses = misses.withColumn(
+                c, F.lit(None).cast(intervals.schema[c].dataType))
+    return matched.unionByName(misses.select(*matched.columns))

@@ -2432,3 +2432,128 @@ def ocr_scanned_q(spark: SparkSession, sf: str) -> DataFrame:
     pdfs = docs.select(F.col("doc_id").cast("string").alias("url"),
                        to_scanned(F.col("text")).alias("payload"))
     return ocr_scanned_pages(pdfs, FakeOcrBackend)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins + graph analytics (operators/temporal.py, graph.pagerank)
+# ---------------------------------------------------------------------------
+
+@register("tj_asof_join", """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type <> 'purchase'),
+     r AS (SELECT user_id, ts AS purchase_ts, value AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+     m AS (SELECT l.event_id, l.user_id, l.ts, r.purchase_ts,
+                  r.purchase_value
+           FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.purchase_ts)
+SELECT event_id, user_id, ts,
+  CASE WHEN ts <= purchase_ts + INTERVAL 48 HOURS
+       THEN purchase_ts END AS purchase_ts,
+  CASE WHEN ts <= purchase_ts + INTERVAL 48 HOURS
+       THEN round(purchase_value, 4) END AS purchase_value
+FROM m
+""")
+def tj_asof_q(spark: SparkSession, sf: str) -> DataFrame:
+    # each non-purchase event gets the same user's most recent purchase
+    # at-or-before it, nulled past a 48h tolerance — the join-free
+    # union+running-last plan (zero Join nodes, one shuffle on user_id)
+    # vs DuckDB's native ASOF JOIN as the oracle
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") != "purchase") \
+             .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase") \
+              .select("user_id", F.col("ts").alias("purchase_ts"),
+                      F.round("value", 4).alias("purchase_value"))
+    return asof_join(left, right, "user_id", "ts", "purchase_ts",
+                     tolerance=F.expr("INTERVAL 48 HOURS"))
+
+
+@register("tj_range_join", """
+WITH iv AS (SELECT o_orderkey, o_orderdate AS ws,
+                   o_orderdate + (1 + o_orderkey % 7) * INTERVAL 1 DAY AS we
+            FROM orders WHERE o_orderkey % 20 = 0)
+SELECT iv.o_orderkey,
+       count(*) AS n_ship,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM iv JOIN lineitem l ON l.l_shipdate >= iv.ws AND l.l_shipdate < iv.we
+GROUP BY iv.o_orderkey
+""")
+def tj_range_q(spark: SparkSession, sf: str) -> DataFrame:
+    # shipments falling inside per-order maintenance windows [orderdate,
+    # orderdate + 1..7 days): interval-bucketed equi-join (SortMergeJoin
+    # on the bucket id, never BroadcastNestedLoop) + exact re-filter,
+    # vs DuckDB's native range join
+    from .operators.temporal import range_join
+
+    o = load_table(spark, sf, "orders")
+    iv = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("ws"),
+        F.expr("o_orderdate + make_interval(0, 0, 0, "
+               "CAST(1 + o_orderkey % 7 AS INT), 0, 0, 0)").alias("we"))
+    li = load_table(spark, sf, "lineitem") \
+        .select("l_shipdate", "l_extendedprice")
+    hits = range_join(li, iv, "l_shipdate", "ws", "we",
+                      bucket_width=4 * 86_400)
+    return hits.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_ship"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (redistribute-dangling) as pure
+    CTE SQL — the independent DuckDB re-derivation of the Spark loop."""
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 's' || CAST(l_suppkey AS VARCHAR),
+           'p' || CAST(l_partkey AS VARCHAR) FROM lineitem)),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) c FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) dg FROM e GROUP BY src),
+pr0 AS (SELECT node, 1e0 / (SELECT c FROM nn) AS p FROM nodes)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f""",
+sm{k} AS (SELECT coalesce(sum(p), 0e0) m FROM pr{k - 1}
+          WHERE node NOT IN (SELECT src FROM deg)),
+pr{k} AS (
+  SELECT n.node,
+         (1e0 - {d}e0) / (SELECT c FROM nn)
+         + {d}e0 * coalesce(c.s, 0e0)
+         + {d}e0 * (SELECT m FROM sm{k}) / (SELECT c FROM nn) AS p
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(pr.p / deg.dg) s
+    FROM e JOIN pr{k - 1} pr ON pr.node = e.src
+           JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) c ON c.dst = n.node)""")
+    return (head + "".join(its)
+            + f"\nSELECT node, round(p, 9) AS rank FROM pr{iters}")
+
+
+@register("g2_pagerank", _pagerank_oracle())
+def g2_pagerank_q(spark: SparkSession, sf: str) -> DataFrame:
+    # 3 synchronous power iterations over the two-layer purchase graph
+    # customer->supplier->part (parts are sinks: real dangling mass,
+    # redistributed uniformly so ranks keep summing to 1); the oracle
+    # unrolls the identical recurrence as nested CTEs
+    from .operators.graph import pagerank
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cs = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    sp = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    ranks = pagerank(cs.unionByName(sp), iterations=3)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

@@ -1469,3 +1469,221 @@ class TestPairScoresModes:
             for r in rows:
                 assert (r["a"], r["band"], r["bh"]) in membership
                 assert (r["b"], r["band"], r["bh"]) in membership
+
+
+class TestAsofJoin:
+    """operators/temporal.asof_join — DuckDB/pandas ASOF semantics from a
+    join-free union+window plan."""
+
+    def _data(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "e1"), (1, 25, "e2"), (1, 10, "e1b"),  # equal-ts lefts
+             (2, 5, "e3"), (3, 7, "e4"), (2, 100, "e5")],
+            "k int, ts int, eid string")
+        right = spark.createDataFrame(
+            [(1, 10, 1.0), (1, 20, 2.0), (2, 6, 3.0), (4, 1, 4.0)],
+            "k int, rts int, v double")
+        return left, right
+
+    def _brute(self, left, right, direction, tol=None):
+        exp = {}
+        for k, ts, eid in left:
+            cands = [(rts, v) for (rk, rts, v) in right if rk == k
+                     and (rts <= ts if direction == "backward"
+                          else rts >= ts)
+                     and (tol is None or abs(rts - ts) <= tol)]
+            if cands:
+                pick = (max(cands) if direction == "backward"
+                        else min(cands))
+                exp[eid] = pick
+            else:
+                exp[eid] = (None, None)
+        return exp
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_brute_force(self, spark, direction):
+        from hades_spark.operators.temporal import asof_join
+
+        left, right = self._data(spark)
+        lrows = [(r.k, r.ts, r.eid) for r in left.collect()]
+        rrows = [(r.k, r.rts, r.v) for r in right.collect()]
+        out = asof_join(left, right, "k", "ts", "rts",
+                        direction=direction).collect()
+        assert len(out) == len(lrows)
+        exp = self._brute(lrows, rrows, direction)
+        for r in out:
+            assert (r.rts, r.v) == exp[r.eid], (direction, r)
+
+    def test_tolerance_nulls_whole_match(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.temporal import asof_join
+
+        left, right = self._data(spark)
+        out = asof_join(left, right, "k", "ts", "rts",
+                        tolerance=F.lit(5)).collect()
+        exp = self._brute([(r.k, r.ts, r.eid) for r in left.collect()],
+                          [(r.k, r.rts, r.v) for r in right.collect()],
+                          "backward", tol=5)
+        for r in out:
+            assert (r.rts, r.v) == exp[r.eid], r
+        # e2 (k=1, ts=25): nearest purchase at 20 is within |5| -> kept;
+        # e5 (k=2, ts=100): match at 6 is out of tolerance -> BOTH null
+        got = {r.eid: (r.rts, r.v) for r in out}
+        assert got["e2"] == (20, 2.0)
+        assert got["e5"] == (None, None)
+
+    def test_plan_is_join_free_single_exchange(self, spark):
+        from hades_spark.operators.temporal import asof_join
+
+        left, right = self._data(spark)
+        out = asof_join(left, right, "k", "ts", "rts")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") == 1, plan
+
+    def test_column_collision_rejected(self, spark):
+        from hades_spark.operators.temporal import asof_join
+
+        left, right = self._data(spark)
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(left, right.withColumnRenamed("v", "eid"),
+                      "k", "ts", "rts")
+
+
+class TestRangeJoin:
+    """operators/temporal.range_join — interval containment via bucketed
+    equi-join, never a nested-loop plan."""
+
+    def _data(self, spark):
+        pts = spark.createDataFrame(
+            [(i, f"p{i}") for i in range(0, 60, 7)], "ts int, pid string")
+        ivs = spark.createDataFrame(
+            [(0, 10, "w1"), (8, 30, "w2"), (45, 46, "w3"), (7, 8, "w4")],
+            "s int, e int, name string")
+        return pts, ivs
+
+    def test_matches_brute_force_inner_and_left(self, spark):
+        from hades_spark.operators.temporal import range_join
+
+        pts, ivs = self._data(spark)
+        prows = [(r.ts, r.pid) for r in pts.collect()]
+        irows = [(r.s, r.e, r.name) for r in ivs.collect()]
+        exp = {(pid, name) for ts, pid in prows
+               for s, e, name in irows if s <= ts < e}
+        for w in (1, 5, 64):
+            got = {(r.pid, r.name)
+                   for r in range_join(pts, ivs, "ts", "s", "e",
+                                       bucket_width=w).collect()}
+            assert got == exp, w
+        lf = range_join(pts, ivs, "ts", "s", "e", bucket_width=5,
+                        how="left").collect()
+        matched_pids = {pid for pid, _ in exp}
+        assert {r.pid for r in lf if r.name is None} == \
+            {pid for _, pid in prows} - matched_pids
+        assert {(r.pid, r.name) for r in lf if r.name is not None} == exp
+
+    def test_keyed_and_timestamp_axis(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.temporal import range_join
+
+        pts = spark.range(20).select(
+            (F.col("id") % 3).alias("k"),
+            F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+            F.col("id").alias("pid"))
+        ivs = spark.createDataFrame(
+            [(0, 0, 7), (1, 5, 50), (2, 100, 200)],
+            "k long, sh int, eh int").select(
+            "k", F.timestamp_seconds(F.col("sh") * 3600).alias("ws"),
+            F.timestamp_seconds(F.col("eh") * 3600).alias("we"))
+        out = range_join(pts, ivs, "ts", "ws", "we", on="k",
+                         bucket_width=3 * 3600)
+        got = {(r.k, r.pid) for r in out.collect()}
+        exp = {(i % 3, i) for i in range(20)
+               if (i % 3 == 0 and 0 <= i < 7) or (i % 3 == 1 and 5 <= i < 50)}
+        assert got == exp
+
+    def test_oversized_interval_fails_loudly(self, spark):
+        from hades_spark.operators.temporal import range_join
+
+        pts = spark.createDataFrame([(5, "p")], "ts int, pid string")
+        ivs = spark.createDataFrame([(0, 10_000_000, "huge")],
+                                    "s int, e int, name string")
+        with pytest.raises(Exception, match="buckets"):
+            range_join(pts, ivs, "ts", "s", "e", bucket_width=1,
+                       max_buckets_per_interval=100).count()
+
+    def test_plan_never_nested_loop(self, spark):
+        from hades_spark.operators.temporal import range_join
+
+        pts, ivs = self._data(spark)
+        plan = range_join(pts, ivs, "ts", "s", "e", bucket_width=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestPagerank:
+    """operators/graph.pagerank — synchronous power iteration vs a numpy
+    reference, both dangling policies."""
+
+    EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 3), (2, 4), (1, 5)]
+
+    def _numpy_pr(self, iters, dangling):
+        import numpy as np
+
+        n, d = 6, 0.85
+        adj: dict = {}
+        for s, t in set(self.EDGES):
+            adj.setdefault(s, []).append(t)
+        p = np.full(n, 1 / n)
+        for _ in range(iters):
+            nxt = np.full(n, (1 - d) / n)
+            for u, ts in adj.items():
+                for t in ts:
+                    nxt[t] += d * p[u] / len(ts)
+            if dangling == "redistribute":
+                nxt += d * sum(p[u] for u in range(n) if u not in adj) / n
+            p = nxt
+        return p
+
+    @pytest.mark.parametrize("dangling", ["redistribute", "ignore"])
+    def test_matches_numpy(self, spark, dangling):
+        from hades_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(self.EDGES, "src int, dst int")
+        # iterations=6 crosses the checkpoint_every=4 lineage truncation
+        got = {r.node: r.rank
+               for r in pagerank(edges, iterations=6,
+                                 dangling=dangling).collect()}
+        exp = self._numpy_pr(6, dangling)
+        assert set(got) == set(range(6))
+        for i in range(6):
+            assert abs(got[i] - exp[i]) < 1e-12, (i, got[i], exp[i])
+        if dangling == "redistribute":
+            assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_duplicate_edges_collapse(self, spark):
+        from hades_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(self.EDGES + self.EDGES,
+                                      "src int, dst int")
+        got = {r.node: r.rank for r in pagerank(edges,
+                                                iterations=3).collect()}
+        exp = self._numpy_pr(3, "redistribute")
+        for i in range(6):
+            assert abs(got[i] - exp[i]) < 1e-12
+
+    def test_empty_graph(self, spark):
+        from hades_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([], "src int, dst int")
+        assert pagerank(edges, iterations=2).count() == 0
+
+    def test_bad_dangling_rejected(self, spark):
+        from hades_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(self.EDGES, "src int, dst int")
+        with pytest.raises(ValueError, match="dangling"):
+            pagerank(edges, dangling="drop")

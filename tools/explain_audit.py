@@ -157,6 +157,26 @@ def main() -> int:
          lambda p: "ShuffledHashJoin" in p or "SortMergeJoin" in p),
     ])
 
+    # as-of join compiles to a JOIN-FREE union+window plan: one Exchange
+    # on the key, zero join nodes (the naive theta-join would be a
+    # BroadcastNestedLoopJoin)
+    check("asof_join", q["tj_asof_join"](spark, sf), [
+        ("join-free (union + running window)",
+         lambda p: "Join" not in p),
+        ("single shuffle on the key",
+         lambda p: p.count("Exchange (") == 1),
+    ])
+
+    # range join: interval containment through the bucketed equi-join —
+    # a real hash/merge join on the bucket id, never a nested loop
+    check("range_join", q["tj_range_join"](spark, sf), [
+        ("equi-join on bucket id, no nested loop",
+         lambda p: "BroadcastNestedLoop" not in p
+         and "CartesianProduct" not in p
+         and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+              or "BroadcastHashJoin" in p)),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
