@@ -1,0 +1,150 @@
+"""KMV (k-minimum-values) distinct-count sketches.
+
+The training-data questions at 10^12 rows are set-cardinality questions:
+distinct urls per host, distinct hosts per language, overlap between two
+crawls' url sets. Exact answers need per-group state proportional to the
+distinct count; a KMV sketch holds the k smallest (normalized) hash values
+of the distinct set instead — fixed k doubles per group — and estimates
+
+    |S| ≈ (k - 1) / u_k        (u_k = k-th minimum, uniform on [0,1))
+
+with relative std-error ~ 1/sqrt(k - 2) (Beyer et al., "On Synopses for
+Distinct-Value Estimation Under Multiset Operations", SIGMOD'07). Two
+properties make it the right 100-TB shape:
+
+- **mergeable**: the sketch of A ∪ B is exactly the k minima of the two
+  sketches' union — per-day/per-partition sketches combine without
+  re-reading data (``kmv_union``);
+- **set operations**: the union sketch is a uniform sample of A ∪ B, so
+  the fraction of its values present in both sides estimates Jaccard, and
+  ρ · |A ∪ B| estimates the intersection size (``kmv_jaccard``).
+
+Everything is JVM-side column algebra (xxhash64 + window rank + aggregate)
+— no UDFs, no driver collects. The hash shuffle key is uniform by
+construction, so the groupBy is skew-free even when the VALUE distribution
+is skewed. Sketches are plain (group..., hu) rows, ≤ k per group, so they
+persist/union like any DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# xxhash64 is signed; shifting by 2^63 and scaling by 2^-64 maps it to a
+# uniform double in [0, 1). 2^-64 underflows float literals in some SQL
+# dialects, so keep the arithmetic explicit here.
+_TWO63 = float(2 ** 63)
+_TWO64 = float(2 ** 64)
+
+
+def normalized_hash(value_col) -> F.Column:
+    """xxhash64 mapped to a uniform double in [0, 1) — the KMV hash axis."""
+    return (F.xxhash64(value_col) + F.lit(_TWO63)) / F.lit(_TWO64)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """-> (group..., hu) — per group, the ``k`` smallest normalized hash
+    values of the DISTINCT ``value_col`` set. One shuffle on (group, hash)
+    for the dedup; the rank window reuses the group partitioning (sort
+    spills, never OOMs, for pathological groups)."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, normalized_hash(value_col).alias("hu"))
+    )
+    return kmv_sketch_from_hashes(hashed, groups, "hu", k)
+
+
+def kmv_sketch_from_hashes(
+    hashed: DataFrame,
+    group_cols: str | list[str],
+    hu_col: str = "hu",
+    k: int = 256,
+) -> DataFrame:
+    """The dedup + k-minima tail of ``kmv_sketch`` over precomputed
+    normalized hashes — exposed so a staged hash table can be re-ranked
+    independently (the DuckDB oracle consumes the same staged doubles)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2 for the (k-1)/u_k estimator: {k}")
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*groups).orderBy("hu")
+    return (
+        hashed.select(*groups, F.col(hu_col).alias("hu"))
+        .dropDuplicates(groups + ["hu"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: str | list[str],
+    k: int,
+) -> DataFrame:
+    """-> (group..., distinct_est) from a ``kmv_sketch`` output. A sketch
+    holding fewer than ``k`` values saw the whole distinct set — the count
+    IS exact; at ``k`` the estimator (k-1)/u_k takes over."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    return sketch.groupBy(*groups).agg(
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.max("hu"))
+        .alias("distinct_est"))
+
+
+def kmv_union(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: str | list[str],
+    k: int,
+) -> DataFrame:
+    """Sketch of the UNION of the two underlying sets — exactly the k
+    minima of the merged hash values (no approximation added by the
+    merge). Input sketches' k must be >= this k."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    merged = (
+        a.select(*groups, "hu").unionByName(b.select(*groups, "hu"))
+        .dropDuplicates(groups + ["hu"])
+    )
+    w = Window.partitionBy(*groups).orderBy("hu")
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: str | list[str],
+    k: int,
+) -> DataFrame:
+    """-> (group..., jaccard_est, union_est, intersection_est) per group.
+
+    The union sketch is a size-``min(k, |A∪B|)`` uniform sample of A ∪ B;
+    ρ = fraction of its values present in BOTH input sketches estimates
+    J(A,B), and ρ · |A∪B|-estimate estimates |A ∩ B|. All three come from
+    one pass over the two (≤ k rows/group) sketches — never the data."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = kmv_union(a, b, groups, k)
+    in_a = a.select(*groups, "hu").withColumn("_ina", F.lit(1))
+    in_b = b.select(*groups, "hu").withColumn("_inb", F.lit(1))
+    tagged = (
+        u.join(in_a, groups + ["hu"], "left")
+        .join(in_b, groups + ["hu"], "left")
+    )
+    est = F.when(F.count("*") < k, F.count("*").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) / F.max("hu"))
+    rho = (F.sum(F.when(F.col("_ina").isNotNull()
+                        & F.col("_inb").isNotNull(), 1).otherwise(0))
+           / F.count("*"))
+    return tagged.groupBy(*groups).agg(
+        rho.alias("jaccard_est"),
+        est.alias("union_est"),
+        (rho * est).alias("intersection_est"))

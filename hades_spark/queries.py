@@ -2557,3 +2557,38 @@ def g2_pagerank_q(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
     ranks = pagerank(cs.unionByName(sp), iterations=3)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+_KMV_STAGE = f"{STAGE_ROOT}/hades_kmv_oracle_stage"
+
+_KMV_ORACLE = f"""
+WITH h AS (SELECT DISTINCT event_type, hu
+           FROM read_parquet('{_KMV_STAGE}/hashes/*.parquet')),
+rk AS (SELECT event_type, hu,
+              row_number() OVER (PARTITION BY event_type ORDER BY hu) rn
+       FROM h),
+sk AS (SELECT event_type, hu FROM rk WHERE rn <= 32)
+SELECT event_type,
+       round(CASE WHEN count(*) < 32 THEN CAST(count(*) AS DOUBLE)
+             ELSE 31e0 / max(hu) END, 4) AS distinct_est
+FROM sk GROUP BY event_type
+"""
+
+
+@register("sk_kmv_distinct", _KMV_ORACLE)
+def sk_kmv_q(spark: SparkSession, sf: str) -> DataFrame:
+    # KMV distinct-user sketch per event_type (k=32, small enough that the
+    # (k-1)/u_k estimator path engages — ~150 distinct users per type).
+    # Staged oracle: the normalized per-row hashes go to parquet; DuckDB
+    # re-derives dedup, k-minima ranking, and the estimator (including the
+    # exact-branch switch) independently from the same doubles.
+    from .operators.sketch import (kmv_estimate, kmv_sketch_from_hashes,
+                                   normalized_hash)
+
+    ev = load_table(spark, sf, "events")
+    ev.select("event_type", normalized_hash(F.col("user_id")).alias("hu")) \
+        .write.mode("overwrite").parquet(f"{_KMV_STAGE}/hashes")
+    hashed = spark.read.parquet(f"{_KMV_STAGE}/hashes")
+    sk = kmv_sketch_from_hashes(hashed, "event_type", "hu", k=32)
+    return kmv_estimate(sk, "event_type", k=32) \
+        .select("event_type", F.round("distinct_est", 4).alias("distinct_est"))

@@ -1687,3 +1687,102 @@ class TestPagerank:
         edges = spark.createDataFrame(self.EDGES, "src int, dst int")
         with pytest.raises(ValueError, match="dangling"):
             pagerank(edges, dangling="drop")
+
+
+class TestKmvSketch:
+    """operators/sketch — KMV distinct sketches: exact branch, estimator
+    error bound, lossless merge, set-operation estimates."""
+
+    def test_exact_branch_below_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+        df = spark.range(10).select(F.lit("g").alias("g"),
+                                    F.col("id").alias("v"))
+        # duplicates must not inflate the count
+        df = df.unionByName(df)
+        sk = kmv_sketch(df, "g", "v", k=32)
+        assert sk.count() == 10
+        est = kmv_estimate(sk, "g", k=32).collect()[0]
+        assert est.distinct_est == 10.0
+
+    def test_estimator_error_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+        n, k = 5000, 256
+        df = spark.range(n).select(F.lit("g").alias("g"),
+                                   F.concat(F.lit("url-"), "id").alias("v"))
+        est = kmv_estimate(kmv_sketch(df, "g", "v", k=k),
+                           "g", k=k).collect()[0].distinct_est
+        # std-error ~ 1/sqrt(k-2) = 6.3%; 3 sigma < 20% (deterministic
+        # hashes, so this pins one draw, not a tail probability)
+        assert abs(est - n) / n < 0.2, est
+
+    def test_union_merge_is_lossless(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_sketch, kmv_union
+
+        k = 64
+        a = spark.range(0, 3000).select(F.lit("g").alias("g"),
+                                        F.col("id").alias("v"))
+        b = spark.range(2000, 5000).select(F.lit("g").alias("g"),
+                                           F.col("id").alias("v"))
+        merged = kmv_union(kmv_sketch(a, "g", "v", k=k),
+                           kmv_sketch(b, "g", "v", k=k), "g", k)
+        whole = kmv_sketch(a.unionByName(b), "g", "v", k=k)
+        assert sorted(r.hu for r in merged.collect()) == \
+            sorted(r.hu for r in whole.collect())
+
+    def test_jaccard_and_intersection_estimates(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+        k = 256
+        a = spark.range(0, 4000).select(F.lit("g").alias("g"),
+                                        F.col("id").alias("v"))
+        b = spark.range(2000, 6000).select(F.lit("g").alias("g"),
+                                           F.col("id").alias("v"))
+        r = kmv_jaccard(kmv_sketch(a, "g", "v", k=k),
+                        kmv_sketch(b, "g", "v", k=k), "g", k).collect()[0]
+        # truth: |A∪B|=6000, |A∩B|=2000, J=1/3
+        assert abs(r.jaccard_est - 1 / 3) < 0.12, r
+        assert abs(r.union_est - 6000) / 6000 < 0.2, r
+        assert abs(r.intersection_est - 2000) / 2000 < 0.35, r
+
+    def test_exact_jaccard_when_union_fits(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+        k = 64
+        a = spark.range(0, 20).select(F.lit("g").alias("g"),
+                                      F.col("id").alias("v"))
+        b = spark.range(10, 30).select(F.lit("g").alias("g"),
+                                       F.col("id").alias("v"))
+        r = kmv_jaccard(kmv_sketch(a, "g", "v", k=k),
+                        kmv_sketch(b, "g", "v", k=k), "g", k).collect()[0]
+        # |A∪B| = 30 < k: the union sketch IS the union — all exact
+        assert r.union_est == 30.0
+        assert abs(r.jaccard_est - 10 / 30) < 1e-12
+        assert abs(r.intersection_est - 10.0) < 1e-9
+
+    def test_groups_kept_separate_and_k_validated(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+        df = spark.range(100).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").alias("v"))
+        got = {r.g: r.distinct_est
+               for r in kmv_estimate(kmv_sketch(df, "g", "v", k=64),
+                                     "g", k=64).collect()}
+        assert got == {"0": 50.0, "1": 50.0}
+        with _pytest.raises(ValueError, match="k must be"):
+            kmv_sketch(df, "g", "v", k=1)
