@@ -209,6 +209,7 @@ def pagerank(
     if dangling not in ("redistribute", "ignore"):
         raise ValueError(f"dangling must be redistribute/ignore: {dangling}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+             .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()) \
              .dropDuplicates(["_s", "_d"])
     nodes = (
         e.select(F.col("_s").alias("node"))

@@ -89,11 +89,18 @@ def asof_join(
                      F.lit(None).cast(
                          right.select(rp).schema["_rrow"].dataType
                      ).alias("_rrow"))
-    ru = right.select(*keys, F.col(right_ts).alias("_ts"),
-                      F.lit(r_side).alias("_side"),
-                      F.lit(None).cast(
-                          left.select(lp).schema["_lrow"].dataType
-                      ).alias("_lrow"), rp)
+    # SQL-join parity: a right row with a NULL timestamp or NULL key can
+    # never satisfy the ASOF ON clause — but the window grouping would
+    # happily match it (NULLs sort first and group together). Drop them.
+    r_valid = F.col(right_ts).isNotNull()
+    for kcol in keys:
+        r_valid = r_valid & F.col(kcol).isNotNull()
+    ru = right.filter(r_valid) \
+        .select(*keys, F.col(right_ts).alias("_ts"),
+                F.lit(r_side).alias("_side"),
+                F.lit(None).cast(
+                    left.select(lp).schema["_lrow"].dataType
+                ).alias("_lrow"), rp)
 
     from pyspark.sql import Window
     w = Window.partitionBy(*keys).orderBy("_ts", "_side")

@@ -1786,3 +1786,55 @@ class TestKmvSketch:
         assert got == {"0": 50.0, "1": 50.0}
         with _pytest.raises(ValueError, match="k must be"):
             kmv_sketch(df, "g", "v", k=1)
+
+
+class TestTemporalNullParity:
+    """NULLs behave like SQL join predicates (never match), pinned against
+    DuckDB on the same rows."""
+
+    def test_asof_null_right_ts_and_null_keys_never_match(self, spark):
+        import duckdb
+
+        from hades_spark.operators.temporal import asof_join
+
+        lrows = [(1, 10, "e1"), (None, 10, "e2"), (2, 9, "e3")]
+        rrows = [(1, None, 0.1), (1, 5, 0.5), (None, 1, 0.9), (2, 8, 0.8)]
+        left = spark.createDataFrame(lrows, "k int, ts int, eid string")
+        right = spark.createDataFrame(rrows, "k int, rts int, v double")
+        got = {r.eid: (r.rts, r.v)
+               for r in asof_join(left, right, "k", "ts", "rts").collect()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE l(k int, ts int, eid varchar)")
+        con.executemany("INSERT INTO l VALUES (?,?,?)", lrows)
+        con.execute("CREATE TABLE r(k int, rts int, v double)")
+        con.executemany("INSERT INTO r VALUES (?,?,?)", rrows)
+        exp = {eid: (rts, v) for eid, rts, v in con.execute(
+            "SELECT l.eid, r.rts, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.rts").fetchall()}
+        assert got == exp
+        assert got["e2"] == (None, None)      # null left key: no match
+        assert got["e1"] == (5, 0.5)          # null right ts skipped
+
+    def test_range_join_null_point_and_null_bounds(self, spark):
+        from hades_spark.operators.temporal import range_join
+
+        pts = spark.createDataFrame([(5, "p5"), (None, "pn")],
+                                    "ts int, pid string")
+        ivs = spark.createDataFrame([(0, 10, "w1"), (None, 10, "wn")],
+                                    "s int, e int, name string")
+        inner = range_join(pts, ivs, "ts", "s", "e", bucket_width=4)
+        assert {(r.pid, r.name) for r in inner.collect()} == {("p5", "w1")}
+        lf = range_join(pts, ivs, "ts", "s", "e", bucket_width=4, how="left")
+        assert {(r.pid, r.name) for r in lf.collect()} == \
+            {("p5", "w1"), ("pn", None)}
+
+    def test_pagerank_drops_null_endpoint_edges(self, spark):
+        from hades_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 0), (None, 1), (0, None)], "src int, dst int")
+        got = {r.node: r.rank for r in pagerank(edges,
+                                                iterations=2).collect()}
+        assert set(got) == {0, 1}
+        assert abs(sum(got.values()) - 1.0) < 1e-12
