@@ -1,4 +1,4 @@
-"""Temporal joins: as-of join and bucketed range join.
+"""Temporal joins: as-of join, bucketed range join, interval-overlap join.
 
 Neither exists as a built-in Spark join strategy, and both are staples of
 web-crawl / event-stream processing at scale (match each page fetch to the
@@ -24,11 +24,40 @@ Scale design:
   sort-merge join — never ``BroadcastNestedLoopJoin``. The exact
   containment predicate re-filters after the equi-join, so bucket width
   only affects cost, never correctness.
+- ``interval_join`` (overlap of two interval tables) additionally avoids
+  the post-join pair-dedup shuffle: a pair co-occurring in many buckets is
+  kept only in the single bucket holding the overlap's start.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _epoch_col(col_name: str, df: DataFrame) -> Column:
+    """Epoch-seconds axis for bucketing. date and timestamp_ntz don't cast
+    to long directly; routing via timestamp is session-tz-consistent across
+    both join sides, and bucket correctness needs only a shared monotonic
+    mapping (the exact predicates re-filter on the original values)."""
+    t = df.schema[col_name].dataType.simpleString()
+    col = F.col(col_name)
+    if t.startswith("date") or t == "timestamp_ntz":
+        col = col.cast("timestamp")
+    return col.cast("long")
+
+
+def _bucket_ids(df: DataFrame, s_col: str, e_col: str, w: int,
+                cap: int) -> Column:
+    """Covered-bucket id array for ``[s_col, e_col)``, capped at ``cap``.
+    The guard lives INSIDE the exploded expression: a dropped guard column
+    gets pruned by Catalyst and never evaluates (verified), so the raise
+    must be on the value path itself."""
+    s, e = _epoch_col(s_col, df), _epoch_col(e_col, df)
+    seq = F.sequence(F.floor(s / w), F.floor(e / w))
+    return F.when(F.size(seq) <= cap, seq).otherwise(
+        F.raise_error(F.lit(
+            f"interval spans more than {cap} buckets of {w}s — raise "
+            f"bucket_width or max_buckets_per_interval")))
 
 
 def asof_join(
@@ -168,33 +197,13 @@ def range_join(
         raise ValueError(
             f"point/interval columns collide: {sorted(clash)}; rename first")
 
-    def _epoch(c: str, df: DataFrame) -> Column:
-        # date and timestamp_ntz don't cast to long directly; routing via
-        # timestamp is session-tz-consistent across both sides, and bucket
-        # correctness needs only a shared monotonic mapping (the exact
-        # predicate re-filters on the original values)
-        t = df.schema[c].dataType.simpleString()
-        col = F.col(c)
-        if t.startswith("date") or t == "timestamp_ntz":
-            col = col.cast("timestamp")
-        return col.cast("long")
-
     w = int(bucket_width)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive: {bucket_width}")
-    s, e = _epoch(start_col, intervals), _epoch(end_col, intervals)
-    seq = F.sequence(F.floor(s / w), F.floor(e / w))
-    # guard INSIDE the exploded expression: a dropped guard column gets
-    # pruned by Catalyst and never evaluates (verified), so the raise must
-    # be on the value path itself
-    guarded = F.when(
-        F.size(seq) <= max_buckets_per_interval, seq
-    ).otherwise(F.raise_error(F.lit(
-        f"interval spans more than {max_buckets_per_interval} buckets of "
-        f"{w}s — raise bucket_width or max_buckets_per_interval")))
-    iv = intervals.withColumn("_bk", F.explode(guarded))
+    iv = intervals.withColumn("_bk", F.explode(_bucket_ids(
+        intervals, start_col, end_col, w, max_buckets_per_interval)))
     pt = points.withColumn(
-        "_bk", F.floor(_epoch(point_ts, points) / w))
+        "_bk", F.floor(_epoch_col(point_ts, points) / w))
 
     exact = (
         (F.col(point_ts) >= F.col(start_col))
@@ -216,3 +225,58 @@ def range_join(
             misses = misses.withColumn(
                 c, F.lit(None).cast(intervals.schema[c].dataType))
     return matched.unionByName(misses.select(*matched.columns))
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    *,
+    on: str | list[str] | None = None,
+    bucket_width: int = 86_400,
+    max_buckets_per_interval: int = 4_096,
+) -> DataFrame:
+    """Join two interval tables on overlap — ``[a_start, a_end)`` meets
+    ``[b_start, b_end)`` iff ``a_start < b_end AND b_start < a_end`` —
+    optionally also on equality ``on`` keys, without a nested-loop plan
+    AND without a pair-dedup shuffle.
+
+    Both sides explode into covered bucket ids like ``range_join``; the
+    anti-duplication trick is that an overlapping pair co-occurs in every
+    shared bucket, but exactly ONE bucket holds the overlap's start —
+    ``floor(max(a_start, b_start) / w)`` — so the join keeps a candidate
+    only when its bucket id equals that value. No ``dropDuplicates`` over
+    the (large) matched frame, which at web scale is a full extra exchange
+    of the output.
+
+    Output: all ``a`` columns + all ``b`` columns (must not collide
+    outside the keys).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = set(a.columns) & set(b.columns) - set(keys)
+    if clash:
+        raise ValueError(
+            f"interval tables' columns collide: {sorted(clash)}; rename "
+            f"first")
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
+
+    ea = a.withColumn("_bk", F.explode(_bucket_ids(
+        a, a_start, a_end, w, max_buckets_per_interval)))
+    eb = b.withColumn("_bk", F.explode(_bucket_ids(
+        b, b_start, b_end, w, max_buckets_per_interval)))
+    overlap = (
+        (F.col(a_start) < F.col(b_end)) & (F.col(b_start) < F.col(a_end))
+    )
+    start_bucket = F.floor(
+        F.greatest(_epoch_col(a_start, a), _epoch_col(b_start, b)) / w)
+    return (
+        ea.join(eb, keys + ["_bk"])
+        .filter(overlap & (F.col("_bk") == start_bucket))
+        .drop("_bk")
+    )
+    return _one(a_col, a), _one(b_col, b)

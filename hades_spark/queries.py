@@ -2592,3 +2592,40 @@ def sk_kmv_q(spark: SparkSession, sf: str) -> DataFrame:
     sk = kmv_sketch_from_hashes(hashed, "event_type", "hu", k=32)
     return kmv_estimate(sk, "event_type", k=32) \
         .select("event_type", F.round("distinct_est", 4).alias("distinct_est"))
+
+
+@register("tj_interval_join", """
+WITH av AS (SELECT o_orderkey AS a_key, o_orderdate AS a_s,
+                   o_orderdate + (1 + o_orderkey % 5) * INTERVAL 1 DAY AS a_e
+            FROM orders WHERE o_orderkey % 40 = 0),
+     bv AS (SELECT o_orderkey AS b_key, o_orderdate AS b_s,
+                   o_orderdate + (1 + o_orderkey % 3) * INTERVAL 1 DAY AS b_e
+            FROM orders WHERE o_orderkey % 40 = 1)
+SELECT a_key, CAST(count(*) AS BIGINT) AS n_overlaps,
+       min(b_key) AS first_b
+FROM av JOIN bv ON a_s < b_e AND b_s < a_e
+GROUP BY a_key
+""")
+def tj_interval_q(spark: SparkSession, sf: str) -> DataFrame:
+    # overlapping order-window pairs between two disjoint order samples:
+    # both interval sets explode to day buckets, the join is an equi-join
+    # on the bucket id, and each overlapping pair is emitted exactly once
+    # (kept only in the overlap-start bucket — no dedup shuffle)
+    from .operators.temporal import interval_join
+
+    o = load_table(spark, sf, "orders")
+
+    def windows(mod_rem: int, mod_days: int, pfx: str) -> DataFrame:
+        return o.filter(F.col("o_orderkey") % 40 == mod_rem).select(
+            F.col("o_orderkey").alias(f"{pfx}_key"),
+            F.col("o_orderdate").alias(f"{pfx}_s"),
+            F.expr(f"o_orderdate + make_interval(0, 0, 0, "
+                   f"CAST(1 + o_orderkey % {mod_days} AS INT), 0, 0, 0)"
+                   ).alias(f"{pfx}_e"))
+
+    hits = interval_join(windows(0, 5, "a"), windows(1, 3, "b"),
+                         "a_s", "a_e", "b_s", "b_e",
+                         bucket_width=3 * 86_400)
+    return hits.groupBy("a_key").agg(
+        F.count("*").alias("n_overlaps"),
+        F.min("b_key").alias("first_b"))

@@ -1838,3 +1838,126 @@ class TestTemporalNullParity:
                                                 iterations=2).collect()}
         assert set(got) == {0, 1}
         assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+class TestIntervalJoin:
+    """operators/temporal.interval_join — overlap semantics, exactly-once
+    pair emission (no dedup shuffle), never a nested-loop plan."""
+
+    def _data(self, spark):
+        a = spark.createDataFrame(
+            [(0, 10, "a1"), (5, 25, "a2"), (30, 31, "a3"), (7, 8, "a4")],
+            "s int, e int, aid string")
+        b = spark.createDataFrame(
+            [(8, 12, "b1"), (0, 6, "b2"), (24, 40, "b3"), (31, 32, "b4")],
+            "ws int, we int, bid string")
+        return a, b
+
+    def test_matches_brute_force_across_widths(self, spark):
+        from hades_spark.operators.temporal import interval_join
+
+        a, b = self._data(spark)
+        arows = [(r.s, r.e, r.aid) for r in a.collect()]
+        brows = [(r.ws, r.we, r.bid) for r in b.collect()]
+        exp = {(aid, bid) for s, e, aid in arows for ws, we, bid in brows
+               if s < we and ws < e}
+        for w in (1, 3, 7, 64):
+            rows = interval_join(a, b, "s", "e", "ws", "we",
+                                 bucket_width=w).collect()
+            got = [(r.aid, r.bid) for r in rows]
+            # exactly once per pair: the start-bucket filter IS the dedup
+            assert len(got) == len(set(got)), (w, got)
+            assert set(got) == exp, w
+
+    def test_keyed_overlap(self, spark):
+        from hades_spark.operators.temporal import interval_join
+
+        a = spark.createDataFrame(
+            [(1, 0, 10, "a1"), (2, 0, 10, "a2")], "k int, s int, e int, aid string")
+        b = spark.createDataFrame(
+            [(1, 5, 6, "b1"), (2, 50, 60, "b2")], "k int, ws int, we int, bid string")
+        got = {(r.aid, r.bid)
+               for r in interval_join(a, b, "s", "e", "ws", "we", on="k",
+                                      bucket_width=4).collect()}
+        assert got == {("a1", "b1")}
+
+    def test_plan_no_nested_loop(self, spark):
+        from hades_spark.operators.temporal import interval_join
+
+        a, b = self._data(spark)
+        plan = interval_join(a, b, "s", "e", "ws", "we", bucket_width=4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+
+class TestTemporalFuzz:
+    """Hypothesis property fuzz: asof_join and interval_join equal their
+    Python brute-force definitions on arbitrary small tables (keys
+    collide, timestamps tie, sides go empty)."""
+
+    def test_asof_join_property(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hades_spark.operators.temporal import asof_join
+
+        lrow = st.tuples(st.integers(0, 3), st.integers(0, 30))
+        rrow = st.tuples(st.integers(0, 3), st.integers(0, 30),
+                         st.integers(0, 99))
+
+        @settings(max_examples=12, deadline=None)
+        @given(lrows=st.lists(lrow, max_size=10),
+               rrows=st.lists(rrow, max_size=10),
+               direction=st.sampled_from(["backward", "forward"]))
+        def run(lrows, rrows, direction):
+            # operator contract: right unique per (key, ts)
+            rmap = {(k, ts): v for k, ts, v in rrows}
+            rrows = [(k, ts, v) for (k, ts), v in rmap.items()]
+            left = spark.createDataFrame(
+                [(k, ts, i) for i, (k, ts) in enumerate(lrows)],
+                "k int, ts int, lid int")
+            right = spark.createDataFrame(rrows, "k int, rts int, v int") \
+                if rrows else spark.createDataFrame([], "k int, rts int, v int")
+            got = {r.lid: (r.rts, r.v)
+                   for r in asof_join(left, right, "k", "ts",
+                                      "rts", direction=direction).collect()}
+            assert set(got) == set(range(len(lrows)))
+            for i, (k, ts) in enumerate(lrows):
+                cand = [(rts, v) for rk, rts, v in rrows if rk == k
+                        and (rts <= ts if direction == "backward"
+                             else rts >= ts)]
+                exp = ((max(cand) if direction == "backward" else min(cand))
+                       if cand else (None, None))
+                assert got[i] == exp, (i, k, ts, direction, got[i], exp)
+
+        run()
+
+    def test_interval_join_property(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hades_spark.operators.temporal import interval_join
+
+        iv = st.tuples(st.integers(-5, 25), st.integers(0, 10))
+
+        @settings(max_examples=12, deadline=None)
+        @given(avs=st.lists(iv, max_size=8), bvs=st.lists(iv, max_size=8),
+               w=st.sampled_from([1, 2, 5, 16]))
+        def run(avs, bvs, w):
+            arows = [(s, s + d, i) for i, (s, d) in enumerate(avs)]
+            brows = [(s, s + d, i) for i, (s, d) in enumerate(bvs)]
+            a = spark.createDataFrame(arows, "s int, e int, aid int") \
+                if arows else spark.createDataFrame([], "s int, e int, aid int")
+            b = spark.createDataFrame(brows, "ws int, we int, bid int") \
+                if brows else spark.createDataFrame(
+                    [], "ws int, we int, bid int")
+            got = [(r.aid, r.bid)
+                   for r in interval_join(a, b, "s", "e", "ws", "we",
+                                          bucket_width=w).collect()]
+            exp = {(aid, bid) for s, e, aid in arows for ws, we, bid in brows
+                   if s < we and ws < e}
+            assert len(got) == len(set(got)), (w, got)
+            assert set(got) == exp, (w, got, exp)
+
+        run()
