@@ -252,3 +252,53 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+) -> DataFrame:
+    """-> (node, distance): minimum path weight from any seed within
+    ``max_hops`` edges — synchronous Bellman-Ford rounds (the weighted
+    companion to ``bfs``; AQL exposes the same shape as
+    ``SHORTEST_PATH ... OPTIONS {weightAttribute}``).
+
+    Parallel edges collapse to their minimum weight first (a cheaper path
+    can never come from a heavier duplicate). Each round is one join on
+    the current distance frontier (edges pre-partitioned by ``src`` and
+    persisted once, so only the distance frame moves) + one min-combine
+    groupBy — both map-side combinable, the pagerank shuffle shape.
+    Distances are checkpoint-truncated per round: ``max_hops`` compounded
+    joins otherwise double the plan each round.
+
+    Negative weights are allowed BY the relaxation (it is Bellman-Ford),
+    but with bounded hops the result is then "cheapest ≤ max_hops-hop
+    path", not a shortest-path fixpoint; no negative-cycle detection.
+    """
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                     F.col(weight).cast("double").alias("_w"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()
+                & F.col("_w").isNotNull())
+        .groupBy("_s", "_d").agg(F.min("_w").alias("_w"))
+        .repartition("_s")
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(F.col(node).alias("node"),
+                        F.lit(0.0).alias("distance")) \
+        .dropDuplicates(["node"]).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        relax = dist.join(e, dist["node"] == e["_s"]).select(
+            F.col("_d").alias("node"),
+            (F.col("distance") + F.col("_w")).alias("distance"))
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node").agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

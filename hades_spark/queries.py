@@ -2629,3 +2629,40 @@ def tj_interval_q(spark: SparkSession, sf: str) -> DataFrame:
     return hits.groupBy("a_key").agg(
         F.count("*").alias("n_overlaps"),
         F.min("b_key").alias("first_b"))
+
+
+def _wsp_oracle(hops: int = 3) -> str:
+    """Unrolled bounded-hop Bellman-Ford over the deterministic
+    user-interaction graph (src=user_id, dst=(user_id+event_id)%150,
+    weight=min event value) — the DuckDB twin of the Spark rounds."""
+    head = """
+WITH e AS (SELECT user_id AS s, (user_id + event_id) % 150 AS d,
+                  min(value) AS w
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0e0 AS distance)"""
+    its = []
+    for k in range(1, hops + 1):
+        its.append(f""",
+d{k} AS (SELECT node, min(distance) AS distance FROM (
+  SELECT node, distance FROM d{k - 1}
+  UNION ALL
+  SELECT e.d AS node, p.distance + e.w AS distance
+  FROM d{k - 1} p JOIN e ON e.s = p.node) GROUP BY node)""")
+    return (head + "".join(its)
+            + f"\nSELECT node, round(distance, 4) AS distance FROM d{hops}")
+
+
+@register("j11_weighted_paths", _wsp_oracle())
+def j11_weighted_q(spark: SparkSession, sf: str) -> DataFrame:
+    # bounded-hop Bellman-Ford from user 0 over the event-interaction
+    # graph; the oracle unrolls the identical relaxation rounds as CTEs
+    from .operators.graph import weighted_shortest_paths
+
+    ev = load_table(spark, sf, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") + F.col("event_id")) % 150).alias("dst"),
+        F.col("value").alias("weight"))
+    seeds = spark.createDataFrame([(0,)], "node long")
+    dist = weighted_shortest_paths(edges, seeds, max_hops=3)
+    return dist.select("node", F.round("distance", 4).alias("distance"))

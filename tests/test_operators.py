@@ -1961,3 +1961,63 @@ class TestTemporalFuzz:
             assert set(got) == exp, (w, got, exp)
 
         run()
+
+
+class TestWeightedShortestPaths:
+    """operators/graph.weighted_shortest_paths — bounded-hop Bellman-Ford
+    vs a Python brute force."""
+
+    EDGES = [(0, 1, 5.0), (0, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0),
+             (2, 3, 10.0), (3, 4, 1.0), (5, 0, 2.0),
+             (0, 2, 7.0)]  # parallel edge: min must win
+
+    def _brute(self, seeds, hops):
+        best = {s: 0.0 for s in seeds}
+        emin: dict = {}
+        for s, d, w in self.EDGES:
+            emin[(s, d)] = min(w, emin.get((s, d), w))
+        for _ in range(hops):
+            nxt = dict(best)
+            for (s, d), w in emin.items():
+                if s in best and best[s] + w < nxt.get(d, float("inf")):
+                    nxt[d] = best[s] + w
+            best = nxt
+        return best
+
+    @pytest.mark.parametrize("hops", [1, 2, 4])
+    def test_matches_brute_force(self, spark, hops):
+        from hades_spark.operators.graph import weighted_shortest_paths
+
+        edges = spark.createDataFrame(self.EDGES,
+                                      "src int, dst int, weight double")
+        seeds = spark.createDataFrame([(0,)], "node int")
+        got = {r.node: r.distance
+               for r in weighted_shortest_paths(edges, seeds,
+                                                max_hops=hops).collect()}
+        assert got == self._brute({0}, hops), hops
+        # node 5 only reaches 0, never the other way: must be absent
+        assert 5 not in got
+
+    def test_multi_seed_takes_min(self, spark):
+        from hades_spark.operators.graph import weighted_shortest_paths
+
+        edges = spark.createDataFrame(self.EDGES,
+                                      "src int, dst int, weight double")
+        seeds = spark.createDataFrame([(0,), (5,), (5,)], "node int")
+        got = {r.node: r.distance
+               for r in weighted_shortest_paths(edges, seeds,
+                                                max_hops=3).collect()}
+        assert got == self._brute({0, 5}, 3)
+        assert got[5] == 0.0
+
+    def test_null_rows_ignored(self, spark):
+        from hades_spark.operators.graph import weighted_shortest_paths
+
+        edges = spark.createDataFrame(
+            self.EDGES + [(0, None, 1.0), (None, 1, 1.0), (0, 4, None)],
+            "src int, dst int, weight double")
+        seeds = spark.createDataFrame([(0,)], "node int")
+        got = {r.node: r.distance
+               for r in weighted_shortest_paths(edges, seeds,
+                                                max_hops=4).collect()}
+        assert got == self._brute({0}, 4)
