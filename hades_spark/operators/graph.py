@@ -221,7 +221,15 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
-    ed = e.join(deg, "_s").repartition("_s").localCheckpoint(eager=True)
+    # persist (NOT localCheckpoint): InMemoryTableScan advertises the
+    # cached plan's outputPartitioning, so the per-iteration join reuses
+    # the one-time repartition("_s") — a checkpointed RDD scan reports
+    # UnknownPartitioning and Spark would re-exchange the (web-scale) edge
+    # table EVERY round (measured)
+    ed = e.join(deg, "_s").repartition("_s").persist()
+    ed.count()
+    sinks = nodes.join(deg.withColumnRenamed("_s", "node"),
+                       "node", "left_anti").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
@@ -240,8 +248,7 @@ def pagerank(
         )
         if dangling == "redistribute":
             sink_mass = (
-                ranks.join(deg.withColumnRenamed("_s", "node"),
-                           "node", "left_anti")
+                ranks.join(sinks, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_sm"))
             )
             nxt = nxt.crossJoin(F.broadcast(sink_mass)).select(
@@ -251,6 +258,8 @@ def pagerank(
         ranks = nxt
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
     return ranks
 
 
@@ -287,8 +296,12 @@ def weighted_shortest_paths(
                 & F.col("_w").isNotNull())
         .groupBy("_s", "_d").agg(F.min("_w").alias("_w"))
         .repartition("_s")
-        .localCheckpoint(eager=True)
+        # persist keeps outputPartitioning visible to every round's join;
+        # a localCheckpoint would force a re-exchange of the edge table
+        # per round (see pagerank)
+        .persist()
     )
+    e.count()
     dist = seeds.select(F.col(node).alias("node"),
                         F.lit(0.0).alias("distance")) \
         .dropDuplicates(["node"]).localCheckpoint(eager=True)
@@ -301,4 +314,5 @@ def weighted_shortest_paths(
             .groupBy("node").agg(F.min("distance").alias("distance"))
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return dist
