@@ -177,6 +177,23 @@ def main() -> int:
               or "BroadcastHashJoin" in p)),
     ])
 
+    # interval-overlap join: same bucketed shape, and the exactly-once
+    # pair emission comes from the start-bucket filter — the raw operator
+    # plan contains NO aggregate/dedup node at all
+    from hades_spark.operators.temporal import interval_join
+
+    iva = spark.createDataFrame([(0, 10, "a1")], "s int, e int, aid string")
+    ivb = spark.createDataFrame([(5, 8, "b1")], "ws int, we int, bid string")
+    check("interval_join",
+          interval_join(iva, ivb, "s", "e", "ws", "we", bucket_width=4), [
+              ("no nested loop",
+               lambda p: "BroadcastNestedLoop" not in p
+               and "CartesianProduct" not in p),
+              ("exactly-once without a dedup node",
+               lambda p: "HashAggregate" not in p
+               and "SortAggregate" not in p),
+          ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
