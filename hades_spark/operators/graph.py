@@ -208,6 +208,10 @@ def pagerank(
     """
     if dangling not in ("redistribute", "ignore"):
         raise ValueError(f"dangling must be redistribute/ignore: {dangling}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 (lineage truncation is what "
+            f"keeps the iterated plan compilable): {checkpoint_every}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
              .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()) \
              .dropDuplicates(["_s", "_d"])

@@ -107,16 +107,9 @@ def kmv_union(
     minima of the merged hash values (no approximation added by the
     merge). Input sketches' k must be >= this k."""
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    merged = (
-        a.select(*groups, "hu").unionByName(b.select(*groups, "hu"))
-        .dropDuplicates(groups + ["hu"])
-    )
-    w = Window.partitionBy(*groups).orderBy("hu")
-    return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return kmv_sketch_from_hashes(
+        a.select(*groups, "hu").unionByName(b.select(*groups, "hu")),
+        groups, "hu", k)
 
 
 def kmv_jaccard(

@@ -140,9 +140,13 @@ def asof_join(
         frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         matched = F.first("_rrow", ignorenulls=True).over(frame)
 
+    # a NULL left timestamp can never satisfy the ASOF comparison either:
+    # NULLs sort FIRST ascending, which is accidentally correct backward
+    # (nothing precedes them) but would hand forward rows the whole right
+    # side — guard both directions explicitly
     out = (
         lu.unionByName(ru)
-        .withColumn("_m", matched)
+        .withColumn("_m", F.when(F.col("_ts").isNotNull(), matched))
         .filter(F.col("_side") == l_side)
     )
     if tolerance is not None:
@@ -219,7 +223,14 @@ def range_join(
     # left: re-attach points that matched nothing. The anti side works on
     # the ALREADY-BUCKETED frames (no second scan of points' lineage).
     hit_keys = matched.select(*points.columns).dropDuplicates(points.columns)
-    misses = points.join(hit_keys, points.columns, "left_anti")
+    # null-SAFE anti equality: with plain column-list equality a matched
+    # point row carrying a NULL in ANY column never equals its own
+    # hit_keys row and would be re-emitted as a spurious miss
+    anti_cond = None
+    for c in points.columns:
+        eq = points[c].eqNullSafe(hit_keys[c])
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    misses = points.join(hit_keys, anti_cond, "left_anti")
     for c in intervals.columns:
         if c not in keys:
             misses = misses.withColumn(
@@ -279,4 +290,3 @@ def interval_join(
         .filter(overlap & (F.col("_bk") == start_bucket))
         .drop("_bk")
     )
-    return _one(a_col, a), _one(b_col, b)

@@ -2586,7 +2586,10 @@ def sk_kmv_q(spark: SparkSession, sf: str) -> DataFrame:
                                    normalized_hash)
 
     ev = load_table(spark, sf, "events")
-    ev.select("event_type", normalized_hash(F.col("user_id")).alias("hu")) \
+    # NULL user_ids must not become a phantom distinct value (xxhash64 of
+    # NULL is the seed constant) — same filter kmv_sketch applies
+    ev.filter(F.col("user_id").isNotNull()) \
+        .select("event_type", normalized_hash(F.col("user_id")).alias("hu")) \
         .write.mode("overwrite").parquet(f"{_KMV_STAGE}/hashes")
     hashed = spark.read.parquet(f"{_KMV_STAGE}/hashes")
     sk = kmv_sketch_from_hashes(hashed, "event_type", "hu", k=32)

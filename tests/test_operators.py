@@ -2021,3 +2021,56 @@ class TestWeightedShortestPaths:
                for r in weighted_shortest_paths(edges, seeds,
                                                 max_hops=4).collect()}
         assert got == self._brute({0}, 4)
+
+
+class TestReviewRegressions:
+    """Regressions from the round-5 session-10 code review."""
+
+    def test_asof_forward_null_left_ts_never_matches(self, spark):
+        from hades_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([(1, None, "e1"), (1, 4, "e2")],
+                                     "k int, ts int, eid string")
+        right = spark.createDataFrame([(1, 5, 0.5), (1, 20, 2.0)],
+                                      "k int, rts int, v double")
+        for direction in ("forward", "backward"):
+            got = {r.eid: (r.rts, r.v)
+                   for r in asof_join(left, right, "k", "ts", "rts",
+                                      direction=direction).collect()}
+            assert got["e1"] == (None, None), direction
+        fwd = {r.eid: (r.rts, r.v)
+               for r in asof_join(left, right, "k", "ts", "rts",
+                                  direction="forward").collect()}
+        assert fwd["e2"] == (5, 0.5)
+
+    def test_range_join_left_null_payload_not_duplicated(self, spark):
+        from hades_spark.operators.temporal import range_join
+
+        pts = spark.createDataFrame([(5, None), (50, "x")],
+                                    "ts int, pid string")
+        ivs = spark.createDataFrame([(0, 10, "w1")],
+                                    "s int, e int, name string")
+        rows = range_join(pts, ivs, "ts", "s", "e", bucket_width=4,
+                          how="left").collect()
+        # the NULL-payload matched point must appear EXACTLY once (as a
+        # match), the unmatched point exactly once (as a miss)
+        assert sorted((r.ts, r.pid, r.name) for r in rows) == \
+            [(5, None, "w1"), (50, "x", None)]
+
+    def test_pagerank_checkpoint_every_validated(self, spark):
+        from hades_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+        with pytest.raises(ValueError, match="checkpoint_every"):
+            pagerank(edges, checkpoint_every=0)
+
+    def test_kmv_union_validates_k(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sketch import kmv_sketch, kmv_union
+
+        df = spark.range(5).select(F.lit("g").alias("g"),
+                                   F.col("id").alias("v"))
+        sk = kmv_sketch(df, "g", "v", k=8)
+        with pytest.raises(ValueError, match="k must be"):
+            kmv_union(sk, sk, "g", k=1)
