@@ -1902,8 +1902,12 @@ class TestTemporalFuzz:
 
         from hades_spark.operators.temporal import asof_join
 
-        lrow = st.tuples(st.integers(0, 3), st.integers(0, 30))
-        rrow = st.tuples(st.integers(0, 3), st.integers(0, 30),
+        # timestamps include None: SQL ASOF comparisons with NULL never
+        # match on either side (a fuzz gap the session-10 review caught)
+        lrow = st.tuples(st.integers(0, 3),
+                         st.one_of(st.none(), st.integers(0, 30)))
+        rrow = st.tuples(st.integers(0, 3),
+                         st.one_of(st.none(), st.integers(0, 30)),
                          st.integers(0, 99))
 
         @settings(max_examples=12, deadline=None)
@@ -1924,7 +1928,8 @@ class TestTemporalFuzz:
                                       "rts", direction=direction).collect()}
             assert set(got) == set(range(len(lrows)))
             for i, (k, ts) in enumerate(lrows):
-                cand = [(rts, v) for rk, rts, v in rrows if rk == k
+                cand = [(rts, v) for rk, rts, v in rrows
+                        if rk == k and rts is not None and ts is not None
                         and (rts <= ts if direction == "backward"
                              else rts >= ts)]
                 exp = ((max(cand) if direction == "backward" else min(cand))
