@@ -93,6 +93,56 @@ def minhash_dedup(
     )
 
 
+def resolve_survivors(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    order_by: list,
+    a_col: str = "a",
+    b_col: str = "b",
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Near-dup cluster resolution: pairs -> connected components -> ONE
+    survivor per cluster by an explicit quality policy.
+
+    ``minhash_dedup`` keeps the min id — fine for tests, wrong for corpus
+    building, where the survivor should be the BEST member (longest /
+    highest quality score), not the lexicographic first. ``order_by`` is a
+    list of Columns over ``df`` ranking cluster members best-first; ties
+    MUST be broken by a unique column (append ``F.col(id_col)``) or the
+    survivor is nondeterministic.
+
+    Returns one row per cluster: (component, survivor <id_col>,
+    cluster_size). Singletons (rows matching nothing) are their own
+    clusters with component = own id, size 1 — the output is a full
+    partition of the corpus.
+
+    Scale shape: the pair set and therefore the component map are orders
+    of magnitude smaller than the corpus (only near-dups appear), so the
+    label join broadcasts; the survivor pick is one groupBy on component
+    — max_by avoids a corpus-wide sort-window. Nothing touches text.
+    """
+    from pyspark.sql import Column
+
+    from .components import connected_components
+
+    comp = connected_components(pairs, a_col, b_col,
+                                local_threshold=local_threshold)
+    labelled = (
+        df.join(F.broadcast(comp.withColumnRenamed("node", id_col)),
+                id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+    )
+    rank_cols = [c if isinstance(c, Column) else F.col(c) for c in order_by]
+    # max_by over a struct: struct comparison is lexicographic over fields,
+    # so encode "best-first" by negating/inverting in the caller's exprs
+    rank = F.struct(*[c.alias(f"_o{i}") for i, c in enumerate(rank_cols)])
+    return labelled.groupBy("component").agg(
+        F.max_by(F.col(id_col), rank).alias(id_col),
+        F.count("*").cast("bigint").alias("cluster_size"),
+    )
+
+
 def simhash_udf(bits: int = 64):
     """64-bit simhash over whitespace tokens (deterministic blake2b token
     hashes, +/-1 bit votes, sign -> bit)."""

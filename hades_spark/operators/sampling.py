@@ -1,0 +1,93 @@
+"""Deterministic hash-gated sampling — the dataset-mixing primitive.
+
+``DataFrame.sample`` draws from a per-partition RNG stream: the kept set
+changes with partitioning, task retries, and row order — unacceptable for
+training-data pipelines where a rerun must reproduce the same corpus and a
+doc's membership must not depend on cluster layout. The hash gate decides
+per KEY instead:
+
+    keep  <=>  pmod(xxhash64(seed, key), RESOLUTION) < fraction * RESOLUTION
+
+Properties the mixing use-case needs, all by construction:
+
+- **reproducible**: same (key, seed, fraction) -> same decision, on any
+  cluster, any partitioning, any Spark version with stable xxhash64;
+- **monotone in fraction**: the 10% sample is a SUBSET of the 20% sample
+  (same seed) — growing a mix never churns previously selected docs;
+- **consistent across tables**: any table sharing the key samples the same
+  entities — sampling docs and their chunks/embeddings stays aligned;
+- **pushdown-friendly**: the gate is a plain column predicate, so it
+  reaches the scan as a filter (no UDF barrier, no sample() RDD op).
+
+``stratified_mix`` applies per-group fractions (dataset mixing weights,
+e.g. per-language or per-quality-tier) via a broadcast weights map.
+
+The reference has no sampling story (single-node, full-corpus); this is
+north-rule training-data machinery, same family as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# gate resolution: fractions are quantized to 1/RESOLUTION. 2^20 keeps the
+# quantization error (< 1e-6) far below sampling noise at any real corpus
+# size while staying exactly representable in the integer domain.
+RESOLUTION = 1 << 20
+
+
+def sample_bucket(key_col, seed: int = 0) -> Column:
+    """Uniform bucket in [0, RESOLUTION) from the key — the gate's hash
+    axis. Seed participates as a leading hash input, so different seeds
+    give independent gates over the same keys."""
+    return F.pmod(F.xxhash64(F.lit(int(seed)), key_col), F.lit(RESOLUTION))
+
+
+def _threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    return int(round(fraction * RESOLUTION))
+
+
+def sample_gate(key_col, fraction: float, seed: int = 0) -> Column:
+    """Boolean keep-gate column: deterministic ``fraction`` of keys."""
+    return sample_bucket(key_col, seed) < F.lit(_threshold(fraction))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of KEYS (all rows of a kept key
+    survive — per-entity, not per-row, which is what doc-level pipelines
+    want). Pure filter: survives predicate pushdown to the scan."""
+    return df.filter(sample_gate(F.col(key_col), fraction, seed))
+
+
+def stratified_mix(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group deterministic sampling — dataset mixing weights.
+
+    ``fractions`` maps group values (e.g. languages, quality tiers) to
+    keep-fractions; groups absent from the map get ``default_fraction``.
+    The weights ride a literal ``map`` expression (broadcast by value in
+    the plan — no join), so the whole mix is ONE scan + ONE filter with
+    zero shuffles.
+    """
+    thresholds = {str(g): _threshold(fr) for g, fr in fractions.items()}
+    _threshold(default_fraction)  # validate range
+    mapping = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in kv])
+    thr = F.coalesce(
+        F.element_at(mapping, F.col(group_col).cast("string")),
+        F.lit(_threshold(default_fraction)),
+    )
+    return df.filter(sample_bucket(F.col(key_col), seed) < thr)

@@ -1,4 +1,4 @@
-"""KMV (k-minimum-values) distinct-count sketches.
+"""Mergeable sketches: KMV distinct counts + count-min frequency.
 
 The training-data questions at 10^12 rows are set-cardinality questions:
 distinct urls per host, distinct hosts per language, overlap between two
@@ -141,3 +141,139 @@ def kmv_jaccard(
         rho.alias("jaccard_est"),
         est.alias("union_est"),
         (rho * est).alias("intersection_est"))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+# The frequency twin of KMV: "how often does each host / entity / token
+# appear" at 10^12 rows, in depth x width counters instead of a
+# |distinct|-sized exact table. Estimates are ONE-SIDED (est >= true;
+# overestimate <= 2N/width with prob 1 - 2^-depth — Cormode & Muthukrishnan,
+# J. Algorithms 2005), and sketches MERGE by cell-wise addition, so per-day /
+# per-partition sketches combine without re-reading data. The heavy-hitter
+# readout feeds the skew machinery (operators/skew.py): the estimated hot
+# keys are exactly the keys worth salting.
+#
+# Everything is JVM column algebra — per row, ``depth`` (r, bucket) cells
+# via seeded xxhash64, one map-side-combinable groupBy. No UDFs, no
+# collects. The (r, bucket) shuffle key is uniform even when the VALUE
+# distribution is maximally skewed — the sketch of a skewed stream is
+# itself skew-free to compute.
+
+
+def _cms_validate(depth: int, width: int) -> None:
+    if depth < 1:
+        raise ValueError(f"cms depth must be >= 1: {depth}")
+    if width < 2:
+        raise ValueError(f"cms width must be >= 2: {width}")
+
+
+def cms_cells(value_col, depth: int, width: int) -> F.Column:
+    """array<struct<r,bucket>> of the ``depth`` counter cells a value
+    increments — row r uses xxhash64 seeded by r (an extra lit column),
+    pmod'd into [0, width)."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(F.xxhash64(F.lit(r), value_col), F.lit(width))
+            .cast("int").alias("bucket"),
+        )
+        for r in range(depth)
+    ])
+
+
+def cms_assignments(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """-> (val, r, bucket): one row per occurrence per sketch row — the
+    exploded cell increments. Exposed (rather than fused into
+    ``cms_sketch``) so a staged copy can be re-aggregated independently —
+    the DuckDB oracle consumes the same staged assignments."""
+    _cms_validate(depth, width)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("val"),
+                F.explode(cms_cells(F.col(value_col), depth, width))
+                .alias("cell"))
+        .select("val", "cell.r", "cell.bucket")
+    )
+
+
+def cms_sketch_from_assignments(assign: DataFrame) -> DataFrame:
+    """(val, r, bucket) occurrences -> (r, bucket, cnt) counters. Map-side
+    combinable; at most depth*width output rows regardless of input size."""
+    return assign.groupBy("r", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """-> (r, bucket, cnt) count-min counters over ``value_col``."""
+    return cms_sketch_from_assignments(
+        cms_assignments(df, value_col, depth, width))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — exactly the sketch of the concatenated streams."""
+    return (
+        a.select("r", "bucket", "cnt")
+        .unionByName(b.select("r", "bucket", "cnt"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    """-> (val, est_count) for each DISTINCT candidate value: min over the
+    value's ``depth`` cells. The sketch side is <= depth*width rows —
+    always broadcastable — so estimation is one broadcast join + one
+    groupBy on the candidate set, never a big shuffle. Cells with no
+    counter row are count 0 (the min short-circuits via coalesce)."""
+    _cms_validate(depth, width)
+    cand = (
+        candidates.filter(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("val")).distinct()
+        .select("val",
+                F.explode(cms_cells(F.col("val"), depth, width))
+                .alias("cell"))
+        .select("val", "cell.r", "cell.bucket")
+    )
+    joined = cand.join(F.broadcast(sketch), ["r", "bucket"], "left")
+    return joined.groupBy("val").agg(
+        F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_count"))
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 2048,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` values by estimated count (ties broken by value asc, so
+    the output is deterministic). ``candidates`` defaults to the stream's
+    own distinct values; at true web scale pass a cheap candidate set
+    (e.g. per-partition local top-k unioned) so the readout never
+    materializes the full distinct domain."""
+    sk = cms_sketch(df, value_col, depth, width)
+    est = cms_estimate(sk, candidates if candidates is not None else df,
+                       value_col, depth, width)
+    # (est desc, val asc) is a TOTAL order over distinct vals, so the
+    # TakeOrderedAndProject this compiles to is deterministic — no
+    # single-partition window needed for the readout
+    return est.orderBy(F.desc("est_count"), F.asc("val")).limit(k)

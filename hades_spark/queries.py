@@ -2669,3 +2669,145 @@ def j11_weighted_q(spark: SparkSession, sf: str) -> DataFrame:
     seeds = spark.createDataFrame([(0,)], "node long")
     dist = weighted_shortest_paths(edges, seeds, max_hops=3)
     return dist.select("node", F.round("distance", 4).alias("distance"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 eleventh session: CMS heavy hitters, survivor resolution,
+# deterministic dataset mixing (training-data ops; registered beyond the
+# driver's fixed 50-key window)
+# ---------------------------------------------------------------------------
+
+_CMS_STAGE = f"{STAGE_ROOT}/hades_cms_oracle_stage"
+
+_CMS_ORACLE = f"""
+WITH a AS (SELECT * FROM read_parquet('{_CMS_STAGE}/assignments/*.parquet')),
+counts AS (SELECT r, bucket, count(*) AS cnt FROM a GROUP BY 1, 2),
+cand AS (SELECT DISTINCT val, r, bucket FROM a),
+est AS (SELECT val, min(cnt) AS est_count
+        FROM cand JOIN counts USING (r, bucket) GROUP BY val)
+SELECT val, CAST(est_count AS BIGINT) AS est_count FROM est
+ORDER BY est_count DESC, val ASC LIMIT 10
+"""
+
+
+@register("sk_cms_heavy_hitters", _CMS_ORACLE)
+def cms_heavy_q(spark: SparkSession, sf: str) -> DataFrame:
+    # staged: the per-occurrence (val, r, bucket) cell increments go to
+    # parquet; the DuckDB oracle re-derives the counter table, the min-
+    # over-rows estimate, and the top-k readout from the SAME assignments
+    # the distributed tail consumes — verifying sketch-build, broadcast
+    # estimation, and the deterministic (est desc, val asc) readout.
+    from .operators.sketch import (cms_assignments, cms_estimate,
+                                   cms_sketch_from_assignments)
+
+    ev = load_table(spark, sf, "events")
+    cms_assignments(ev, "user_id", depth=4, width=2048) \
+        .write.mode("overwrite").parquet(f"{_CMS_STAGE}/assignments")
+    assign = spark.read.parquet(f"{_CMS_STAGE}/assignments")
+    sketch = cms_sketch_from_assignments(assign)
+    est = cms_estimate(sketch, assign, "val", depth=4, width=2048)
+    return est.orderBy(F.desc("est_count"), F.asc("val")).limit(10)
+
+
+@register("dedup_resolve_survivors", r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t
+  FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') ts FROM norm),
+idx AS (SELECT doc_id, ts,
+        unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+       array_to_string(ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') s
+       FROM idx),
+p0 AS (
+  SELECT a.doc_id a, b.doc_id b, count(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT p.a, p.b FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.7),
+edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+walk AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.r),
+comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+tok AS (SELECT doc_id,
+        len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+          AS n_tokens
+        FROM documents),
+ranked AS (
+  SELECT c.component, c.node,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY t.n_tokens DESC, c.node ASC) rn,
+    count(*) OVER (PARTITION BY c.component) sz
+  FROM comp c JOIN tok t ON t.doc_id = c.node)
+SELECT component, node AS survivor_id, CAST(sz AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+""")
+def dedup_resolve_q(spark: SparkSession, sf: str) -> DataFrame:
+    # end-to-end dedup tail: minhash pairs (num_hashes == bands, so LSH
+    # candidate loss is ~1e-17 — exact for oracle purposes, same argument
+    # as dedup_minhash_pairs) -> connected components -> keep the LONGEST
+    # member per cluster (ties: min doc_id). The oracle recomputes exact
+    # Jaccard pairs, transitive closure (recursive CTE), min-label
+    # components, and the argmax policy independently in DuckDB.
+    from .functions.text_analysis import token_count_col
+    from .operators.dedup import minhash_dedup_pairs, resolve_survivors
+
+    docs = load_table(spark, sf, "documents")
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text",
+                                threshold=0.7, num_hashes=32, bands=32)
+    ranked = docs.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    out = resolve_survivors(
+        ranked, "doc_id", pairs,
+        order_by=[F.col("n_tokens"), -F.col("doc_id")],
+        local_threshold=0)  # force the distributed CC path under the oracle
+    return out.select("component", F.col("doc_id").alias("survivor_id"),
+                      "cluster_size")
+
+
+_MIX_STAGE = f"{STAGE_ROOT}/hades_mix_oracle_stage"
+
+# thresholds quantized exactly like operators/sampling._threshold
+_MIX_FRACTIONS = {"en": 0.5, "zh": 1.0, "de": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SEED = 7
+
+
+def _mix_oracle() -> str:
+    from .operators.sampling import _threshold
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN {_threshold(fr)}"
+        for g, fr in _MIX_FRACTIONS.items())
+    return f"""
+WITH b AS (SELECT * FROM read_parquet('{_MIX_STAGE}/buckets/*.parquet'))
+SELECT d.doc_id, d.lang
+FROM documents d JOIN b USING (doc_id)
+WHERE b.bucket < CASE d.lang {cases}
+                 ELSE {_threshold(_MIX_DEFAULT)} END
+"""
+
+
+@register("mix_stratified_sample", _mix_oracle())
+def mix_stratified_q(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic dataset mixing: per-language keep fractions over a
+    # doc-id hash gate (reproducible across reruns/partitionings, unlike
+    # DataFrame.sample). Staged: the per-doc gate bucket goes to parquet;
+    # DuckDB applies the identical quantized thresholds to the staged
+    # buckets, so a hash match verifies the operator's gate arithmetic
+    # (seeded xxhash64 -> pmod -> per-group threshold map) end-to-end.
+    from .operators.sampling import sample_bucket, stratified_mix
+
+    docs = load_table(spark, sf, "documents")
+    docs.select("doc_id",
+                sample_bucket(F.col("doc_id"), _MIX_SEED).alias("bucket")) \
+        .write.mode("overwrite").parquet(f"{_MIX_STAGE}/buckets")
+    out = stratified_mix(docs, "doc_id", "lang", _MIX_FRACTIONS,
+                         default_fraction=_MIX_DEFAULT, seed=_MIX_SEED)
+    return out.select("doc_id", "lang")

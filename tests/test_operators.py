@@ -2079,3 +2079,223 @@ class TestReviewRegressions:
         sk = kmv_sketch(df, "g", "v", k=8)
         with pytest.raises(ValueError, match="k must be"):
             kmv_union(sk, sk, "g", k=1)
+
+
+class TestCmsSketch:
+    """Count-min: one-sided error, exactness at wide width, merge == concat
+    sketch, deterministic heavy-hitter readout."""
+
+    def _stream(self, spark, counts: dict[str, int]):
+        rows = [(v,) for v, n in counts.items() for _ in range(n)]
+        return spark.createDataFrame(rows, "val string")
+
+    def test_estimates_one_sided_and_exact_when_wide(self, spark):
+        from hades_spark.operators.sketch import cms_estimate, cms_sketch
+
+        counts = {f"v{i}": (i % 7) + 1 for i in range(50)}
+        df = self._stream(spark, counts)
+        # width >> distinct: no collisions possible to force, but one-sided
+        # error must hold regardless; at width 8192 estimates are exact whp
+        sk = cms_sketch(df, "val", depth=4, width=8192)
+        est = {r["val"]: r["est_count"]
+               for r in cms_estimate(sk, df, "val", 4, 8192).collect()}
+        assert set(est) == set(counts)
+        for v, true in counts.items():
+            assert est[v] >= true          # never underestimates
+            assert est[v] == true          # wide sketch: exact
+
+    def test_narrow_width_overestimates_never_under(self, spark):
+        from hades_spark.operators.sketch import cms_estimate, cms_sketch
+
+        counts = {f"k{i}": 3 for i in range(200)}
+        df = self._stream(spark, counts)
+        sk = cms_sketch(df, "val", depth=3, width=16)  # heavy collisions
+        est = cms_estimate(sk, df, "val", 3, 16).collect()
+        assert all(r["est_count"] >= 3 for r in est)
+        assert any(r["est_count"] > 3 for r in est)  # collisions visible
+
+    def test_merge_equals_concatenated_stream(self, spark):
+        from hades_spark.operators.sketch import cms_merge, cms_sketch
+
+        a = self._stream(spark, {"x": 5, "y": 2})
+        b = self._stream(spark, {"y": 4, "z": 1})
+        merged = cms_merge(cms_sketch(a, "val", 4, 64),
+                           cms_sketch(b, "val", 4, 64))
+        whole = cms_sketch(a.unionByName(b), "val", 4, 64)
+        m = {(r["r"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        w = {(r["r"], r["bucket"]): r["cnt"] for r in whole.collect()}
+        assert m == w
+
+    def test_heavy_hitters_match_exact_topk(self, spark):
+        from hades_spark.operators.sketch import cms_heavy_hitters
+
+        counts = {f"h{i:02d}": 100 - i for i in range(30)}
+        df = self._stream(spark, counts)
+        out = cms_heavy_hitters(df, "val", k=5, depth=4, width=4096).collect()
+        assert [(r["val"], r["est_count"]) for r in out] == [
+            (f"h{i:02d}", 100 - i) for i in range(5)]
+
+    def test_null_values_ignored_and_validation(self, spark):
+        import pytest as _pt
+
+        from hades_spark.operators.sketch import cms_sketch
+
+        df = spark.createDataFrame([("a",), (None,)], "val string")
+        total = (cms_sketch(df, "val", 2, 32)
+                 .agg({"cnt": "sum"}).collect()[0][0])
+        assert total == 2  # one occurrence x depth 2; NULL contributed none
+        with _pt.raises(ValueError):
+            cms_sketch(df, "val", 0, 32)
+        with _pt.raises(ValueError):
+            cms_sketch(df, "val", 4, 1)
+
+
+class TestDeterministicSampling:
+    def _docs(self, spark, n=2000):
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("grp"))
+
+    def test_reproducible_and_partitioning_invariant(self, spark):
+        from hades_spark.operators.sampling import deterministic_sample
+
+        df = self._docs(spark)
+        keep1 = {r["doc_id"] for r in
+                 deterministic_sample(df, "doc_id", 0.3, seed=1).collect()}
+        keep2 = {r["doc_id"] for r in
+                 deterministic_sample(df.repartition(13), "doc_id", 0.3,
+                                      seed=1).collect()}
+        assert keep1 == keep2 and len(keep1) > 0
+
+    def test_fraction_within_3_sigma(self, spark):
+        from hades_spark.operators.sampling import deterministic_sample
+
+        n, frac = 2000, 0.3
+        got = deterministic_sample(self._docs(spark, n), "doc_id",
+                                   frac, seed=2).count()
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        assert abs(got - n * frac) <= 3 * sigma
+
+    def test_monotone_in_fraction(self, spark):
+        from hades_spark.operators.sampling import deterministic_sample
+
+        df = self._docs(spark, 500)
+        small = {r["doc_id"] for r in
+                 deterministic_sample(df, "doc_id", 0.1, seed=3).collect()}
+        large = {r["doc_id"] for r in
+                 deterministic_sample(df, "doc_id", 0.4, seed=3).collect()}
+        assert small <= large
+
+    def test_consistent_across_tables(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.sampling import deterministic_sample
+
+        docs = self._docs(spark, 300)
+        chunks = docs.select("doc_id").withColumn(
+            "chunk", F.explode(F.array(F.lit(0), F.lit(1))))
+        kept_docs = {r["doc_id"] for r in
+                     deterministic_sample(docs, "doc_id", 0.25, 5).collect()}
+        kept_chunk_docs = {r["doc_id"] for r in deterministic_sample(
+            chunks, "doc_id", 0.25, 5).collect()}
+        assert kept_docs == kept_chunk_docs
+
+    def test_stratified_fractions_and_default(self, spark):
+        from hades_spark.operators.sampling import (deterministic_sample,
+                                                    stratified_mix)
+
+        df = self._docs(spark, 4000)  # groups 0..3, 1000 keys each
+        out = stratified_mix(df, "doc_id", "grp",
+                             {"0": 1.0, "1": 0.5, "2": 0.0},
+                             default_fraction=0.2, seed=9)
+        by = {r["grp"]: r["cnt"] for r in
+              out.groupBy("grp").agg(
+                  __import__("pyspark.sql.functions",
+                             fromlist=["count"]).count("*").alias("cnt"))
+              .collect()}
+        assert by.get("0") == 1000          # fraction 1.0: everything
+        assert "2" not in by                # fraction 0.0: nothing
+        for g, frac, n in [("1", 0.5, 1000), ("3", 0.2, 1000)]:
+            sigma = (n * frac * (1 - frac)) ** 0.5
+            assert abs(by[g] - n * frac) <= 3 * sigma
+        # a group's kept set == plain sample at that fraction (same gate)
+        only1 = {r["doc_id"] for r in out.filter("grp = '1'").collect()}
+        plain = {r["doc_id"] for r in deterministic_sample(
+            df.filter("grp = '1'"), "doc_id", 0.5, seed=9).collect()}
+        assert only1 == plain
+
+    def test_fraction_validation(self, spark):
+        import pytest as _pt
+
+        from hades_spark.operators.sampling import deterministic_sample
+
+        with _pt.raises(ValueError):
+            deterministic_sample(self._docs(spark, 10), "doc_id", 1.5)
+
+    def test_gate_pushes_to_scan(self, spark, tmp_path):
+        # the gate is a plain predicate: it must appear in the scan's
+        # PushedFilters-adjacent Filter, with NO Exchange and NO UDF
+        from hades_spark.operators.sampling import deterministic_sample
+
+        p = str(tmp_path / "docs")
+        self._docs(spark, 100).write.parquet(p)
+        plan = deterministic_sample(
+            spark.read.parquet(p), "doc_id", 0.5)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestResolveSurvivors:
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(edges, "a long, b long")
+
+    def test_longest_survivor_per_cluster(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.dedup import resolve_survivors
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (7, 9)],
+            "doc_id long, n_tokens long")
+        pairs = self._pairs(spark, [(1, 2), (2, 3)])
+        out = {r["component"]: (r["doc_id"], r["cluster_size"])
+               for r in resolve_survivors(
+                   docs, "doc_id", pairs,
+                   [F.col("n_tokens"), -F.col("doc_id")]).collect()}
+        # cluster {1,2,3}: max tokens 30 tied between 2 and 3 -> min id 2
+        assert out == {1: (2, 3), 4: (4, 1), 7: (7, 1)}
+
+    def test_both_cc_paths_agree(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.dedup import resolve_survivors
+
+        docs = spark.createDataFrame(
+            [(i, i % 13) for i in range(60)], "doc_id long, n_tokens long")
+        pairs = self._pairs(
+            spark, [(i, i + 1) for i in range(0, 40, 2)])  # 20 two-clusters
+        a = resolve_survivors(docs, "doc_id", pairs,
+                              [F.col("n_tokens"), -F.col("doc_id")],
+                              local_threshold=1_000_000)
+        b = resolve_survivors(docs, "doc_id", pairs,
+                              [F.col("n_tokens"), -F.col("doc_id")],
+                              local_threshold=0)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect()))
+
+    def test_partition_of_corpus(self, spark):
+        # cluster sizes sum to |docs|; every doc is in exactly one cluster
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.dedup import resolve_survivors
+
+        docs = spark.createDataFrame(
+            [(i, 1) for i in range(30)], "doc_id long, n_tokens long")
+        pairs = self._pairs(spark, [(0, 1), (1, 2), (5, 6)])
+        out = resolve_survivors(docs, "doc_id", pairs,
+                                [F.col("n_tokens"), -F.col("doc_id")])
+        rows = out.collect()
+        assert sum(r["cluster_size"] for r in rows) == 30
+        assert len(rows) == 30 - 3  # two merges in {0,1,2}, one in {5,6}

@@ -194,6 +194,34 @@ def main() -> int:
                and "SortAggregate" not in p),
           ])
 
+    # CMS estimation: the sketch side is <= depth*width rows by
+    # construction, so the estimate join MUST be a broadcast (a shuffled
+    # join here would re-exchange the corpus-sized candidate frame); the
+    # heavy-hitter readout MUST compile to TakeOrderedAndProject, never a
+    # global sort
+    from hades_spark.operators.sketch import cms_heavy_hitters
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    check("cms_heavy_hitters",
+          cms_heavy_hitters(ev, "user_id", k=10, depth=4, width=2048), [
+              ("sketch broadcast into estimation",
+               lambda p: "BroadcastHashJoin" in p),
+              ("top-k readout is TakeOrderedAndProject",
+               lambda p: "TakeOrderedAndProject" in p),
+          ])
+
+    # deterministic sampling: the hash gate is a plain predicate — whole
+    # plan is scan+filter+project, no Exchange, no Python eval node
+    from hades_spark.operators.sampling import stratified_mix
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    check("stratified_mix",
+          stratified_mix(docs, "doc_id", "lang", {"en": 0.5}, 0.1), [
+              ("zero shuffles", lambda p: "Exchange" not in p),
+              ("no Python eval in the gate",
+               lambda p: "BatchEvalPython" not in p and "ArrowEval" not in p),
+          ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
