@@ -2811,3 +2811,35 @@ def mix_stratified_q(spark: SparkSession, sf: str) -> DataFrame:
     out = stratified_mix(docs, "doc_id", "lang", _MIX_FRACTIONS,
                          default_fraction=_MIX_DEFAULT, seed=_MIX_SEED)
     return out.select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 twelfth session: bloom runtime-filter semi-join
+# ---------------------------------------------------------------------------
+
+
+@register("bf_bloom_semi_join", """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""")
+def bf_bloom_q(spark: SparkSession, sf: str) -> DataFrame:
+    # runtime-filter semi-join: lineitem (big) pruned by a 2^17-bit bloom
+    # of the urgent-order keys BEFORE the confirm join's exchange — the
+    # explicit form of Spark's runtime bloomFilter rewrite, exact because
+    # candidates are confirmed. The value-hash oracle is the plain IN
+    # semi-join: false positives must never survive to the output.
+    from .operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf, "lineitem")
+    urgent = load_table(spark, sf, "orders") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey",
+                           n_bits=1 << 17, n_hashes=5)
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"))

@@ -2299,3 +2299,114 @@ class TestResolveSurvivors:
         rows = out.collect()
         assert sum(r["cluster_size"] for r in rows) == 30
         assert len(rows) == 30 - 3  # two merges in {0,1,2}, one in {5,6}
+
+
+class TestBloomSemiJoin:
+    """Bloom runtime-filter pruning: exactness after confirm, fp-rate
+    bound on candidates, bitmap layout, null/empty edges, validation."""
+
+    def _sides(self, spark, n_big=4000, step=11):
+        big = spark.range(n_big).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+        small = spark.range(0, n_big, step).select(F.col("id").alias("sk"))
+        return big, small
+
+    def test_exact_vs_plain_semi_join(self, spark):
+        from hades_spark.operators.bloom import bloom_semi_join
+
+        big, small = self._sides(spark)
+        out = bloom_semi_join(big, small, "k", "sk",
+                              n_bits=1 << 13, n_hashes=5)
+        ref = big.join(small.withColumnRenamed("sk", "k"), "k", "left_semi")
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, ref.collect()))
+
+    def test_candidates_superset_and_fp_bounded(self, spark):
+        from hades_spark.operators.bloom import bloom_semi_join
+
+        big, small = self._sides(spark)
+        matches = big.join(
+            small.withColumnRenamed("sk", "k"), "k", "left_semi").count()
+        cand = bloom_semi_join(big, small, "k", "sk", n_bits=1 << 13,
+                               n_hashes=5, confirm=False)
+        n_cand = cand.count()
+        assert n_cand >= matches  # no false negatives, ever
+        # theory: n=364 keys, m=8192 bits, j=5 -> fp = (1-e^{-jn/m})^5
+        import math
+        n_keys, m, j = small.count(), 1 << 13, 5
+        fp = (1 - math.exp(-j * n_keys / m)) ** j
+        budget = (big.count() - matches) * max(fp * 5, 0.01)
+        assert n_cand - matches <= budget
+
+    def test_null_keys_both_sides(self, spark):
+        from hades_spark.operators.bloom import bloom_semi_join
+
+        big, small = self._sides(spark, n_big=500, step=7)
+        bn = big.withColumn("k", F.when(F.col("k") % 2 == 0, F.col("k")))
+        sn = small.withColumn("sk", F.when(F.col("sk") % 3 == 0,
+                                           F.col("sk")))
+        out = bloom_semi_join(bn, sn, "k", "sk", n_bits=1 << 10)
+        ref = bn.join(sn.withColumnRenamed("sk", "k"), "k", "left_semi")
+        assert sorted(r["k"] for r in out.collect()) == \
+            sorted(r["k"] for r in ref.collect())
+        # NULL never matches (semi-join semantics), even unconfirmed
+        cand = bloom_semi_join(bn, sn, "k", "sk", n_bits=1 << 10,
+                               confirm=False)
+        assert cand.filter(F.col("k").isNull()).count() == 0
+
+    def test_empty_small_side_prunes_everything(self, spark):
+        from hades_spark.operators.bloom import bloom_semi_join
+
+        big, small = self._sides(spark, n_big=200)
+        empty = small.filter(F.lit(False))
+        assert bloom_semi_join(big, empty, "k", "sk").count() == 0
+        assert bloom_semi_join(big, empty, "k", "sk",
+                               confirm=False).count() == 0
+
+    def test_bitmap_matches_reference_layout(self, spark):
+        # every built word must equal the OR of the masks of the distinct
+        # key positions computed independently row-at-a-time
+        from hades_spark.operators.bloom import bloom_build
+
+        n_bits, n_hashes = 1 << 9, 3
+        keys = spark.range(0, 97, 3).select(F.col("id").alias("k"))
+        words = bloom_build(keys, "k", n_bits, n_hashes).collect()[0][0]
+        pos = keys.select(F.explode(F.array(*[
+            F.pmod(F.xxhash64(F.lit(i), F.col("k")), F.lit(n_bits))
+            for i in range(n_hashes)])).alias("p")).collect()
+        expect: dict[int, int] = {}
+        for r in pos:
+            w, b = divmod(int(r["p"]), 64)
+            expect[w] = expect.get(w, 0) | (1 << b)
+
+        def signed(x):  # java long wraps
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        assert words == {w: signed(m) for w, m in expect.items()}
+
+    def test_validation(self, spark):
+        from hades_spark.operators.bloom import bloom_build, bloom_semi_join
+
+        big, small = self._sides(spark, n_big=10)
+        with pytest.raises(ValueError, match="multiple of 64"):
+            bloom_semi_join(big, small, "k", "sk", n_bits=100)
+        with pytest.raises(ValueError, match="n_hashes"):
+            bloom_semi_join(big, small, "k", "sk", n_hashes=0)
+        with pytest.warns(RuntimeWarning, match="large broadcast"):
+            bloom_build(small, "sk", n_bits=1 << 28)
+
+    def test_probe_runs_before_exchange(self, spark):
+        # the candidate plan must contain the getbit probe but NO shuffle
+        # of the big side: only the bloom build's own tiny exchanges
+        from hades_spark.operators.bloom import bloom_semi_join
+
+        big, small = self._sides(spark)
+        cand = bloom_semi_join(big, small, "k", "sk", confirm=False)
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "getbit" in plan
+        # exchanges present belong to the word/map aggregation (keyed on
+        # w / SinglePartition), never on the big side's key k
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "(k#" not in line and "k#" not in line.split(
+                    "hashpartitioning", 1)[1].split(")")[0]
