@@ -2843,3 +2843,102 @@ def bf_bloom_q(spark: SparkSession, sf: str) -> DataFrame:
     return hits.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+
+
+_CURATE_STAGE = f"{STAGE_ROOT}/hades_curate_oracle_stage"
+_CURATE_MIX = {"en": 0.5, "fr": 0.25}
+_CURATE_SEED = 11
+
+
+def _curate_oracle() -> str:
+    from .operators.sampling import _threshold
+
+    cases = " ".join(
+        f"WHEN '{g}' THEN {_threshold(fr)}" for g, fr in _CURATE_MIX.items())
+    return rf"""
+WITH RECURSIVE m AS (
+  SELECT doc_id, lang, text,
+    length(text) AS n_chars,
+    len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+      AS n_tokens,
+    CAST((length(text) - length(replace(text, '.', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, ',', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, '!', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, '?', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, ';', ''))) AS INT)
+    + CAST((length(text) - length(replace(text, ':', ''))) AS INT)
+      AS n_punct,
+    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents),
+q AS (
+  SELECT doc_id, lang, text, n_tokens, round(least(
+    0.2
+    + CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 0.3 ELSE 0.0 END
+    + CASE WHEN n_punct >= 1 THEN 0.2 ELSE 0.0 END
+    + CASE WHEN CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1)
+           BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END
+    + CASE WHEN CAST(n_upper AS DOUBLE) / greatest(n_chars, 1) <= 0.3
+           THEN 0.1 ELSE 0.0 END, 1.0), 2) AS quality
+  FROM m),
+qf AS (SELECT * FROM q WHERE quality >= 0.7),
+ek AS (SELECT min(doc_id) AS doc_id FROM qf
+       GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+u AS (SELECT qf.* FROM qf JOIN ek USING (doc_id)),
+norm AS (SELECT doc_id,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) t FROM u),
+toks AS (SELECT doc_id, string_split(t, ' ') ts FROM norm),
+idx AS (SELECT doc_id, ts,
+        unnest(range(1, greatest(len(ts) - 1, 2))) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+       array_to_string(ts[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') s
+       FROM idx),
+p0 AS (
+  SELECT a.doc_id a, b.doc_id b, count(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT p.a, p.b FROM p0 p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.7),
+edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+walk AS (
+  SELECT doc_id AS node, doc_id AS r FROM u
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.r),
+comp AS (SELECT node, min(r) AS component FROM walk GROUP BY node),
+ranked AS (
+  SELECT c.node,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY u.n_tokens DESC, c.node ASC) rn
+  FROM comp c JOIN u ON u.doc_id = c.node),
+kept AS (SELECT u.* FROM u JOIN ranked r
+         ON r.node = u.doc_id AND r.rn = 1),
+b AS (SELECT * FROM read_parquet('{_CURATE_STAGE}/buckets/*.parquet'))
+SELECT k.doc_id, k.lang, CAST(k.n_tokens AS BIGINT) AS n_tokens, k.quality
+FROM kept k JOIN b USING (doc_id)
+WHERE b.bucket < CASE k.lang {cases} ELSE {_threshold(1.0)} END
+"""
+
+
+@register("curate_corpus", _curate_oracle())
+def curate_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
+    # the capstone composition: quality gate -> exact dedup (min id per
+    # normalized-content group) -> minhash near-dup survivors (longest
+    # member wins; num_hashes == bands so LSH candidate loss is ~1e-17,
+    # exact for oracle purposes) -> per-language deterministic mix. The
+    # DuckDB oracle re-derives all four stages independently: rubric +
+    # min-id groups + exact-Jaccard transitive closure + argmax + the
+    # quantized hash-gate thresholds over the staged buckets.
+    from .operators.sampling import sample_bucket
+    from .pipeline.curation import curate_corpus
+
+    docs = load_table(spark, sf, "documents")
+    docs.select("doc_id",
+                sample_bucket(F.col("doc_id"), _CURATE_SEED).alias("bucket")) \
+        .write.mode("overwrite").parquet(f"{_CURATE_STAGE}/buckets")
+    return curate_corpus(
+        docs, min_quality=0.7, neardup_threshold=0.7,
+        mix_fractions=_CURATE_MIX, default_fraction=1.0, seed=_CURATE_SEED,
+        num_hashes=32, bands=32, local_threshold=0)
