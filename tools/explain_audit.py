@@ -222,6 +222,31 @@ def main() -> int:
                lambda p: "BatchEvalPython" not in p and "ArrowEval" not in p),
           ])
 
+    # bloom runtime-filter semi-join: the getbit probe must reach the big
+    # side BEFORE any exchange on its key — candidate plan has the probe
+    # and no hashpartitioning on the pruned key (only the bitmap build's
+    # own word/SinglePartition exchanges)
+    from hades_spark.operators.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    cand = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey",
+                           confirm=False)
+    check("bloom_prune", cand, [
+        ("bit probe in plan", lambda p: "getbit" in p),
+        ("no exchange on the pruned key",
+         lambda p: not any("l_orderkey" in seg.split(")")[0]
+                           for seg in p.split("Exchange hashpartitioning(")[1:])),
+    ])
+    confirmed = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    check("bloom_semi_join", confirmed, [
+        ("confirm join present",
+         lambda p: "LeftSemi" in p),
+        ("probe below the confirm join",
+         lambda p: "getbit" in p),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
