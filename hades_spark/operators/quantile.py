@@ -1,0 +1,146 @@
+"""Distributed quantiles via mergeable equi-width histograms.
+
+Exact quantiles need a global sort (a full-corpus range exchange — the
+single most expensive shuffle shape at 100 TB). This operator trades a
+bounded, tunable error for TWO narrow scans and a <= ``n_bins``-row
+aggregate:
+
+1. scan 1: global min/max (one partial-agg row per partition);
+2. scan 2: bin index = ``floor((x - min) / width)`` -> groupBy bin count
+   (map-side combinable, <= n_bins rows shuffle);
+3. readout: cumulative bin counts locate each requested quantile's bin;
+   linear interpolation inside the bin. Error <= bin width — for
+   ``n_bins = 4096`` that is (max-min)/4096, independent of row count.
+
+Histograms are MERGEABLE (bin-wise count sum when built over the same
+``(lo, width, n_bins)`` frame) — per-day/per-partition histograms
+combine without re-reading data, the property sketches need at scale
+(same contract as ``operators/sketch.kmv_union`` / ``cms_merge``).
+
+Everything is JVM column algebra — no UDF, no sort, no driver collect;
+the readout is a <= n_bins-row window over ONE partition (bounded by
+construction, like the CMS counter table).
+
+vs Spark's built-in ``approx_percentile`` (KLL): the built-in is the
+right default for one-shot queries; this exists for the MERGE workflow
+(incremental per-batch histograms, cross-dataset combination) and for
+oracle-exact verifiability — the staged (bin, cnt) table re-derives in
+DuckDB bit-for-bit, which no randomized sketch offers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _validate(n_bins: int) -> None:
+    if not 2 <= n_bins <= 1 << 20:
+        raise ValueError(f"n_bins must be in [2, 2^20]: {n_bins}")
+
+
+def hist_frame(df: DataFrame, value_col: str, n_bins: int = 4096) -> DataFrame:
+    """-> ONE row ``(lo, width)`` — the histogram frame over the column's
+    [min, max] range. Degenerate (all-equal, or empty) inputs get
+    width=0; downstream handles both."""
+    _validate(n_bins)
+    return df.filter(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    ).agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        ((F.max(F.col(value_col).cast("double"))
+          - F.min(F.col(value_col).cast("double"))) / n_bins).alias("width"),
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    frame: DataFrame,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """-> (bin, cnt) equi-width histogram of ``value_col`` under
+    ``frame``'s (lo, width). The frame rides in as a one-row broadcast
+    (the bloom/pagerank scalar pattern); the max value clamps into the
+    last bin. Rows outside [lo, lo + n_bins*width) clamp to the edge
+    bins, so histograms built under a SHARED frame stay mergeable even
+    when a later batch exceeds the original range (edge-bin error is
+    visible as mass at bin 0 / n_bins-1)."""
+    _validate(n_bins)
+    x = F.col(value_col).cast("double")
+    raw = F.when(F.col("width") > 0,
+                 F.floor((x - F.col("lo")) / F.col("width"))) \
+        .otherwise(F.lit(0))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(x))
+        .join(F.broadcast(frame))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bin-wise sum — exactly the histogram of the concatenated inputs
+    (valid only for histograms built under the SAME frame)."""
+    return (
+        a.select("bin", "cnt").unionByName(b.select("bin", "cnt"))
+        .groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    frame: DataFrame,
+    qs: list[float],
+    n_bins: int = 4096,
+) -> DataFrame:
+    """-> (q, value) per requested quantile, interpolated inside the
+    located bin. ``q``'s target rank uses the inclusive convention
+    rank = q * N (mass-fraction: the value below which at least q*N
+    rows fall) — the same convention the DuckDB oracle re-derives.
+
+    The cumulative window runs over the <= n_bins-row histogram in one
+    partition — bounded state, never the data."""
+    _validate(n_bins)
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .crossJoin(F.broadcast(
+            hist.agg(F.sum("cnt").cast("double").alias("n"))))
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    # the target bin is the FIRST whose cumulative count reaches q*N;
+    # q=0's rank clamps to an epsilon so it lands in the first non-empty
+    # bin (and interpolates to that bin's lower edge = the minimum)
+    target = F.greatest(F.col("q") * F.col("n"), F.lit(1e-12))
+    hit = (
+        cum.join(F.broadcast(qdf),
+                 (F.col("cum") >= target) & (F.col("prev") < target))
+    )
+    frac = F.when(F.col("cnt") > 0,
+                  (F.greatest(F.col("q") * F.col("n"), F.lit(1e-12))
+                   - F.col("prev")) / F.col("cnt")) \
+        .otherwise(F.lit(0.0))
+    val = F.col("lo") + (F.col("bin") + frac) * F.col("width")
+    return (
+        hit.join(F.broadcast(frame))
+        .select("q", val.alias("value"))
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+) -> DataFrame:
+    """One-call convenience: frame + histogram + readout."""
+    frame = hist_frame(df, value_col, n_bins)
+    hist = hist_build(df, value_col, frame, n_bins)
+    return hist_quantiles(hist, frame, qs, n_bins)

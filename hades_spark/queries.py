@@ -2942,3 +2942,39 @@ def curate_corpus_q(spark: SparkSession, sf: str) -> DataFrame:
         docs, min_quality=0.7, neardup_threshold=0.7,
         mix_fractions=_CURATE_MIX, default_fraction=1.0, seed=_CURATE_SEED,
         num_hashes=32, bands=32, local_threshold=0)
+
+
+@register("sk_hist_quantiles", """
+WITH v AS (SELECT CAST(value AS DOUBLE) x FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+f AS (SELECT min(x) lo, (max(x) - min(x)) / 256 AS width FROM v),
+h AS (SELECT CAST(least(greatest(
+        CASE WHEN width > 0 THEN floor((x - lo) / width) ELSE 0 END,
+        0), 255) AS INT) AS bin, count(*) AS cnt
+      FROM v, f GROUP BY 1),
+c AS (SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER (ORDER BY bin) - cnt AS prev,
+             (SELECT CAST(sum(cnt) AS DOUBLE) FROM h) AS n
+      FROM h),
+qs AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q),
+hit AS (SELECT q, bin, cnt, prev, n FROM c JOIN qs
+        ON c.cum >= greatest(q * n, 1e-12)
+       AND c.prev < greatest(q * n, 1e-12))
+SELECT q, round(lo + (bin + CASE WHEN cnt > 0
+         THEN (greatest(q * n, 1e-12) - prev) / cnt ELSE 0 END) * width, 6)
+       AS value
+FROM hit, f
+""")
+def sk_hist_quantiles_q(spark: SparkSession, sf: str) -> DataFrame:
+    # mergeable equi-width histogram quantiles over event values — two
+    # narrow scans + a <=256-row readout, no global sort. The oracle
+    # re-derives frame, binning, cumulative locate, and interpolation
+    # from the raw rows: both engines run the identical deterministic
+    # double arithmetic, so the value hash pins the whole pipeline.
+    from .operators.quantile import approx_quantiles
+
+    ev = load_table(spark, sf, "events")
+    out = approx_quantiles(ev, "value",
+                           [0.01, 0.25, 0.5, 0.75, 0.99], n_bins=256)
+    return out.select("q", F.round("value", 6).alias("value"))

@@ -2483,3 +2483,76 @@ class TestCurateCorpus:
         de_f = {r["doc_id"] for r in full.filter("lang='de'").collect()}
         de_h = {r["doc_id"] for r in half.filter("lang='de'").collect()}
         assert de_f == de_h  # de fraction unchanged -> identical keep set
+
+
+class TestHistQuantiles:
+    """Equi-width histogram quantiles: accuracy within bin width, merge
+    == whole, degenerate/dirty inputs, no-sort plan shape."""
+
+    def _uniform(self, spark, n=10_000):
+        return spark.range(n).select(F.col("id").cast("double").alias("x"))
+
+    def test_accuracy_within_bin_width(self, spark):
+        from hades_spark.operators.quantile import approx_quantiles
+
+        df = self._uniform(spark)
+        out = {r["q"]: r["value"] for r in approx_quantiles(
+            df, "x", [0.0, 0.1, 0.5, 0.9, 1.0], n_bins=256).collect()}
+        assert set(out) == {0.0, 0.1, 0.5, 0.9, 1.0}
+        for q, v in out.items():
+            assert abs(v - q * 9999) <= 9999 / 256 + 1e-6
+
+    def test_merge_equals_whole(self, spark):
+        from hades_spark.operators.quantile import (hist_build, hist_frame,
+                                                    hist_merge)
+
+        df = self._uniform(spark, 4000)
+        fr = hist_frame(df, "x", 128)
+        a, b = df.filter("x < 1500"), df.filter("x >= 1500")
+        merged = hist_merge(hist_build(a, "x", fr, 128),
+                            hist_build(b, "x", fr, 128))
+        whole = hist_build(df, "x", fr, 128)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, whole.collect()))
+
+    def test_out_of_frame_rows_clamp_to_edges(self, spark):
+        # a later batch exceeding the frame range lands in the edge bins
+        # (mergeability holds; error is visible, not silent corruption)
+        from hades_spark.operators.quantile import hist_build, hist_frame
+
+        base = self._uniform(spark, 1000)
+        fr = hist_frame(base, "x", 64)
+        wild = spark.createDataFrame([(-50.0,), (2000.0,)], "x double")
+        h = {r["bin"]: r["cnt"] for r in
+             hist_build(wild, "x", fr, 64).collect()}
+        assert h == {0: 1, 63: 1}
+
+    def test_degenerate_and_dirty(self, spark):
+        from hades_spark.operators.quantile import approx_quantiles
+
+        one = spark.createDataFrame([(7.5,)] * 9, "x double")
+        out = approx_quantiles(one, "x", [0.2, 0.8], 64).collect()
+        assert all(abs(r["value"] - 7.5) < 1e-9 for r in out)
+        dirty = self._uniform(spark).unionByName(
+            spark.createDataFrame([(None,), (float("nan"),)], "x double"))
+        med = approx_quantiles(dirty, "x", [0.5], 256).collect()[0]["value"]
+        assert abs(med - 4999.5) <= 9999 / 256
+
+    def test_validation(self, spark):
+        from hades_spark.operators.quantile import approx_quantiles
+
+        df = self._uniform(spark, 10)
+        with pytest.raises(ValueError, match="n_bins"):
+            approx_quantiles(df, "x", [0.5], n_bins=1)
+        with pytest.raises(ValueError, match="quantile"):
+            approx_quantiles(df, "x", [1.5])
+
+    def test_no_global_sort_in_plan(self, spark):
+        # the whole point: no rangepartitioning exchange anywhere — the
+        # only data-sized shuffle is the <=n_bins-row groupBy(bin)
+        from hades_spark.operators.quantile import approx_quantiles
+
+        df = self._uniform(spark)
+        out = approx_quantiles(df, "x", [0.5], 512)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan
