@@ -2978,3 +2978,107 @@ def sk_hist_quantiles_q(spark: SparkSession, sf: str) -> DataFrame:
     out = approx_quantiles(ev, "value",
                            [0.01, 0.25, 0.5, 0.75, 0.99], n_bins=256)
     return out.select("q", F.round("value", 6).alias("value"))
+
+
+_URL_SUFFIX_IN = ", ".join(
+    f"'{s}'" for s in __import__(
+        "hades_spark.functions.urls", fromlist=["TWO_LEVEL_SUFFIXES"]
+    ).TWO_LEVEL_SUFFIXES)
+
+_URL_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https' ELSE 'http' END
+    || '://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+    || source
+    || CASE WHEN doc_id % 5 = 0 THEN '.CO.UK' ELSE '.com' END
+    || CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 2 THEN ':80' ELSE '' END
+    || '/Docs//' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+    || '?utm_source=feed&b=2&a=' || CAST(doc_id % 7 AS VARCHAR)
+    || CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END
+    || '#sec' || CAST(doc_id % 3 AS VARCHAR) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS proto,
+    regexp_replace(lower(regexp_extract(
+      url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+      '^[^@]*@', '') AS auth0,
+    regexp_replace(regexp_extract(
+      url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
+      '/{{2,}}', '/', 'g') AS path0,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q0
+  FROM src),
+norm AS (
+  SELECT doc_id,
+    CASE WHEN proto = 'http' THEN regexp_replace(auth0, ':80$', '')
+         WHEN proto = 'https' THEN regexp_replace(auth0, ':443$', '')
+         ELSE auth0 END AS auth,
+    proto,
+    CASE WHEN regexp_replace(path0, '(.)/$', '\\1') = '' THEN '/'
+         ELSE regexp_replace(path0, '(.)/$', '\\1') END AS path,
+    array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      p -> p <> '' AND NOT regexp_matches(
+        p, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)'))), '&') AS qs
+  FROM parts),
+canon AS (
+  SELECT doc_id,
+    proto || '://' || auth || path
+      || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS norm_url,
+    regexp_replace(auth, ':[0-9]+$', '') AS host
+  FROM norm),
+dom AS (
+  SELECT doc_id, norm_url,
+    CASE WHEN len(labels) <= 1 THEN host
+         WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1])
+              IN ({_URL_SUFFIX_IN})
+           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS domain
+  FROM (SELECT doc_id, norm_url, host, string_split(host, '.') AS labels
+        FROM canon))
+SELECT domain, count(*) AS n_docs,
+       count(DISTINCT norm_url) AS n_urls,
+       min(norm_url) AS sample_url
+FROM dom GROUP BY domain
+"""
+
+
+@register("web_url_host_stats", _URL_ORACLE)
+def web_url_host_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    # URL canonicalization + registered-domain rollup — the crawl-identity
+    # primitive (reference keys collections on raw url strings; at scale
+    # "same page" must be an equi-join on the canonical form). Messy URLs
+    # are constructed deterministically from doc_id (mixed-case scheme and
+    # host, default and explicit ports, duplicate slashes, trailing slash,
+    # tracking params, unsorted params, fragments) and both engines
+    # normalize INDEPENDENTLY: Spark via try_parse_url column algebra
+    # (functions/urls.py), DuckDB via regexp/list re-derivation — the
+    # value hash pins every rule. Zero UDFs; one shuffle (the groupBy).
+    from .functions.urls import registered_domain, url_host, url_normalize
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    url = F.concat(
+        F.when(doc_id % 3 == 0, F.lit("HTTPS"))
+         .when(doc_id % 3 == 1, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(doc_id % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(doc_id % 5 == 0, F.lit(".CO.UK")).otherwise(F.lit(".com")),
+        F.when(doc_id % 3 == 0, F.lit(":443"))
+         .when(doc_id % 3 == 2, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Docs//"), doc_id.cast("string"),
+        F.when(doc_id % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b=2&a="), (doc_id % 7).cast("string"),
+        F.when(doc_id % 4 == 0, F.lit("&fbclid=xyz")).otherwise(F.lit("")),
+        F.lit("#sec"), (doc_id % 3).cast("string"))
+    canon = d.select(url_normalize(url).alias("norm_url"))
+    return (canon
+            .select("norm_url",
+                    registered_domain(url_host(F.col("norm_url")))
+                    .alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("norm_url").alias("n_urls"),
+                 F.min("norm_url").alias("sample_url")))

@@ -2556,3 +2556,63 @@ class TestHistQuantiles:
         out = approx_quantiles(df, "x", [0.5], 512)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "rangepartitioning" not in plan
+
+
+class TestUrlFunctions:
+    """functions/urls.py — canonicalization rules on urls nastier than the
+    oracle query constructs (userinfo, odd ports, bare hosts, invalid,
+    NULL), plus idempotence: normalize is a fixed point of itself."""
+
+    def _norm(self, spark, urls):
+        from hades_spark.functions.urls import url_normalize
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r[0] for r in df.select(url_normalize("url")).collect()]
+
+    def test_rules(self, spark):
+        got = self._norm(spark, [
+            "HTTPS://WWW.Site.CO.UK:443/Docs//7/?utm_source=x&b=2&a=1#f",
+            "http://User:Pw@H.com:80/p",
+            "https://h.com:8080/p?x=1&",          # non-default port kept
+            "http://h.com",                        # empty path -> /
+            "http://h.com//",                      # all-slash path -> /
+            "https://h.com/a/?ref=nav&utm_campaign=z",  # all params dropped
+            "ftp://x.org/a//b/",                   # non-http scheme: port rules off
+        ])
+        assert got == [
+            "https://www.site.co.uk/Docs/7?a=1&b=2",
+            "http://h.com/p",
+            "https://h.com:8080/p?x=1",
+            "http://h.com/",
+            "http://h.com/",
+            "https://h.com/a",
+            "ftp://x.org/a/b",
+        ]
+
+    def test_invalid_and_null_normalize_to_null(self, spark):
+        assert self._norm(spark, ["not a url", "http://", None]) \
+            == [None, None, None]
+
+    def test_idempotent(self, spark):
+        urls = ["HTTPS://WWW.Site.CO.UK:443/Docs//7/?utm_source=x&b=2&a=1#f",
+                "http://User@H.com:80/p?z=1&y=2", "https://h.com"]
+        once = self._norm(spark, urls)
+        assert self._norm(spark, once) == once
+
+    def test_registered_domain(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.functions.urls import registered_domain
+        hosts = ["www.site.co.uk", "a.b.site.com", "site.com", "com",
+                 "localhost", None, "x.gov.uk", "deep.a.b.co.jp"]
+        df = spark.createDataFrame([(h,) for h in hosts], "h string")
+        got = [r[0] for r in df.select(registered_domain(F.col("h"))).collect()]
+        assert got == ["site.co.uk", "site.com", "site.com", "com",
+                       "localhost", None, "x.gov.uk", "b.co.jp"]
+
+    def test_plan_is_udf_free(self, spark):
+        from hades_spark.functions.urls import registered_domain, url_host, \
+            url_normalize
+        df = spark.createDataFrame([("http://A.com/x",)], "url string")
+        plan = df.select(
+            registered_domain(url_host(url_normalize("url")))
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
