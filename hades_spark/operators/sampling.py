@@ -66,6 +66,66 @@ def deterministic_sample(
     return df.filter(sample_gate(F.col(key_col), fraction, seed))
 
 
+# hash-uniform resolution for the weighted path: 2^52 buckets keep the
+# mapped double's quantization (~2e-16) at the precision floor, so two
+# distinct keys practically never collide in u.
+UNIFORM_RESOLUTION = 1 << 52
+
+
+def uniform_unit(key_col, seed: int = 0) -> Column:
+    """Deterministic hash-uniform in (0, 1): (bucket + 0.5) / 2^52.
+    The +0.5 keeps u strictly inside the open interval — ln(u) is finite."""
+    b = F.pmod(F.xxhash64(F.lit(int(seed)), key_col),
+               F.lit(UNIFORM_RESOLUTION))
+    return (b + F.lit(0.5)) / F.lit(float(UNIFORM_RESOLUTION))
+
+
+def exp_sample_key(key_col, weight_col, seed: int = 0) -> Column:
+    """Efraimidis–Spirakis exponential sort key ``-ln(u) / w``: the k
+    SMALLEST keys are a weighted sample WITHOUT replacement with inclusion
+    probability proportional to weight (A-ES, Efraimidis & Spirakis 2006,
+    via the exponential-race equivalence u^(1/w) <-> -ln(u)/w)."""
+    return -F.log(uniform_unit(key_col, seed)) / weight_col.cast("double")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    score_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` keys.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    sampling mass). The global top-k by the exponential key plans as
+    TakeOrderedAndProject — per-partition heaps + a k-row merge on the
+    driver, no full sort shuffle — so this is scan-shaped at any corpus
+    size. Same determinism contract as the uniform gate: reruns, retries,
+    and repartitioning cannot change the sample.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0) & F.col(key_col).isNotNull())
+          .withColumn(score_col, exp_sample_key(F.col(key_col), w, seed))
+          .orderBy(score_col)
+          .limit(k)
+    )
+
+
+def weighted_gate(key_col, weight_col, rate: float, seed: int = 0) -> Column:
+    """Bernoulli keep-gate with per-key probability ``min(1, rate * w)`` —
+    the streaming-friendly companion to the fixed-k sampler (no global
+    top-k; expected yield rate*sum(w)). Plain predicate: pushes to scans."""
+    if rate < 0:
+        raise ValueError(f"rate must be non-negative: {rate}")
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * weight_col.cast("double"))
+    return uniform_unit(key_col, seed) < p
+
+
 def stratified_mix(
     df: DataFrame,
     key_col: str,

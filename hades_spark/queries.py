@@ -3082,3 +3082,34 @@ def web_url_host_stats_q(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.countDistinct("norm_url").alias("n_urls"),
                  F.min("norm_url").alias("sample_url")))
+
+
+_WS_STAGE = f"{STAGE_ROOT}/hades_wsample_oracle_stage"
+
+_WS_ORACLE = f"""
+WITH u AS (SELECT doc_id, u, w
+           FROM read_parquet('{_WS_STAGE}/uniforms/*.parquet')),
+r AS (SELECT doc_id, -ln(u) / w AS es_key FROM u WHERE w > 0)
+SELECT doc_id, round(es_key, 9) AS es_key
+FROM r ORDER BY es_key LIMIT 200
+"""
+
+
+@register("mix_weighted_sample", _WS_ORACLE)
+def mix_weighted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sample of 200 docs, inclusion
+    # probability proportional to doc length (the "sample long docs more"
+    # mixing policy). Staged oracle: only the raw hash-uniforms (and the
+    # weights) go to parquet; DuckDB re-derives the exponential race keys
+    # AND the top-k selection independently — the value hash pins the
+    # estimator math and the selection boundary. Spark side plans as
+    # TakeOrderedAndProject (per-partition heaps, no full sort shuffle).
+    from .operators.sampling import uniform_unit, weighted_sample_topk
+
+    docs = load_table(spark, sf, "documents")
+    docs.select("doc_id",
+                uniform_unit(F.col("doc_id"), seed=11).alias("u"),
+                F.col("n_chars").cast("double").alias("w")) \
+        .write.mode("overwrite").parquet(f"{_WS_STAGE}/uniforms")
+    picked = weighted_sample_topk(docs, "doc_id", "n_chars", k=200, seed=11)
+    return picked.select("doc_id", F.round("es_key", 9).alias("es_key"))

@@ -2616,3 +2616,70 @@ class TestUrlFunctions:
             registered_domain(url_host(url_normalize("url")))
         )._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestWeightedSampling:
+    """Efraimidis-Spirakis weighted sampling: weight-proportional
+    inclusion, partitioning-independence, dirt-row exclusion, and the
+    TakeOrderedAndProject plan shape (no full sort shuffle)."""
+
+    def _df(self, spark, n=200, heavy=10, hw=20.0):
+        rows = [(f"k{i}", hw if i < heavy else 1.0) for i in range(n)]
+        return spark.createDataFrame(rows, "key string, w double")
+
+    def test_weight_proportional_inclusion(self, spark):
+        from hades_spark.operators.sampling import weighted_sample_topk
+        df = self._df(spark).cache()
+        heavy_hits = total = 0
+        for seed in range(12):
+            got = {r.key for r in
+                   weighted_sample_topk(df, "key", "w", k=20, seed=seed)
+                   .select("key").collect()}
+            assert len(got) == 20
+            heavy_hits += sum(1 for k in got if int(k[1:]) < 10)
+            total += 20
+        df.unpersist()
+        # heavy keys carry 200/390 of the mass but are 5% of keys: under
+        # uniform sampling E[hits] = 12*20*0.05 = 12; weighted draws give
+        # E ~ 90+. 40 separates them at >10 sigma.
+        assert heavy_hits > 40, heavy_hits
+
+    def test_deterministic_across_partitioning(self, spark):
+        from hades_spark.operators.sampling import weighted_sample_topk
+        df = self._df(spark)
+        a = sorted(r.key for r in
+                   weighted_sample_topk(df, "key", "w", 15, seed=3).collect())
+        b = sorted(r.key for r in
+                   weighted_sample_topk(df.repartition(7), "key", "w", 15,
+                                        seed=3).collect())
+        assert a == b
+
+    def test_k_at_least_n_returns_all_valid(self, spark):
+        from hades_spark.operators.sampling import weighted_sample_topk
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("c", None), ("d", 0.0), (None, 5.0)],
+            "key string, w double")
+        got = sorted(r.key for r in
+                     weighted_sample_topk(df, "key", "w", 99).collect())
+        assert got == ["a", "b"]   # null/zero weight + null key excluded
+
+    def test_plan_is_take_ordered(self, spark):
+        from hades_spark.operators.sampling import weighted_sample_topk
+        plan = weighted_sample_topk(self._df(spark), "key", "w", 5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_weighted_gate_rate(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.sampling import weighted_gate
+        df = spark.range(4000).select(
+            F.col("id").cast("string").alias("key"),
+            F.when(F.col("id") % 2 == 0, 2.0).otherwise(0.5).alias("w"))
+        kept = df.filter(weighted_gate(F.col("key"), F.col("w"), rate=0.2))
+        n2 = kept.filter("w = 2.0").count()   # p = 0.4 of 2000
+        n5 = kept.filter("w = 0.5").count()   # p = 0.1 of 2000
+        assert abs(n2 - 800) < 120 and abs(n5 - 200) < 80
+        # p caps at 1: rate high enough keeps everything
+        assert df.filter(weighted_gate(F.col("key"), F.col("w"), 10)) \
+                 .count() == 4000
