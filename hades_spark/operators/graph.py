@@ -320,3 +320,72 @@ def weighted_shortest_paths(
         )
     e.unpersist()
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    include_self: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """-> (node, label) after ``iterations`` SYNCHRONOUS label-propagation
+    rounds over the undirected (symmetrized, deduped) edge set — community
+    detection over the materialized KG edges (the consumer the reference
+    serves from ArangoDB's graph API; cf. GraphFrames' labelPropagation).
+
+    Fully deterministic, unlike classic random-order LPA: every round each
+    node adopts the most frequent label among its neighbors (plus one vote
+    for its own current label when ``include_self`` — damps the 2-cycle
+    oscillation synchronous LPA exhibits on bipartite structures), ties
+    broken to the LEXICOGRAPHICALLY SMALLEST label. Determinism is what
+    makes the unrolled-CTE DuckDB oracle possible.
+
+    Scale shape mirrors ``pagerank``: the symmetrized edge table is
+    repartitioned by source and ``persist``-ed once (InMemoryTableScan
+    keeps the partitioning visible — a localCheckpoint would re-exchange
+    the web-scale edge table every round), so each round moves only the
+    (node, label) frame: one join + one map-side-combinable vote count +
+    one argmax agg. The argmax is ``min(struct(-cnt, label))`` — no window,
+    no extra shuffle beyond the vote groupBy.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1: {checkpoint_every}")
+    d = edges.select(F.col(src).cast("string").alias("_s"),
+                     F.col(dst).cast("string").alias("_d")) \
+             .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    sym = (
+        d.unionByName(d.select(F.col("_d").alias("_s"),
+                               F.col("_s").alias("_d")))
+        .filter(F.col("_s") != F.col("_d"))    # self-loops add no signal
+        .dropDuplicates(["_s", "_d"])
+        .repartition("_s")
+        .persist()
+    )
+    sym.count()
+    labels = sym.select(F.col("_s").alias("node")).dropDuplicates(["node"]) \
+                .withColumn("label", F.col("node")) \
+                .localCheckpoint(eager=True)
+    for i in range(iterations):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "_s"), "_s")
+               .select(F.col("_d").alias("node"), "label")
+        )
+        if include_self:
+            votes = votes.unionByName(labels)
+        nxt = (
+            votes.groupBy("node", "label").agg(F.count("*").alias("_cnt"))
+            .groupBy("node")
+            .agg(F.min(F.struct((-F.col("_cnt")).alias("nc"),
+                                F.col("label").alias("l"))).alias("_m"))
+            .select("node", F.col("_m.l").alias("label"))
+        )
+        labels = (nxt.localCheckpoint(eager=True)
+                  if (i + 1) % checkpoint_every == 0 or i == iterations - 1
+                  else nxt)
+    sym.unpersist()
+    return labels

@@ -3113,3 +3113,44 @@ def mix_weighted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
         .write.mode("overwrite").parquet(f"{_WS_STAGE}/uniforms")
     picked = weighted_sample_topk(docs, "doc_id", "n_chars", k=200, seed=11)
     return picked.select("doc_id", F.round("es_key", 9).alias("es_key"))
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation (self-vote, min-label ties)
+    as nested CTEs — the independent DuckDB twin of the Spark loop."""
+    head = """
+WITH d AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l_suppkey AS VARCHAR) AS t
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+sym AS (SELECT s, t FROM (SELECT s, t FROM d UNION SELECT t, s FROM d)
+        WHERE s <> t),
+lp0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"""
+    its = []
+    for k in range(1, iters + 1):
+        its.append(f""",
+v{k} AS (SELECT node, label, count(*) AS cnt FROM (
+    SELECT e.t AS node, l.label FROM sym e JOIN lp{k - 1} l ON l.node = e.s
+    UNION ALL SELECT node, label FROM lp{k - 1}) GROUP BY node, label),
+lp{k} AS (SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (
+      PARTITION BY node ORDER BY cnt DESC, label) AS rn FROM v{k})
+  WHERE rn = 1)""")
+    return head + "".join(its) + f"\nSELECT node, label FROM lp{iters}"
+
+
+@register("g3_label_propagation", _lpa_oracle())
+def g3_label_propagation_q(spark: SparkSession, sf: str) -> DataFrame:
+    # 3 synchronous LPA rounds over the symmetrized customer-supplier
+    # purchase graph (bipartite — exactly the structure where classic
+    # synchronous LPA oscillates; the self-vote damping makes rounds
+    # deterministic and convergent). The oracle unrolls the identical
+    # vote/argmax recurrence as nested CTEs: value hash pins every round.
+    from .operators.graph import label_propagation
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    e = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+    return label_propagation(e, iterations=3)

@@ -2683,3 +2683,63 @@ class TestWeightedSampling:
         # p caps at 1: rate high enough keeps everything
         assert df.filter(weighted_gate(F.col("key"), F.col("w"), 10)) \
                  .count() == 4000
+
+
+class TestLabelPropagation:
+    """operators/graph.label_propagation — planted-community recovery,
+    deterministic ties, dirt-row handling, and fixed-point stability."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_two_planted_communities(self, spark):
+        from hades_spark.operators.graph import label_propagation
+        # two 4-cliques joined by one bridge edge
+        a = [f"a{i}" for i in range(4)]
+        b = [f"b{i}" for i in range(4)]
+        rows = [(x, y) for grp in (a, b) for x in grp for y in grp if x < y]
+        rows.append(("a0", "b0"))
+        got = {r.node: r.label for r in label_propagation(
+            self._edges(spark, rows), iterations=6).collect()}
+        assert len({got[x] for x in a}) == 1
+        assert len({got[x] for x in b}) == 1
+        assert got["a1"] != got["b1"]
+
+    def test_fixed_point_stable(self, spark):
+        from hades_spark.operators.graph import label_propagation
+        rows = [(f"a{i}", f"a{j}") for i in range(4) for j in range(4) if i < j]
+        e = self._edges(spark, rows)
+        l4 = sorted(map(tuple, label_propagation(e, iterations=4).collect()))
+        l7 = sorted(map(tuple, label_propagation(e, iterations=7).collect()))
+        assert l4 == l7 == [(f"a{i}", "a0") for i in range(4)]
+
+    def test_dirt_rows_and_self_loops(self, spark):
+        from hades_spark.operators.graph import label_propagation
+        e = self._edges(spark, [("x", "y"), ("x", "x"), (None, "z"),
+                                ("y", None), ("y", "x")])
+        got = {r.node: r.label for r in
+               label_propagation(e, iterations=3).collect()}
+        # only the x-y component survives; min label wins
+        assert got == {"x": "x", "y": "x"}
+
+    def test_zero_iterations_identity(self, spark):
+        from hades_spark.operators.graph import label_propagation
+        got = sorted(map(tuple, label_propagation(
+            self._edges(spark, [("p", "q")]), iterations=0).collect()))
+        assert got == [("p", "p"), ("q", "q")]
+
+    def test_bipartite_without_self_vote_oscillates(self, spark):
+        from hades_spark.operators.graph import label_propagation
+        # K2,2: pure synchronous LPA swaps sides every round — the classic
+        # pathology. With the self-vote it settles; without, round parity
+        # shows (this pins WHY include_self defaults on).
+        rows = [("l0", "r0"), ("l0", "r1"), ("l1", "r0"), ("l1", "r1")]
+        e = self._edges(spark, rows)
+        damped = {r.node: r.label for r in label_propagation(
+            e, iterations=6).collect()}
+        assert len(set(damped.values())) == 1      # one community
+        raw2 = sorted(map(tuple, label_propagation(
+            e, iterations=2, include_self=False).collect()))
+        raw3 = sorted(map(tuple, label_propagation(
+            e, iterations=3, include_self=False).collect()))
+        assert raw2 != raw3                        # oscillation is real
