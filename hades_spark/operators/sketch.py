@@ -277,3 +277,100 @@ def cms_heavy_hitters(
     # TakeOrderedAndProject this compiles to is deterministic — no
     # single-partition window needed for the readout
     return est.orderBy(F.desc("est_count"), F.asc("val")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog — the fixed-size distinct sketch (Flajolet et al. 2007).
+# KMV needs k rows per group; HLL needs exactly m = 2^p REGISTERS (and in
+# practice fewer rows: absent register == 0) with std error ~1.04/sqrt(m),
+# and merges by cell-wise max — the union-heavy crawl bookkeeping shape
+# (distinct urls per host per day, rolled up to any window by merge).
+# Spark's approx_count_distinct is HLL++ as an opaque scalar; this keeps
+# the REGISTERS as plain (group, register, rho) rows so sketches persist,
+# union, and difference like any DataFrame. Pure column algebra: the
+# leading-zero count is exact integer work via length(bin(rest)) — no
+# float log2 whose boundary rounding could mis-bin.
+# --------------------------------------------------------------------------
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_validate(p: int) -> int:
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16]: {p}")
+    return 1 << p
+
+
+def hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_register(value_col, p: int) -> F.Column:
+    """Register index: low ``p`` bits of the 64-bit hash."""
+    m = _hll_validate(p)
+    return F.xxhash64(value_col).bitwiseAND(F.lit(m - 1))
+
+
+def hll_rho(value_col, p: int) -> F.Column:
+    """Rank = leading zeros of the remaining 64-p hash bits, plus one.
+    ``(h >> p) & ((1 << (64-p)) - 1)`` is the logical shift (mask kills the
+    sign fill), and ``length(bin(rest))`` is floor(log2(rest)) + 1 exactly
+    — integer-exact, unlike a float log2."""
+    _hll_validate(p)
+    width = 64 - p
+    rest = F.shiftright(F.xxhash64(value_col), p) \
+            .bitwiseAND(F.lit((1 << width) - 1))
+    return F.when(rest == 0, F.lit(width + 1)) \
+            .otherwise(F.lit(width + 1) - F.length(F.bin(rest)))
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """-> (group..., register, rho): max rank per register — one
+    map-side-combinable groupBy, ≤ 2^p rows per group. NULL values carry
+    no distinct identity and are excluded (same contract as kmv_sketch)."""
+    _hll_validate(p)
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+          .select(*group_cols, hll_register(v, p).alias("register"),
+                  hll_rho(v, p).alias("rho"))
+          .groupBy(*group_cols, "register")
+          .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cell-wise max — the sketch of the union, losslessly."""
+    return (a.unionByName(b)
+             .groupBy(*group_cols, "register")
+             .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    p: int = 9,
+) -> DataFrame:
+    """-> (group..., distinct_est): the HLL raw estimate with the standard
+    small-range linear-counting correction (E <= 2.5m and empty registers
+    exist -> m * ln(m / V)). Absent registers contribute 2^0 = 1 to the
+    harmonic sum and count toward V."""
+    m = _hll_validate(p)
+    alpha = hll_alpha(m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count("*").alias("_present"),
+    )
+    harm = F.col("_s") + (F.lit(m) - F.col("_present"))
+    raw = F.lit(alpha * m * m) / harm
+    zeros = F.lit(m) - F.col("_present")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return agg.select(
+        *group_cols,
+        F.when((raw <= 2.5 * m) & (zeros > 0), small)
+         .otherwise(raw).alias("distinct_est"))

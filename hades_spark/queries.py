@@ -3154,3 +3154,51 @@ def g3_label_propagation_q(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
     return label_propagation(e, iterations=3)
+
+
+_HLL_STAGE = f"{STAGE_ROOT}/hades_hll_oracle_stage"
+_HLL_ALPHA_512 = 0.7213 / (1.0 + 1.079 / 512)   # alpha_m for m = 2^9
+
+_HLL_ORACLE = f"""
+WITH h AS (SELECT event_type, h
+           FROM read_parquet('{_HLL_STAGE}/hashes/*.parquet')),
+r AS (SELECT event_type, h & 511 AS register,
+        CASE WHEN ((h >> 9) & ((1::BIGINT << 55) - 1)) = 0 THEN 56
+             ELSE 56 - length(ltrim(bin(
+                    (h >> 9) & ((1::BIGINT << 55) - 1)), '0'))
+        END AS rho
+      FROM h),
+sk AS (SELECT event_type, register, max(rho) AS rho
+       FROM r GROUP BY event_type, register),
+agg AS (SELECT event_type,
+               sum(pow(2e0, -rho)) AS s,
+               count(*) AS present
+        FROM sk GROUP BY event_type)
+SELECT event_type,
+       round(CASE WHEN {_HLL_ALPHA_512}e0 * 512 * 512
+                       / (s + (512 - present)) <= 1280
+                   AND present < 512
+             THEN 512e0 * ln(512e0 / (512 - present))
+             ELSE {_HLL_ALPHA_512}e0 * 512 * 512 / (s + (512 - present))
+             END, 4) AS distinct_est
+FROM agg GROUP BY ALL
+"""
+
+
+@register("sk_hll_distinct", _HLL_ORACLE)
+def sk_hll_q(spark: SparkSession, sf: str) -> DataFrame:
+    # HyperLogLog distinct-user estimate per event_type (p=9, m=512; the
+    # ~150-distinct population engages the linear-counting branch — the
+    # raw-branch math is unit-tested at p=4 against exact counts). Staged
+    # oracle: only the raw 64-bit hashes go to parquet; DuckDB re-derives
+    # register split, the integer-exact leading-zero rank (bin-string
+    # length, no float log2), cell-wise max, and the corrected estimator.
+    from .operators.sketch import hll_estimate, hll_sketch
+
+    ev = load_table(spark, sf, "events")
+    ev.filter(F.col("user_id").isNotNull()) \
+        .select("event_type", F.xxhash64(F.col("user_id")).alias("h")) \
+        .write.mode("overwrite").parquet(f"{_HLL_STAGE}/hashes")
+    sk = hll_sketch(ev, ["event_type"], "user_id", p=9)
+    return hll_estimate(sk, ["event_type"], p=9) \
+        .select("event_type", F.round("distinct_est", 4).alias("distinct_est"))

@@ -2743,3 +2743,62 @@ class TestLabelPropagation:
         raw3 = sorted(map(tuple, label_propagation(
             e, iterations=3, include_self=False).collect()))
         assert raw2 != raw3                        # oscillation is real
+
+
+class TestHllSketch:
+    """operators/sketch HLL — error bound vs exact, raw-branch engagement,
+    lossless merge, and the integer-exact rho (no float log2)."""
+
+    def _docs(self, spark, n, groups=2):
+        from pyspark.sql import functions as F
+        return spark.range(n).select(
+            (F.col("id") % groups).cast("string").alias("g"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"))
+
+    def test_estimate_within_bound(self, spark):
+        from hades_spark.operators.sketch import hll_estimate, hll_sketch
+        df = self._docs(spark, 20_000, groups=2)   # 10k distinct per group
+        sk = hll_sketch(df, ["g"], "v", p=9)
+        for r in hll_estimate(sk, ["g"], p=9).collect():
+            # std err 1.04/sqrt(512) = 4.6%; 4 sigma
+            assert abs(r.distinct_est - 10_000) < 0.184 * 10_000, r
+
+    def test_raw_branch_at_small_m(self, spark):
+        from hades_spark.operators.sketch import hll_estimate, hll_sketch
+        df = self._docs(spark, 5_000, groups=1)    # E=5000 >> 2.5*16
+        sk = hll_sketch(df, ["g"], "v", p=4)
+        est = hll_estimate(sk, ["g"], p=4).collect()[0].distinct_est
+        assert abs(est - 5_000) < 0.9 * 5_000      # 26% std err at m=16
+        assert est > 2.5 * 16                      # really the raw branch
+
+    def test_merge_equals_union_sketch(self, spark):
+        from hades_spark.operators.sketch import hll_merge, hll_sketch
+        a, b = self._docs(spark, 3_000), self._docs(spark, 5_000)
+        merged = sorted(map(tuple,
+            hll_merge(hll_sketch(a, ["g"], "v", p=7),
+                      hll_sketch(b, ["g"], "v", p=7), ["g"]).collect()))
+        whole = sorted(map(tuple,
+            hll_sketch(a.unionByName(b), ["g"], "v", p=7).collect()))
+        assert merged == whole                     # lossless, row-exact
+
+    def test_nulls_carry_no_identity(self, spark):
+        from hades_spark.operators.sketch import hll_estimate, hll_sketch
+        df = spark.createDataFrame(
+            [("g", None), ("g", None), ("g", "x")], "g string, v string")
+        sk = hll_sketch(df, ["g"], "v", p=9)
+        est = hll_estimate(sk, ["g"], p=9).collect()[0].distinct_est
+        assert abs(est - 1.0) < 0.01
+
+    def test_rho_matches_python_reference(self, spark):
+        import pyspark.sql.functions as F
+        from hades_spark.operators.sketch import hll_register, hll_rho
+        df = self._docs(spark, 64, groups=1)
+        got = df.select(F.xxhash64("v").alias("h"),
+                        hll_register(F.col("v"), 9).alias("reg"),
+                        hll_rho(F.col("v"), 9).alias("rho")).collect()
+        for r in got:
+            u = r.h & ((1 << 64) - 1)              # unsigned view
+            assert r.reg == (u & 511)
+            rest = u >> 9
+            want = 56 if rest == 0 else 56 - rest.bit_length()
+            assert r.rho == want, (r.h, r.rho, want)
