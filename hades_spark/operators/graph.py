@@ -389,3 +389,51 @@ def label_propagation(
                   else nxt)
     sym.unpersist()
     return labels
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """-> one row ``(n_triangles)``: exact triangle count of the
+    undirected simple graph (self-loops, NULLs, duplicate/reversed edges
+    dropped). Degree-ordered orientation (Ortmann & Brandes / the
+    classic compact-forward scheme): every edge points from the
+    (degree, node)-smaller endpoint to the larger, so each triangle is
+    generated exactly once as a wedge at its smallest vertex and the
+    wedge join's fan-out is bounded by the ORIENTED out-degree —
+    O(sqrt(m)) on any graph — instead of the raw degree. That turns the
+    hub problem (a 10^6-degree node squaring into 10^12 wedge rows) into
+    an O(m^1.5) bound: the shape that survives a web-scale host graph.
+    Three shuffles total: degree groupBy, wedge self-join on the apex,
+    closing-edge semi-join on the (v, w) pair.
+    """
+    raw = edges.select(F.col(src).alias("_x"), F.col(dst).alias("_y")) \
+               .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()
+                       & (F.col("_x") != F.col("_y")))
+    und = raw.select(F.least("_x", "_y").alias("_a"),
+                     F.greatest("_x", "_y").alias("_b")) \
+             .dropDuplicates(["_a", "_b"])
+    deg = (
+        und.select(F.col("_a").alias("node"))
+           .unionByName(und.select(F.col("_b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("_deg"))
+    )
+    da = deg.select(F.col("node").alias("_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("node").alias("_b"), F.col("_deg").alias("_db"))
+    ed = und.join(da, "_a").join(db, "_b")
+    fwd = F.struct("_da", "_a") < F.struct("_db", "_b")
+    o = ed.select(
+        F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("u"),
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("v"),
+        F.when(fwd, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
+    )
+    w1 = o.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = o.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = w1.join(w2, "u").filter(
+        F.struct("d1", "v1") < F.struct("d2", "v2"))
+    closed = wedges.join(
+        o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"], "left_semi")
+    return closed.agg(F.count("*").alias("n_triangles"))

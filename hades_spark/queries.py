@@ -3202,3 +3202,44 @@ def sk_hll_q(spark: SparkSession, sf: str) -> DataFrame:
     sk = hll_sketch(ev, ["event_type"], "user_id", p=9)
     return hll_estimate(sk, ["event_type"], p=9) \
         .select("event_type", F.round("distinct_est", 4).alias("distinct_est"))
+
+
+@register("g4_triangle_count", """
+WITH raw AS (
+  SELECT s1.s_suppkey AS a, s2.s_suppkey AS b
+  FROM supplier s1 JOIN supplier s2
+    ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+  WHERE (s1.s_suppkey + s2.s_suppkey) % 3 <> 0),
+und AS (SELECT DISTINCT a, b FROM raw),
+deg AS (SELECT node, count(*) AS dg FROM
+        (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+o AS (SELECT CASE WHEN (da.dg, a) < (db.dg, b) THEN a ELSE b END AS u,
+             CASE WHEN (da.dg, a) < (db.dg, b) THEN b ELSE a END AS v,
+             CASE WHEN (da.dg, a) < (db.dg, b) THEN db.dg ELSE da.dg END AS dv
+      FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+w AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+      FROM o o1 JOIN o o2
+        ON o1.u = o2.u AND (o1.dv, o1.v) < (o2.dv, o2.v))
+SELECT count(*) AS n_triangles FROM w
+WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.v1 AND o.v = w.v2)
+""")
+def g4_triangle_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    # exact triangle count over a deterministically sparsified same-nation
+    # supplier graph (unions of thinned cliques — plenty of triangles).
+    # Degree-ordered orientation bounds the wedge join's fan-out at
+    # O(sqrt(m)) per apex: the hub-survivable shape at web scale. The
+    # oracle re-derives canonicalization, degrees, orientation, wedge
+    # generation, and the closing-edge test with row-value comparisons.
+    from .operators.graph import triangle_count
+
+    s = load_table(spark, sf, "supplier")
+    s1 = s.select(F.col("s_suppkey").alias("k1"),
+                  F.col("s_nationkey").alias("n"))
+    s2 = s.select(F.col("s_suppkey").alias("k2"),
+                  F.col("s_nationkey").alias("n"))
+    e = (s1.join(s2, "n")
+           .filter((F.col("k1") < F.col("k2"))
+                   & ((F.col("k1") + F.col("k2")) % 3 != 0))
+           .select(F.col("k1").alias("src"), F.col("k2").alias("dst")))
+    return triangle_count(e)

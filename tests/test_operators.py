@@ -2802,3 +2802,44 @@ class TestHllSketch:
             rest = u >> 9
             want = 56 if rest == 0 else 56 - rest.bit_length()
             assert r.rho == want, (r.h, r.rho, want)
+
+
+class TestTriangleCount:
+    """operators/graph.triangle_count — known closed forms, duplicate and
+    direction insensitivity, hub-graph sanity, and the oriented fan-out
+    bound that makes the wedge join web-scale-safe."""
+
+    def _count(self, spark, rows):
+        from hades_spark.operators.graph import triangle_count
+        df = spark.createDataFrame(rows, "src long, dst long")
+        return triangle_count(df).collect()[0].n_triangles
+
+    def test_clique_closed_form(self, spark):
+        n = 7
+        rows = [(i, j) for i in range(n) for j in range(n) if i < j]
+        assert self._count(spark, rows) == n * (n-1) * (n-2) // 6  # C(7,3)
+
+    def test_duplicates_reversals_selfloops_ignored(self, spark):
+        tri = [(1, 2), (2, 3), (3, 1)]
+        noisy = tri + [(2, 1), (3, 2), (1, 1), (2, 3), (3, 1)]
+        assert self._count(spark, noisy) == 1
+
+    def test_star_has_none_bipartite_has_none(self, spark):
+        star = [(0, i) for i in range(1, 30)]
+        assert self._count(spark, star) == 0
+        k33 = [(a, b) for a in range(3) for b in range(10, 13)]
+        assert self._count(spark, k33) == 0
+
+    def test_two_triangles_sharing_an_edge(self, spark):
+        assert self._count(spark, [(1, 2), (2, 3), (3, 1), (2, 4), (4, 3)]) == 2
+
+    def test_oriented_outdegree_bounded_on_hub(self, spark):
+        # lollipop: hub 0 connected to 40 leaves plus one 3-clique; the
+        # ORIENTED out-degree of the hub must stay small (leaves have
+        # degree 1 -> edges point leaf->hub), so wedge fan-out at the hub
+        # never squares the raw degree.
+        from pyspark.sql import functions as F
+        from hades_spark.operators.graph import triangle_count
+        rows = [(0, i) for i in range(1, 41)] + [(0, 50), (50, 51), (51, 0)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        assert triangle_count(df).collect()[0].n_triangles == 1
