@@ -3243,3 +3243,40 @@ def g4_triangle_count_q(spark: SparkSession, sf: str) -> DataFrame:
                    & ((F.col("k1") + F.col("k2")) % 3 != 0))
            .select(F.col("k1").alias("src"), F.col("k2").alias("dst")))
     return triangle_count(e)
+
+
+@register("lm_bigram_quality", """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+cnt AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1),
+voc AS (SELECT count(DISTINCT x) AS v
+        FROM (SELECT unnest(t) AS x FROM toks)),
+sc AS (SELECT b.doc_id,
+              ln((c.c12 + 0.5e0) / (x.c1 + 0.5e0 * (SELECT v FROM voc)))
+              AS lp
+       FROM bi b JOIN cnt c USING (w1, w2) JOIN ctx x USING (w1))
+SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob,
+       round(exp(-avg(lp)), 3) AS perplexity
+FROM sc GROUP BY doc_id
+""")
+def lm_bigram_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet-shaped perplexity quality filter: an add-alpha bigram LM
+    # trained on the corpus itself scores every doc's mean token
+    # log-probability. The oracle re-derives tokenization, bigram
+    # explode, both count tables, the vocab scalar, smoothing, and the
+    # perplexity readout — the full train+score loop is value-hashed.
+    from .operators.lm import bigram_quality_scores, train_bigram_lm
+
+    docs = load_table(spark, sf, "documents")
+    lm = train_bigram_lm(docs)
+    out = bigram_quality_scores(docs, lm, alpha=0.5)
+    return out.select("doc_id", "n_bigrams",
+                      F.round("avg_logprob", 4).alias("avg_logprob"),
+                      F.round("perplexity", 3).alias("perplexity"))

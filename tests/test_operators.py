@@ -2843,3 +2843,82 @@ class TestTriangleCount:
         rows = [(0, i) for i in range(1, 41)] + [(0, 50), (50, 51), (51, 0)]
         df = spark.createDataFrame(rows, "src long, dst long")
         assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+class TestBigramLm:
+    """operators/lm.py — hand-computed probabilities on a pinned corpus,
+    distribution normalization, short-doc exclusion, and the rank check
+    the filter exists for (gibberish scores worse than fluent text)."""
+
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+        from hades_spark.operators.lm import (bigram_quality_scores,
+                                              train_bigram_lm)
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b")], "doc_id long, text string")
+        lm = train_bigram_lm(docs)
+        # bigrams: (a,b)x3, (b,a)x1; contexts a->3, b->1; vocab {a,b} v=2
+        got = {r.doc_id: r for r in
+               bigram_quality_scores(docs, lm, alpha=0.5).collect()}
+        p_ab = (3 + 0.5) / (3 + 0.5 * 2)
+        p_ba = (1 + 0.5) / (1 + 0.5 * 2)
+        want1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+        assert got[1].n_bigrams == 3
+        assert abs(got[1].avg_logprob - want1) < 1e-12
+        assert abs(got[2].avg_logprob - math.log(p_ab)) < 1e-12
+        assert abs(got[2].perplexity - 1 / p_ab) < 1e-9
+
+    def test_smoothed_conditionals_normalize(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.lm import train_bigram_lm
+        docs = spark.createDataFrame(
+            [(1, "x y z x z y x")], "doc_id long, text string")
+        lm = train_bigram_lm(docs)
+        v = lm["vocab"].collect()[0].v
+        a = 0.5
+        # sum over the FULL vocab of (c12+a)/(c1+a*v) == 1 per context
+        full = lm["contexts"].crossJoin(
+            lm["bigrams"].select("w2").distinct())
+        joined = full.join(lm["bigrams"], ["w1", "w2"], "left") \
+            .select("w1", "c1", F.coalesce("c12", F.lit(0)).alias("c12"))
+        sums = joined.groupBy("w1", "c1").agg(
+            (F.sum((F.col("c12") + a)) / (F.col("c1") + a * v)).alias("s")) \
+            .collect()
+        assert all(abs(r.s - 1.0) < 1e-12 for r in sums)
+
+    def test_short_docs_excluded(self, spark):
+        from hades_spark.operators.lm import (bigram_quality_scores,
+                                              train_bigram_lm)
+        docs = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, "two tokens")],
+            "doc_id long, text string")
+        lm = train_bigram_lm(docs)
+        got = [r.doc_id for r in bigram_quality_scores(docs, lm).collect()]
+        assert got == [3]
+
+    def test_gibberish_ranks_worse(self, spark):
+        from hades_spark.operators.lm import (bigram_quality_scores,
+                                              train_bigram_lm)
+        fluent = "the model reads the table and the model writes the table"
+        # the unseen-bigram floor is 1/vocab: give the corpus a realistic
+        # vocab breadth so "unseen" is actually improbable
+        filler = " ".join(f"w{i}" for i in range(80))
+        train = spark.createDataFrame(
+            [(i, fluent) for i in range(20)] + [(50, filler)],
+            "doc_id long, text string")
+        lm = train_bigram_lm(train)        # gibberish held OUT of training
+        score = train.unionByName(spark.createDataFrame(
+            [(99, "zq xv qp wk jx vz kq px")], "doc_id long, text string"))
+        got = {r.doc_id: r.perplexity for r in
+               bigram_quality_scores(score, lm).collect()}
+        assert got[99] > 10 * got[0]       # unseen bigrams -> way out
+
+    def test_tokenization_contract(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.lm import tokens_col
+        df = spark.createDataFrame(
+            [("  Hello, WORLD!! x9 --",), ("",), (None,)], "t string")
+        got = [r[0] for r in df.select(tokens_col(F.col("t"))).collect()]
+        assert got[0] == ["hello", "world", "x9"]
+        assert got[1] == []
+        assert got[2] is None
