@@ -247,6 +247,54 @@ def main() -> int:
          lambda p: "getbit" in p),
     ])
 
+    # weighted sampling: global top-k by the exponential race key must be
+    # TakeOrderedAndProject (per-partition heaps), never a range-partition
+    # sort of the corpus
+    from hades_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    check("weighted_sample", weighted_sample_topk(docs, "doc_id", "n_chars",
+                                                  k=100, seed=1), [
+        ("TakeOrderedAndProject", lambda p: "TakeOrderedAndProject" in p),
+        ("no range-partition sort",
+         lambda p: "Exchange rangepartitioning" not in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ])
+
+    # url canonicalization rollup: whole query is one shuffle (the final
+    # groupBy) and zero Python UDFs — every rule is JVM column algebra
+    check("web_url_host_stats", q["web_url_host_stats"](spark, sf), [
+        # count(DISTINCT norm_url) correctly plans as the two-level
+        # shuffle (partial on (domain, norm_url), final on domain) —
+        # exactly two exchanges, nothing else
+        ("two exchanges (the distinct agg), none extra",
+         lambda p: p.count("Exchange (") == 2),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ])
+
+    # triangle count: degree-ordered wedge join must stay an equi-join —
+    # a nested-loop/cartesian here would square the hub degree
+    from hades_spark.operators.graph import triangle_count
+
+    tri_edges = docs.select(
+        (F.col("doc_id") % 40).alias("src"), (F.col("doc_id") % 97).alias("dst"))
+    check("triangle_count", triangle_count(tri_edges), [
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("no nested-loop join", lambda p: "BroadcastNestedLoopJoin" not in p),
+    ])
+
+    # bigram LM: instance-vs-counts joins are equi-joins; the only
+    # nested-loop is the intended 1-row broadcast vocab attach
+    from hades_spark.operators.lm import bigram_quality_scores, train_bigram_lm
+
+    lm = train_bigram_lm(docs)
+    check("lm_bigram_quality", bigram_quality_scores(docs, lm), [
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("only the 1-row vocab broadcast is nested-loop",
+         lambda p: p.count("BroadcastNestedLoopJoin (") <= 1),
+        ("partial aggregation engaged", lambda p: "partial_" in p),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
