@@ -3280,3 +3280,55 @@ def lm_bigram_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "n_bigrams",
                       F.round("avg_logprob", 4).alias("avg_logprob"),
                       F.round("perplexity", 3).alias("perplexity"))
+
+
+@register("decon_benchmark_overlap", """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS w
+  FROM tok, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+bg AS (SELECT DISTINCT w FROM dg WHERE doc_id % 17 = 0)
+SELECT doc_id, count(*) AS n_overlap, count(*) >= 2 AS contaminated
+FROM dg WHERE w IN (SELECT w FROM bg)
+GROUP BY doc_id
+""")
+def decon_benchmark_overlap_q(spark: SparkSession, sf: str) -> DataFrame:
+    # benchmark decontamination: docs sharing >= 2 distinct token 8-grams
+    # with a (deterministically chosen) "leaked eval set" — the benchmark
+    # members flag themselves at 100% overlap and near-copies surface
+    # above the threshold. Spark joins on int64 n-gram hashes (the
+    # 10^12-doc shuffle shape); the oracle re-derives overlap on the
+    # n-gram STRINGS, so the hash device itself is under test.
+    from .operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_report(docs, bench, n=8, min_hits=2)
+
+
+@register("decon_repeated_passages", """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS passage
+  FROM tok, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3)
+SELECT passage, count(DISTINCT doc_id) AS n_docs
+FROM dg GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, passage ASC LIMIT 50
+""")
+def decon_repeated_passages_q(spark: SparkSession, sf: str) -> DataFrame:
+    # boilerplate passage mining: the 50 token 3-grams shared by the most
+    # docs (the kill-list a boilerplate filter consumes). Deterministic
+    # total order (n_docs desc, passage asc); the readout compiles to
+    # TakeOrderedAndProject.
+    from .operators.decontaminate import repeated_passages
+
+    docs = load_table(spark, sf, "documents")
+    return repeated_passages(docs, n=3, min_docs=2, top_k=50)

@@ -2922,3 +2922,64 @@ class TestBigramLm:
         assert got[0] == ["hello", "world", "x9"]
         assert got[1] == []
         assert got[2] is None
+
+
+class TestDecontaminate:
+    """operators/decontaminate.py — exact overlap counts, threshold
+    gating, set (not occurrence) semantics, and the readout plan."""
+
+    def test_contamination_counts_exact(self, spark):
+        from hades_spark.operators.decontaminate import contamination_report
+        corpus = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon"),   # shares 2 trigrams
+            (2, "alpha beta gamma zeta eta"),        # shares 1
+            (3, "totally different words here now"), # shares 0
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [("alpha beta gamma delta theta",)], "text string")
+        got = {r.doc_id: (r.n_overlap, r.contaminated) for r in
+               contamination_report(corpus, bench, n=3, min_hits=2)
+               .collect()}
+        # doc1 trigrams: {a b g, b g d, g d e}; bench: {a b g, b g d, g d t}
+        assert got[1] == (2, True)
+        assert got[2] == (1, False)
+        assert 3 not in got                     # zero-overlap docs absent
+
+    def test_overlap_is_set_not_occurrence(self, spark):
+        from hades_spark.operators.decontaminate import contamination_report
+        corpus = spark.createDataFrame(
+            [(1, "x y z x y z x y z")], "doc_id long, text string")
+        bench = spark.createDataFrame([("x y z",)], "text string")
+        got = contamination_report(corpus, bench, n=3, min_hits=1).collect()
+        # "x y z" occurs 3x in the doc but is ONE distinct shared trigram
+        assert got[0].n_overlap == 1
+
+    def test_short_docs_produce_no_windows(self, spark):
+        from hades_spark.operators.decontaminate import contamination_report
+        corpus = spark.createDataFrame(
+            [(1, "only two")], "doc_id long, text string")
+        bench = spark.createDataFrame([("only two",)], "text string")
+        assert contamination_report(corpus, bench, n=3).count() == 0
+
+    def test_repeated_passages_counts_and_order(self, spark):
+        from hades_spark.operators.decontaminate import repeated_passages
+        corpus = spark.createDataFrame([
+            (1, "cookie banner text plus unique one"),
+            (2, "cookie banner text plus unique two"),
+            (3, "cookie banner text and other stuff"),
+            (4, "cookie banner text and other stuff again"),  # in-doc once
+        ], "doc_id long, text string")
+        got = [(r.passage, r.n_docs) for r in
+               repeated_passages(corpus, n=3, min_docs=2, top_k=3).collect()]
+        assert got[0] == ("cookie banner text", 4)
+        # five passages tie at 2 docs; the asc tie-break is total
+        assert got[1] == ("and other stuff", 2)
+        assert got[2] == ("banner text and", 2)
+
+    def test_repeated_passages_plan_is_take_ordered(self, spark):
+        from hades_spark.operators.decontaminate import repeated_passages
+        corpus = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+        plan = repeated_passages(corpus, n=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
