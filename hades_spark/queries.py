@@ -3332,3 +3332,64 @@ def decon_repeated_passages_q(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return repeated_passages(docs, n=3, min_docs=2, top_k=50)
+
+
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE_RE = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+_PII_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex'
+         || CAST(doc_id % 7 AS VARCHAR) || '.com or call '
+         || CAST(200 + doc_id % 700 AS VARCHAR) || '-'
+         || CAST(300 + doc_id % 600 AS VARCHAR) || '-'
+         || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' from 10.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         || CAST(doc_id % 100 AS VARCHAR) AS t
+  FROM documents),
+st AS (
+  SELECT doc_id,
+    regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1, t
+  FROM dirty),
+st2 AS (
+  SELECT doc_id, t, t1,
+    regexp_replace(t1, '{_PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM st)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(t1, '{_PII_IPV4_RE}')) AS n_ips,
+  len(regexp_extract_all(t2, '{_PII_PHONE_RE}')) AS n_phones,
+  regexp_replace(t2, '{_PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM st2
+"""
+
+
+@register("pii_redact", _PII_ORACLE)
+def pii_redact_q(spark: SparkSession, sf: str) -> DataFrame:
+    # PII scrubbing: synthetic emails/phones/IPv4s are injected
+    # deterministically from doc_id, then BOTH engines run the identical
+    # pattern strings through their own regex engines (Java vs RE2 — the
+    # patterns live in the dialect-identical subset) in the same staged
+    # order. The value hash pins every substitution and every count.
+    from .functions.pii import pii_counts, redact_pii
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), doc_id.cast("string"),
+            F.lit("@ex"), (doc_id % 7).cast("string"),
+            F.lit(".com or call "), (200 + doc_id % 700).cast("string"),
+            F.lit("-"), (300 + doc_id % 600).cast("string"),
+            F.lit("-"), (1000 + doc_id % 9000).cast("string"),
+            F.lit(" from 10."), (doc_id % 256).cast("string"),
+            F.lit(".0."), (doc_id % 100).cast("string")).alias("t"))
+    return dirty.select(
+        "doc_id",
+        pii_counts("t").getField("n_emails").alias("n_emails"),
+        pii_counts("t").getField("n_ips").alias("n_ips"),
+        pii_counts("t").getField("n_phones").alias("n_phones"),
+        redact_pii("t").alias("redacted"))

@@ -2983,3 +2983,46 @@ class TestDecontaminate:
         plan = repeated_passages(corpus, n=3) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestPiiRedaction:
+    """functions/pii.py — token placement, ordering interactions (an IPv4
+    must not part-match the phone pattern), counts==redaction agreement,
+    and clean-text passthrough."""
+
+    def _one(self, spark, text):
+        from pyspark.sql import functions as F
+        from hades_spark.functions.pii import pii_counts, redact_pii
+        df = spark.createDataFrame([(text,)], "t string")
+        return df.select(redact_pii("t").alias("r"),
+                         pii_counts("t").alias("c")).collect()[0]
+
+    def test_all_three_kinds(self, spark):
+        r = self._one(spark, "mail a.b+x@sub.ex.co.uk call 555-123-4567 "
+                             "from 192.168.1.254 now")
+        assert r.r == "mail <EMAIL> call <PHONE> from <IP> now"
+        assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (1, 1, 1)
+
+    def test_ordering_email_wins_over_phone(self, spark):
+        # a digit-run local part matches the phone shape; the fixed
+        # email-first order must keep the address one token
+        r = self._one(spark, "ping user555-123-4567@x.io ok")
+        assert r.r == "ping <EMAIL> ok"
+        assert r.c.n_emails == 1 and r.c.n_phones == 0
+
+    def test_valid_ipv4_redacts_as_ip(self, spark):
+        r = self._one(spark, "srv 100.200.300.4 x")
+        assert "<IP>" in r.r and "<PHONE>" not in r.r
+        assert r.c.n_ips == 1 and r.c.n_phones == 0
+
+    def test_multiple_occurrences_global(self, spark):
+        r = self._one(spark, "a@b.io c@d.org 555-123-4567 999.888.7777")
+        assert r.r.count("<EMAIL>") == 2
+        assert r.r.count("<PHONE>") == 2       # dots count as separators
+        assert r.c.n_emails == 2 and r.c.n_phones == 2
+
+    def test_clean_text_untouched(self, spark):
+        s = "no pii here just words and 42 numbers 3.14"
+        r = self._one(spark, s)
+        assert r.r == s
+        assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (0, 0, 0)
