@@ -144,3 +144,87 @@ def approx_quantiles(
     frame = hist_frame(df, value_col, n_bins)
     hist = hist_build(df, value_col, frame, n_bins)
     return hist_quantiles(hist, frame, qs, n_bins)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+    broadcast_frames: bool = True,
+) -> DataFrame:
+    """-> (group..., q, value): per-group histogram quantiles — the same
+    two-scan/no-sort scheme with every stage keyed by group. Frames are
+    one row per group; ``broadcast_frames`` fits the common case (groups
+    = languages / quality tiers / sources), and the opt-out keeps the
+    join a plain shuffle when groups number in the millions (per-host
+    frames at crawl scale). Per-group cumulative state stays <= n_bins
+    rows — the window partitions by group, never scans data."""
+    _validate(n_bins)
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of [0,1]: {q}")
+    x = F.col(value_col).cast("double")
+    clean = df.filter(F.col(value_col).isNotNull() & ~F.isnan(x))
+    frames = clean.groupBy(*group_cols).agg(
+        F.min(x).alias("lo"),
+        ((F.max(x) - F.min(x)) / n_bins).alias("width"))
+    fr = F.broadcast(frames) if broadcast_frames else frames
+    raw = F.when(F.col("width") > 0,
+                 F.floor((x - F.col("lo")) / F.col("width"))) \
+        .otherwise(F.lit(0))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    hist = (
+        clean.join(fr, list(group_cols))
+             .select(*group_cols, bin_.alias("bin"))
+             .groupBy(*group_cols, "bin")
+             .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bin") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(*group_cols)
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+            .withColumn("prev", F.col("cum") - F.col("cnt"))
+            .withColumn("n", F.sum("cnt").over(wn).cast("double"))
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs],
+                                          "q double")
+    target = F.greatest(F.col("q") * F.col("n"), F.lit(1e-12))
+    hit = cum.join(F.broadcast(qdf),
+                   (F.col("cum") >= target) & (F.col("prev") < target))
+    frac = F.when(F.col("cnt") > 0, (target - F.col("prev")) / F.col("cnt")) \
+        .otherwise(F.lit(0.0))
+    return (
+        hit.join(fr, list(group_cols))
+           .select(*group_cols, "q",
+                   (F.col("lo") + (F.col("bin") + frac) * F.col("width"))
+                   .alias("value"))
+    )
+
+
+def adaptive_quality_gate(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    keep_top_frac: float,
+    n_bins: int = 4096,
+) -> DataFrame:
+    """Keep each group's top ``keep_top_frac`` of rows by ``score_col``
+    (threshold = the per-group (1 - keep_top_frac) histogram quantile,
+    inclusive). The adaptive twin of a fixed quality cutoff: per-language
+    score distributions differ, so one global threshold over- or
+    under-prunes — this is the standard per-language percentile gate.
+    Cost: the two quantile scans plus one broadcast threshold join."""
+    if not 0.0 < keep_top_frac <= 1.0:
+        raise ValueError(f"keep_top_frac must be in (0, 1]: {keep_top_frac}")
+    thr = grouped_quantiles(df, group_cols, score_col,
+                            [1.0 - keep_top_frac], n_bins) \
+        .select(*group_cols, F.col("value").alias("_thr"))
+    return (
+        df.join(F.broadcast(thr), list(group_cols), "left")
+          .filter(F.col("_thr").isNull()
+                  | (F.col(score_col).cast("double") >= F.col("_thr")))
+          .drop("_thr")
+    )

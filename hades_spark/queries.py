@@ -3393,3 +3393,89 @@ def pii_redact_q(spark: SparkSession, sf: str) -> DataFrame:
         pii_counts("t").getField("n_ips").alias("n_ips"),
         pii_counts("t").getField("n_phones").alias("n_phones"),
         redact_pii("t").alias("redacted"))
+
+
+_GQ_ORACLE = """
+WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+f AS (SELECT lang, min(x) AS lo, (max(x) - min(x)) / 256 AS width
+      FROM v GROUP BY lang),
+h AS (SELECT v.lang,
+             CAST(least(greatest(CASE WHEN width > 0
+                 THEN floor((x - lo) / width) ELSE 0 END, 0), 255) AS INT)
+             AS bin, count(*) AS cnt
+      FROM v JOIN f ON v.lang = f.lang GROUP BY 1, 2),
+c AS (SELECT lang, bin, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) - cnt AS prev,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS n
+      FROM h),
+qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q),
+hit AS (SELECT lang, q, bin, cnt, prev, n FROM c JOIN qs
+        ON c.cum >= greatest(q * n, 1e-12)
+       AND c.prev < greatest(q * n, 1e-12))
+SELECT hit.lang, q,
+       round(lo + (bin + CASE WHEN cnt > 0
+         THEN (greatest(q * n, 1e-12) - prev) / cnt ELSE 0 END) * width, 6)
+       AS value
+FROM hit JOIN f ON hit.lang = f.lang
+"""
+
+
+@register("sk_group_quantiles", _GQ_ORACLE)
+def sk_group_quantiles_q(spark: SparkSession, sf: str) -> DataFrame:
+    # per-language doc-length quantiles — the grouped histogram scheme
+    # (every stage keyed by group, per-group cumulative state <= n_bins
+    # rows). Identical deterministic double arithmetic on both engines,
+    # so the value hash pins frames, binning, and interpolation per group.
+    from .operators.quantile import grouped_quantiles
+
+    docs = load_table(spark, sf, "documents")
+    out = grouped_quantiles(docs, ["lang"], "n_chars",
+                            [0.25, 0.5, 0.9], n_bins=256)
+    return out.select("lang", "q", F.round("value", 6).alias("value"))
+
+
+_AQ_ORACLE = """
+WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL),
+f AS (SELECT lang, min(x) AS lo, (max(x) - min(x)) / 4096 AS width
+      FROM v GROUP BY lang),
+h AS (SELECT v.lang,
+             CAST(least(greatest(CASE WHEN width > 0
+                 THEN floor((x - lo) / width) ELSE 0 END, 0), 4095) AS INT)
+             AS bin, count(*) AS cnt
+      FROM v JOIN f ON v.lang = f.lang GROUP BY 1, 2),
+c AS (SELECT lang, bin, cnt,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY bin) - cnt AS prev,
+             CAST(sum(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS n
+      FROM h),
+hit AS (SELECT lang, bin, cnt, prev, n FROM c
+        WHERE c.cum >= greatest(0.6e0 * n, 1e-12)
+          AND c.prev < greatest(0.6e0 * n, 1e-12)),
+thr AS (SELECT hit.lang,
+               lo + (bin + CASE WHEN cnt > 0
+                 THEN (greatest(0.6e0 * n, 1e-12) - prev) / cnt ELSE 0 END)
+               * width AS t
+        FROM hit JOIN f ON hit.lang = f.lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST(d.n_chars AS DOUBLE) >= thr.t
+"""
+
+
+@register("mix_adaptive_quality_gate", _AQ_ORACLE)
+def mix_adaptive_quality_gate_q(spark: SparkSession, sf: str) -> DataFrame:
+    # adaptive per-language gate: keep each language's top 40% by length
+    # (threshold = the per-lang 0.6 histogram quantile, inclusive). Both
+    # engines derive the threshold through the identical IEEE double
+    # chain, so the kept SET hash-matches — the composition the curation
+    # pipeline uses when a fixed cutoff would over-prune low-resource
+    # languages.
+    from .operators.quantile import adaptive_quality_gate
+
+    docs = load_table(spark, sf, "documents")
+    kept = adaptive_quality_gate(docs, ["lang"], "n_chars",
+                                 keep_top_frac=0.4)
+    return kept.select("doc_id", "lang", "n_chars")

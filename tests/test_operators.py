@@ -3026,3 +3026,60 @@ class TestPiiRedaction:
         r = self._one(spark, s)
         assert r.r == s
         assert (r.c.n_emails, r.c.n_ips, r.c.n_phones) == (0, 0, 0)
+
+
+class TestGroupedQuantiles:
+    """operators/quantile grouped variants — per-group exactness at
+    fine bins, error bound, gate fraction + adaptivity, and dirt rows."""
+
+    def test_per_group_median_near_exact(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.quantile import grouped_quantiles
+        # group a: 1..1000, group b: 1..100 — known medians
+        df = spark.range(1, 1001).select(
+            F.when(F.col("id") <= 100, "b").otherwise("a").alias("g"),
+            F.col("id").cast("double").alias("x"))
+        got = {(r.g, r.q): r.value for r in
+               grouped_quantiles(df, ["g"], "x", [0.5], n_bins=4096)
+               .collect()}
+        # error bound: range/n_bins
+        assert abs(got[("a", 0.5)] - 550.0) <= (1000 - 101) / 4096 + 1
+        assert abs(got[("b", 0.5)] - 50.0) <= 100 / 4096 + 1
+
+    def test_groups_do_not_leak(self, spark):
+        from hades_spark.operators.quantile import grouped_quantiles
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 1000.0), ("b", 2000.0)],
+            "g string, x double")
+        got = {r.g: r.value for r in
+               grouped_quantiles(df, ["g"], "x", [1.0], n_bins=16)
+               .collect()}
+        assert got["a"] <= 2.0 + 1e-9 and got["b"] >= 1000.0
+
+    def test_adaptive_gate_fraction_and_adaptivity(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.quantile import adaptive_quality_gate
+        # lang X scores 0..999, lang Y scores 0..99 — a global cutoff at
+        # X's threshold would wipe Y out; the adaptive gate keeps ~40% of
+        # EACH
+        df = spark.range(1100).select(
+            F.when(F.col("id") < 1000, "X").otherwise("Y").alias("lang"),
+            F.when(F.col("id") < 1000, F.col("id"))
+             .otherwise(F.col("id") - 1000).cast("double").alias("s"))
+        kept = adaptive_quality_gate(df, ["lang"], "s", keep_top_frac=0.4)
+        by = {r.lang: r.cnt for r in
+              kept.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        assert abs(by["X"] - 400) <= 5
+        assert abs(by["Y"] - 40) <= 3
+        # and the kept rows really are each group's TOP scores
+        mins = {r.lang: r.m for r in kept.groupBy("lang")
+                .agg(F.min("s").alias("m")).collect()}
+        assert mins["X"] >= 595 and mins["Y"] >= 57
+
+    def test_null_and_nan_rows_ignored(self, spark):
+        from hades_spark.operators.quantile import grouped_quantiles
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", float("nan")), ("a", 3.0)],
+            "g string, x double")
+        got = grouped_quantiles(df, ["g"], "x", [0.5], n_bins=16).collect()
+        assert len(got) == 1 and 1.0 <= got[0].value <= 3.0
