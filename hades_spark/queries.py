@@ -3479,3 +3479,42 @@ def mix_adaptive_quality_gate_q(spark: SparkSession, sf: str) -> DataFrame:
     kept = adaptive_quality_gate(docs, ["lang"], "n_chars",
                                  keep_top_frac=0.4)
     return kept.select("doc_id", "lang", "n_chars")
+
+
+_PACK_STAGE = f"{STAGE_ROOT}/hades_pack_oracle_stage"
+
+_PACK_ORACLE = f"""
+WITH s AS (SELECT doc_id, k, tc
+           FROM read_parquet('{_PACK_STAGE}/keys/*.parquet')),
+c AS (SELECT doc_id, tc,
+             sum(tc) OVER (ORDER BY k, doc_id) AS cum
+      FROM s)
+SELECT doc_id, tc AS tokens,
+       CAST(floor((cum - tc) / 512e0) AS BIGINT) AS start_bin,
+       CAST(floor((cum - 1) / 512e0) AS BIGINT) AS end_bin,
+       CAST(floor((cum - 1) / 512e0)
+            - floor((cum - tc) / 512e0) + 1 AS BIGINT) AS n_bins_spanned,
+       (cum - tc) % 512 AS bin_offset
+FROM c
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    # training-sequence packing (concat-then-chunk at capacity 512):
+    # Spark computes the global running token total with the two-level
+    # range-partition prefix sum (NO single-partition window over the
+    # corpus); DuckDB re-derives it with one global ordered window from
+    # the staged order keys. Hash equality proves the distributed prefix
+    # sum equals the sequential definition row-for-row.
+    from .functions.text_analysis import token_count_col
+    from .operators.packing import pack_sequences
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    docs.filter(F.col("n_tokens") > 0).select(
+        "doc_id", F.xxhash64(F.lit(7), F.col("doc_id")).alias("k"),
+        F.col("n_tokens").cast("long").alias("tc")) \
+        .write.mode("overwrite").parquet(f"{_PACK_STAGE}/keys")
+    return pack_sequences(docs, "doc_id", "n_tokens",
+                          capacity=512, seed=7)

@@ -3083,3 +3083,51 @@ class TestGroupedQuantiles:
             "g string, x double")
         got = grouped_quantiles(df, ["g"], "x", [0.5], n_bins=16).collect()
         assert len(got) == 1 and 1.0 <= got[0].value <= 3.0
+
+
+class TestSequencePacking:
+    """operators/packing.py — stream contiguity (no gaps, no overlaps),
+    cluster-layout invariance, span math, and dirt exclusion."""
+
+    def _pack(self, spark, rows, capacity=10, segs=None, seed=3):
+        from hades_spark.operators.packing import pack_sequences
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        return pack_sequences(df, capacity=capacity, seed=seed,
+                              num_segments=segs)
+
+    def test_stream_is_contiguous(self, spark):
+        rows = [(i, (i * 7) % 13 + 1) for i in range(200)]
+        got = self._pack(spark, rows, capacity=10, segs=8).collect()
+        total = sum(t for _, t in rows)
+        # reconstruct the stream: sort by global position and check each
+        # doc starts exactly where the previous ended
+        by_pos = sorted(got, key=lambda r: r.start_bin * 10 + r.bin_offset)
+        pos = 0
+        for r in by_pos:
+            assert r.start_bin * 10 + r.bin_offset == pos
+            assert r.end_bin == (pos + r.tokens - 1) // 10
+            assert r.n_bins_spanned == r.end_bin - r.start_bin + 1
+            pos += r.tokens
+        assert pos == total
+
+    def test_layout_invariant(self, spark):
+        from hades_spark.operators.packing import pack_sequences
+        rows = [(i, i % 9 + 1) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        a = sorted(map(tuple, pack_sequences(
+            df, capacity=16, seed=1, num_segments=4).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            df.repartition(13), capacity=16, seed=1,
+            num_segments=9).collect()))
+        assert a == b
+
+    def test_long_doc_spans_bins(self, spark):
+        got = {r.doc_id: r for r in
+               self._pack(spark, [(1, 25)], capacity=10).collect()}
+        r = got[1]
+        assert (r.start_bin, r.end_bin, r.n_bins_spanned) == (0, 2, 3)
+
+    def test_dirt_rows_excluded(self, spark):
+        got = self._pack(spark, [(1, 5), (2, 0), (3, None)], capacity=10) \
+            .collect()
+        assert [r.doc_id for r in got] == [1]
