@@ -3518,3 +3518,35 @@ def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
         .write.mode("overwrite").parquet(f"{_PACK_STAGE}/keys")
     return pack_sequences(docs, "doc_id", "n_tokens",
                           capacity=512, seed=7)
+
+
+@register("tfidf_top_terms", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              tf.tf * (ln((1e0 + (SELECT n FROM n)) / (1e0 + df.df)) + 1e0)
+              AS score
+       FROM tf JOIN df USING (term)),
+rk AS (SELECT doc_id, term, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS rank
+       FROM sc)
+SELECT doc_id, term, rank, round(score, 6) AS score
+FROM rk WHERE rank <= 3
+""")
+def tfidf_top_terms_q(spark: SparkSession, sf: str) -> DataFrame:
+    # per-doc top-3 TF-IDF terms (smoothed sklearn idf, deterministic
+    # (score desc, term asc) order). The oracle re-derives tokenize, both
+    # count tables, the idf form, and the windowed rank — lexical
+    # retrieval's core statistics value-hashed end to end.
+    from .operators.tfidf import top_terms
+
+    docs = load_table(spark, sf, "documents")
+    out = top_terms(docs, k=3)
+    return out.select("doc_id", "term", "rank",
+                      F.round("score", 6).alias("score"))

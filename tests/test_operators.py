@@ -3131,3 +3131,39 @@ class TestSequencePacking:
         got = self._pack(spark, [(1, 5), (2, 0), (3, None)], capacity=10) \
             .collect()
         assert [r.doc_id for r in got] == [1]
+
+
+class TestTfidf:
+    """operators/tfidf.py — hand-computed scores, rare-term dominance,
+    deterministic rank ties, and k gating."""
+
+    def test_hand_computed(self, spark):
+        import math
+        from hades_spark.operators.tfidf import tfidf_scores
+        docs = spark.createDataFrame([
+            (1, "apple apple banana"), (2, "banana cherry"), (3, "banana"),
+        ], "doc_id long, text string")
+        got = {(r.doc_id, r.term): r for r in tfidf_scores(docs).collect()}
+        idf = lambda df: math.log((1 + 3) / (1 + df)) + 1
+        assert got[(1, "apple")].tf == 2 and got[(1, "apple")].df == 1
+        assert abs(got[(1, "apple")].score - 2 * idf(1)) < 1e-12
+        assert abs(got[(2, "banana")].score - idf(3)) < 1e-12
+
+    def test_rare_term_outranks_common(self, spark):
+        from hades_spark.operators.tfidf import top_terms
+        docs = spark.createDataFrame(
+            [(i, "common words everywhere") for i in range(9)]
+            + [(99, "common words everywhere plus zygote")],
+            "doc_id long, text string")
+        got = [r.term for r in top_terms(docs, k=2)
+               .filter("doc_id = 99").orderBy("rank").collect()]
+        assert got == ["plus", "zygote"]   # the two df=1 terms, asc tie
+
+    def test_tie_break_and_k(self, spark):
+        from hades_spark.operators.tfidf import top_terms
+        docs = spark.createDataFrame(
+            [(1, "zeta alpha")], "doc_id long, text string")
+        got = [(r.rank, r.term) for r in
+               top_terms(docs, k=2).orderBy("rank").collect()]
+        assert got == [(1, "alpha"), (2, "zeta")]   # equal score, asc term
+        assert len(top_terms(docs, k=1).collect()) == 1
