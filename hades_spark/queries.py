@@ -3550,3 +3550,53 @@ def tfidf_top_terms_q(spark: SparkSession, sf: str) -> DataFrame:
     out = top_terms(docs, k=3)
     return out.select("doc_id", "term", "rank",
                       F.round("score", 6).alias("score"))
+
+
+@register("web_latest_crawl_dedup", """
+WITH ev AS (
+  SELECT event_id, ts,
+    'https://h' || CAST(event_id % 40 AS VARCHAR) || '.Example.com'
+      || CASE WHEN event_id % 2 = 0 THEN ':443/A//' ELSE '/A/' END
+      || CAST(event_id % 100 AS VARCHAR)
+      || CASE WHEN event_id % 3 = 0 THEN '/?utm_source=x&v=1' ELSE '?v=1' END
+    AS url
+  FROM events),
+norm AS (
+  SELECT event_id, ts,
+    'https://h' || CAST(event_id % 40 AS VARCHAR) || '.example.com/A/'
+      || CAST(event_id % 100 AS VARCHAR) || '?v=1' AS norm_url
+  FROM ev),
+rk AS (
+  SELECT norm_url, event_id, ts,
+         row_number() OVER (PARTITION BY norm_url
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM norm)
+SELECT norm_url, event_id AS latest_id, ts AS latest_ts
+FROM rk WHERE rn = 1
+""")
+def web_latest_crawl_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    # latest-crawl view: multiple crawl records COLLIDE onto one canonical
+    # url only after normalization (case, default port, slash runs,
+    # trailing slash, tracking params) — keep the newest per canonical
+    # url under a deterministic (ts desc, id desc) order. The Spark side
+    # normalizes THROUGH functions/urls.py; the oracle short-circuits to
+    # the closed-form canonical string each messy variant must reduce to,
+    # so a normalization regression breaks the hash. One window shuffle.
+    from .functions.urls import url_normalize
+
+    ev = load_table(spark, sf, "events")
+    eid = F.col("event_id")
+    url = F.concat(
+        F.lit("https://h"), (eid % 40).cast("string"), F.lit(".Example.com"),
+        F.when(eid % 2 == 0, F.lit(":443/A//")).otherwise(F.lit("/A/")),
+        (eid % 100).cast("string"),
+        F.when(eid % 3 == 0, F.lit("/?utm_source=x&v=1"))
+         .otherwise(F.lit("?v=1")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("norm_url") \
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.select("event_id", "ts", url_normalize(url).alias("norm_url"))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("norm_url", F.col("event_id").alias("latest_id"),
+                      F.col("ts").alias("latest_ts")))
