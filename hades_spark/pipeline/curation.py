@@ -97,3 +97,50 @@ def curate_corpus(
 def _norm_key(text_col) -> F.Column:
     """Exposed for tests: the exact-dedup grouping key."""
     return F.sha2(normalized_text_col(text_col), 256)
+
+
+def curate_for_training(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 8,
+    min_hits: int = 2,
+    capacity: int = 2048,
+    seed: int = 0,
+) -> DataFrame:
+    """The training-prep tail ``curate_corpus`` stops short of:
+    PII scrubbing -> benchmark decontamination -> exact dedup of the
+    REDACTED text -> sequence packing. -> (id, tokens, start_bin,
+    end_bin, n_bins_spanned, bin_offset): the ready-to-tokenize manifest.
+
+    Ordering is load-bearing: redaction FIRST so dedup groups and n-gram
+    overlap operate on the text that will actually ship (two docs
+    differing only in the PII scrubbed out of them ARE duplicates);
+    decontamination before dedup so a benchmark copy can't win a dedup
+    group and survive. Packing sees only survivors — the prefix sum is
+    over the final corpus. Each stage is individually oracled; the
+    registered ``curate_training_manifest`` query value-hashes this
+    COMPOSITION end-to-end (the DuckDB twin re-derives redaction,
+    overlap, the dedup winner set, and the packed bins independently).
+    """
+    from ..functions.pii import redact_pii
+    from ..functions.text_analysis import token_count_col
+    from ..operators.decontaminate import contamination_report
+    from ..operators.packing import pack_sequences
+
+    red = docs.select(F.col(id_col), redact_pii(F.col(text_col))
+                      .alias("_rtext"))
+    red_bench = benchmark.select(
+        redact_pii(F.col(text_col)).alias("_rtext"))
+    dirty = contamination_report(
+        red, red_bench, id_col=id_col, text_col="_rtext",
+        benchmark_text_col="_rtext", n=ngram_n, min_hits=min_hits,
+    ).filter(F.col("contaminated")).select(id_col)
+    clean = red.join(dirty, id_col, "left_anti")
+    keep = clean.groupBy(F.sha2(F.col("_rtext"), 256).alias("_h")) \
+                .agg(F.min(id_col).alias(id_col)).select(id_col)
+    deduped = clean.join(keep, id_col, "left_semi").select(
+        F.col(id_col), token_count_col(F.col("_rtext")).alias("_nt"))
+    return pack_sequences(deduped, id_col, "_nt",
+                          capacity=capacity, seed=seed)

@@ -3600,3 +3600,91 @@ def web_latest_crawl_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
               .filter(F.col("rn") == 1)
               .select("norm_url", F.col("event_id").alias("latest_id"),
                       F.col("ts").alias("latest_ts")))
+
+
+_CT_STAGE = f"{STAGE_ROOT}/hades_ct_oracle_stage"
+
+_CT_ORACLE = f"""
+WITH src AS (
+  SELECT d1.doc_id, d2.text, d1.doc_id % 400 AS base
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id % 400),
+dirty AS (
+  SELECT doc_id, base,
+    text || ' mail u' || CAST(base AS VARCHAR) || '@ex.com call 555-'
+         || CAST(100 + base % 900 AS VARCHAR) || '-'
+         || CAST(1000 + base % 9000 AS VARCHAR) AS t
+  FROM src),
+red AS (
+  SELECT doc_id, base,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PII_IPV4_RE}', '<IP>', 'g'),
+      '{_PII_PHONE_RE}', '<PHONE>', 'g') AS rt
+  FROM dirty),
+tok AS (
+  SELECT doc_id, base, rt,
+    list_filter(regexp_split_to_array(lower(rt), '[^a-z0-9]+'),
+                x -> x <> '') AS tk
+  FROM red),
+dg AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS w
+  FROM tok, unnest(range(1, len(tk) - 6)) AS u(i)
+  WHERE len(tk) >= 8),
+bg AS (SELECT DISTINCT w FROM dg
+       JOIN tok USING (doc_id) WHERE base % 9 = 0),
+dirty_ids AS (
+  SELECT doc_id FROM dg WHERE w IN (SELECT w FROM bg)
+  GROUP BY doc_id HAVING count(*) >= 2),
+clean AS (SELECT doc_id, rt FROM red
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty_ids)),
+keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY rt),
+ded AS (
+  SELECT c.doc_id,
+    len(list_filter(regexp_split_to_array(c.rt, '\\s+'), x -> x <> ''))
+    AS tc
+  FROM clean c JOIN keep USING (doc_id)),
+ks AS (SELECT doc_id, k
+       FROM read_parquet('{_CT_STAGE}/keys/*.parquet')),
+cum AS (
+  SELECT d.doc_id, d.tc,
+         sum(d.tc) OVER (ORDER BY ks.k, d.doc_id) AS c
+  FROM ded d JOIN ks USING (doc_id))
+SELECT doc_id, tc AS tokens,
+       CAST(floor((c - tc) / 256e0) AS BIGINT) AS start_bin,
+       CAST(floor((c - 1) / 256e0) AS BIGINT) AS end_bin,
+       CAST(floor((c - 1) / 256e0)
+            - floor((c - tc) / 256e0) + 1 AS BIGINT) AS n_bins_spanned,
+       (c - tc) % 256 AS bin_offset
+FROM cum
+"""
+
+
+@register("curate_training_manifest", _CT_ORACLE)
+def curate_training_manifest_q(spark: SparkSession, sf: str) -> DataFrame:
+    # the training-prep capstone: PII scrub -> benchmark decontamination
+    # -> exact dedup of the REDACTED text -> sequence packing, composed
+    # in pipeline/curation.curate_for_training and value-hashed END TO
+    # END (the oracle independently re-derives redaction, n-gram overlap,
+    # the dedup winner set, and the packed bins; only the order keys are
+    # staged, keyed by doc_id alone — survivor selection is NOT staged,
+    # so a divergence in any stage breaks the hash). Duplicate content is
+    # planted via the doc_id % 400 collision; the benchmark is every
+    # base % 9 == 0 group's text.
+    from .pipeline.curation import curate_for_training
+
+    d = load_table(spark, sf, "documents")
+    base = F.col("d1.doc_id") % 400
+    dirty = (d.alias("d1")
+             .join(d.alias("d2"), F.col("d2.doc_id") == F.col("d1.doc_id") % 400)
+             .select(
+                 F.col("d1.doc_id").alias("doc_id"), base.alias("base"),
+                 F.concat(
+                     F.col("d2.text"), F.lit(" mail u"),
+                     base.cast("string"), F.lit("@ex.com call 555-"),
+                     (100 + base % 900).cast("string"), F.lit("-"),
+                     (1000 + base % 9000).cast("string")).alias("text")))
+    bench = dirty.filter(F.col("base") % 9 == 0).select("text")
+    dirty.select("doc_id",
+                 F.xxhash64(F.lit(11), F.col("doc_id")).alias("k")) \
+        .write.mode("overwrite").parquet(f"{_CT_STAGE}/keys")
+    return curate_for_training(dirty, bench, capacity=256, seed=11)

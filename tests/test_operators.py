@@ -3167,3 +3167,34 @@ class TestTfidf:
                top_terms(docs, k=2).orderBy("rank").collect()]
         assert got == [(1, "alpha"), (2, "zeta")]   # equal score, asc term
         assert len(top_terms(docs, k=1).collect()) == 1
+
+
+class TestCurateForTraining:
+    """pipeline/curation.curate_for_training — each stage's effect pinned
+    on a crafted corpus: redaction-unified duplicates collapse, benchmark
+    copies drop BEFORE dedup can crown one, survivors pack contiguously."""
+
+    def test_stage_effects(self, spark):
+        from hades_spark.pipeline.curation import curate_for_training
+        eight = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame([
+            # 1 and 2 differ ONLY in PII -> duplicates after redaction
+            (1, f"{eight} mail a@x.io"),
+            (2, f"{eight} mail b@y.org"),
+            # 3 is a benchmark copy -> dropped (not deduped into a winner)
+            (3, "leaked question one two three four five six seven"),
+            # 4 is clean and unique
+            (4, "unique document body with completely different words here"),
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [("leaked question one two three four five six seven",)],
+            "text string")
+        got = {r.doc_id: r for r in curate_for_training(
+            docs, bench, ngram_n=4, min_hits=2, capacity=8, seed=2)
+            .collect()}
+        assert set(got) == {1, 4}          # 2 deduped away, 3 decontaminated
+        assert got[1].tokens == 10         # '<EMAIL>' is one token
+        # packing is contiguous over survivors
+        total = sum(r.tokens for r in got.values())
+        last = max(got.values(), key=lambda r: r.start_bin * 8 + r.bin_offset)
+        assert last.start_bin * 8 + last.bin_offset + last.tokens == total
