@@ -74,3 +74,54 @@ def top_terms(
               .filter(F.col("rank") <= k)
               .select(id_col, "term", "rank", "score")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """-> (id, score) of the ``k`` best docs for a bag-of-terms query
+    under Okapi BM25 (idf = ln(1 + (N - df + 0.5)/(df + 0.5)); tf
+    saturation ``k1``; length normalization ``b`` against the mean doc
+    token length). The lexical ranker the hybrid search stage fuses with
+    dense cosine — and the one BM25 convention everything here follows,
+    so scores are portable.
+
+    Scale shape: the query term list is a literal array filter pushed
+    into the tf aggregation (only matching terms survive the explode);
+    df for the handful of query terms and the (N, avg_len) scalars ride
+    broadcast frames; the readout is TakeOrderedAndProject under the
+    deterministic (score desc, id asc) order."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    qset = [t.lower() for t in query_terms]
+    toks = docs.select(F.col(id_col),
+                       tokens_col(F.col(text_col)).alias("_t"))
+    lens = toks.select(F.col(id_col), F.size("_t").alias("_len"))
+    stats = lens.agg(F.count("*").alias("n"),
+                     F.avg("_len").alias("avg_len"))
+    terms = toks.select(
+        F.col(id_col), F.explode("_t").alias("term")) \
+        .filter(F.col("term").isin(qset))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("_len") / F.col("avg_len")))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+          .join(lens, id_col)
+          .crossJoin(F.broadcast(stats))
+          .groupBy(id_col)
+          .agg(F.sum(idf * tf_part).alias("score"))
+          .orderBy(F.desc("score"), F.asc(id_col))
+          .limit(k)
+    )

@@ -3688,3 +3688,38 @@ def curate_training_manifest_q(spark: SparkSession, sf: str) -> DataFrame:
                  F.xxhash64(F.lit(11), F.col("doc_id")).alias("k")) \
         .write.mode("overwrite").parquet(f"{_CT_STAGE}/keys")
     return curate_for_training(dirty, bench, capacity=256, seed=11)
+
+
+@register("bm25_topk", """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents),
+lens AS (SELECT doc_id, len(t) AS dlen FROM tok),
+st AS (SELECT count(*) AS n, avg(dlen) AS avg_len FROM lens),
+terms AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+       WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+    sum(ln(1e0 + ((SELECT n FROM st) - df.df + 0.5e0) / (df.df + 0.5e0))
+        * (tf.tf * 2.2e0)
+        / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * lens.dlen
+                            / (SELECT avg_len FROM st)))) AS score
+  FROM tf JOIN df USING (term) JOIN lens USING (doc_id)
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
+""")
+def bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    # Okapi BM25 top-10 for a 3-term query — tf saturation + length
+    # normalization re-derived in DuckDB through the identical double
+    # chain (k1=1.2, b=0.75: note 2.2 = k1+1, 0.25 = 1-b). The query
+    # terms are a pushed literal filter, df/N/avg_len ride broadcasts,
+    # readout is TakeOrderedAndProject.
+    from .operators.tfidf import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    out = bm25_topk(docs, ["spark", "hash", "window"], k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))

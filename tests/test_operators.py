@@ -3198,3 +3198,48 @@ class TestCurateForTraining:
         total = sum(r.tokens for r in got.values())
         last = max(got.values(), key=lambda r: r.start_bin * 8 + r.bin_offset)
         assert last.start_bin * 8 + last.bin_offset + last.tokens == total
+
+
+class TestBm25:
+    """operators/tfidf.bm25_topk — the three BM25 behaviors that define
+    it: tf saturation, length normalization, rarity weighting."""
+
+    def test_length_normalization(self, spark):
+        from hades_spark.operators.tfidf import bm25_topk
+        docs = spark.createDataFrame([
+            (1, "spark fast"),                       # short, 1 hit
+            (2, "spark " + "filler " * 30),          # long, 1 hit
+        ], "doc_id long, text string")
+        got = [r.doc_id for r in bm25_topk(docs, ["spark"], k=2).collect()]
+        assert got[0] == 1                            # short doc ranks first
+
+    def test_tf_saturates(self, spark):
+        import math
+        from hades_spark.operators.tfidf import bm25_topk
+        docs = spark.createDataFrame([
+            (1, "spark word"), (2, "spark spark"), (3, "pad pad"),
+        ], "doc_id long, text string")
+        got = {r.doc_id: r.score for r in
+               bm25_topk(docs, ["spark"], k=3, b=0.0).collect()}
+        # with b=0 the doc-2 gain over doc-1 is tf-saturation only:
+        # 2*2.2/(2+1.2) vs 1*2.2/(1+1.2) -> ratio 1.375 < 2
+        assert 1.0 < got[2] / got[1] < 2.0
+        assert abs(got[2] / got[1] - (2 * 2.2 / 3.2) / (2.2 / 2.2)) < 1e-9
+
+    def test_rare_term_weighs_more(self, spark):
+        from hades_spark.operators.tfidf import bm25_topk
+        rows = [(i, "common text body") for i in range(10)]
+        rows += [(100, "common rare"), (101, "common plain")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [r.doc_id for r in
+               bm25_topk(docs, ["common", "rare"], k=2).collect()]
+        assert got[0] == 100
+
+    def test_validation(self, spark):
+        import pytest
+        from hades_spark.operators.tfidf import bm25_topk
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_topk(docs, [], k=1)
+        with pytest.raises(ValueError):
+            bm25_topk(docs, ["x"], k=0)
