@@ -3723,3 +3723,59 @@ def bm25_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     out = bm25_topk(docs, ["spark", "hash", "window"], k=10)
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_PQ_STAGE = f"{STAGE_ROOT}/hades_pq_oracle_stage"
+
+_PQ_ORACLE = f"""
+WITH cb AS (SELECT mi, code, j, v
+            FROM read_parquet('{_PQ_STAGE}/books/*.parquet')),
+cd AS (SELECT vec_id, codes
+       FROM read_parquet('{_PQ_STAGE}/codes/*.parquet')),
+cu AS (SELECT vec_id, CAST(i - 1 AS INT) AS mi, codes[i] AS code
+       FROM cd, unnest(range(1, len(codes) + 1)) AS u(i)),
+q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+sc AS (
+  SELECT q.q_id, cu.vec_id AS c_id,
+         sum(CAST(q.embedding[cb.mi * 8 + cb.j + 1] AS DOUBLE) * cb.v)
+         AS score
+  FROM cu JOIN cb ON cb.mi = cu.mi AND cb.code = cu.code
+  CROSS JOIN q
+  GROUP BY q.q_id, cu.vec_id),
+rk AS (
+  SELECT q_id, c_id, round(score, 4) AS score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(score, 4) DESC, c_id ASC) AS rnk
+  FROM sc)
+SELECT q_id, c_id, score, CAST(rnk AS INT) AS rank
+FROM rk WHERE rnk <= 5
+"""
+
+
+@register("ann_pq_topk", _PQ_ORACLE)
+def ann_pq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
+    # product-quantization ADC top-5 (m=8 subspaces, 32 codes — the
+    # 64-float corpus stored as 8 small ints). The ADC math is fully
+    # deterministic given (codebooks, codes, queries), so the WHOLE
+    # machinery — bounded-sample per-subspace Lloyd, distributed
+    # encoding, LUT scoring, rank — carries a DuckDB value-hash oracle
+    # via the unnested codebook join. Compression-induced recall is
+    # asserted vs exact brute force in tests, same methodology as
+    # LSH/IVF.
+    from .operators.pq import encode_pq, pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf, "embeddings")
+    books = train_pq_codebooks(emb, m_subspaces=8, n_codes=32,
+                               sample_rows=2000, seed=7)
+    m, n_codes, sub = books.shape
+    spark.createDataFrame(
+        [(mi, c, j, float(books[mi, c, j]))
+         for mi in range(m) for c in range(n_codes) for j in range(sub)],
+        "mi int, code int, j int, v double") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{_PQ_STAGE}/books")
+    codes = encode_pq(emb, books)
+    codes.write.mode("overwrite").parquet(f"{_PQ_STAGE}/codes")
+    staged = spark.read.parquet(f"{_PQ_STAGE}/codes")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return pq_topk(staged, queries, books, k=5, score_decimals=4)

@@ -3243,3 +3243,85 @@ class TestBm25:
             bm25_topk(docs, [], k=1)
         with pytest.raises(ValueError):
             bm25_topk(docs, ["x"], k=0)
+
+
+class TestPq:
+    """operators/pq.py — quantization quality scales with codebook size,
+    ADC recall vs exact brute force on clustered data, deterministic
+    encoding, dirt/validation."""
+
+    def _clustered(self, spark, n=400, dim=32, n_clusters=20, seed=5):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        cents = rng.randn(n_clusters, dim) * 3.0
+        pts = cents[np.arange(n) % n_clusters] + rng.randn(n, dim) * 0.3
+        # unit-normalize so ADC's dot product and the exact ranker's
+        # cosine induce the same ordering
+        pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        rows = [(i, [float(x) for x in pts[i]]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), pts
+
+    def test_reconstruction_improves_with_codes(self, spark):
+        import numpy as np
+        from hades_spark.operators.pq import encode_pq, train_pq_codebooks
+        df, pts = self._clustered(spark)
+        errs = {}
+        for n_codes in (4, 64):
+            books = train_pq_codebooks(df, m_subspaces=4, n_codes=n_codes,
+                                       sample_rows=400, seed=1)
+            codes = {r.vec_id: r.codes for r in encode_pq(df, books).collect()}
+            sub = pts.shape[1] // 4
+            err = 0.0
+            for i, p in enumerate(pts):
+                rec = np.concatenate([books[mi, codes[i][mi]]
+                                      for mi in range(4)])
+                err += float(((p - rec) ** 2).sum())
+            errs[n_codes] = err
+        assert errs[64] < 0.25 * errs[4]
+
+    def test_adc_recall_vs_exact(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+        from hades_spark.operators.pq import (encode_pq, pq_topk,
+                                              train_pq_codebooks)
+        from hades_spark.operators.similarity import topk_join
+        df, _ = self._clustered(spark)
+        books = train_pq_codebooks(df, m_subspaces=8, n_codes=64,
+                                   sample_rows=400, seed=2)
+        codes = encode_pq(df, books)
+        queries = df.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        # the production IVF-PQ pattern: ADC SHORTLISTS (3x oversample),
+        # exact re-ranks — inside a tight cluster ADC can't order points
+        # finer than the quantization error, but the shortlist must
+        # contain the true top-k
+        approx = pq_topk(codes, queries, books, k=30)
+        got = {(r.q_id, r.c_id) for r in approx.collect()}
+        cands = df.select(F.col("vec_id").alias("c_id"),
+                          F.col("embedding").alias("c_vec"))
+        exact = topk_join(queries, cands, k=10)
+        want = {(r.q_id, r.c_id) for r in exact.collect()}
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, recall
+
+    def test_encoding_deterministic(self, spark):
+        from hades_spark.operators.pq import encode_pq, train_pq_codebooks
+        df, _ = self._clustered(spark, n=100)
+        books = train_pq_codebooks(df, m_subspaces=4, n_codes=16,
+                                   sample_rows=100, seed=3)
+        a = sorted((r.vec_id, tuple(r.codes))
+                   for r in encode_pq(df, books).collect())
+        b = sorted((r.vec_id, tuple(r.codes))
+                   for r in encode_pq(df.repartition(7), books).collect())
+        assert a == b
+
+    def test_validation(self, spark):
+        import pytest
+        from hades_spark.operators.pq import train_pq_codebooks
+        df, _ = self._clustered(spark, n=50, dim=30)
+        with pytest.raises(ValueError):          # 30 % 4 != 0
+            train_pq_codebooks(df, m_subspaces=4, n_codes=16,
+                               sample_rows=50)
+        with pytest.raises(ValueError):          # too few samples
+            train_pq_codebooks(df, m_subspaces=2, n_codes=64,
+                               sample_rows=50)
