@@ -146,5 +146,45 @@ def main() -> None:
     spark.stop()
 
 
+def pq_probe(cores: int = 8) -> None:
+    """Standalone PQ probe: 1M x 64-dim corpus, m=8 x 256 codes —
+    train/encode/ADC walls + the compression ratio that motivates PQ.
+    Run: python scripts/newops_scale_probe.py <cores> pq"""
+    from hades_spark.operators.pq import (encode_pq, pq_topk,
+                                          train_pq_codebooks)
+    spark = get_spark("pq_probe", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    n, dim = 1_000_000, 64
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: (F.pmod(F.xxhash64("id", j), 2000) - 1000.0)
+                    / 1000.0).alias("embedding")).localCheckpoint()
+    emb.count()
+    t0 = time.monotonic()
+    books = train_pq_codebooks(emb, m_subspaces=8, n_codes=256,
+                               sample_rows=100_000, iters=10, seed=3)
+    train_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    codes = encode_pq(emb, books).localCheckpoint()
+    n_codes_rows = codes.count()
+    enc_sec = time.monotonic() - t0
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    t0 = time.monotonic()
+    got = pq_topk(codes, queries, books, k=10).count()
+    adc_sec = time.monotonic() - t0
+    emit({"probe": "pq", "rows": n, "dim": dim, "m": 8, "n_codes": 256,
+          "train_sec": round(train_sec, 2), "encode_sec": round(enc_sec, 2),
+          "encode_rows_per_sec": round(n_codes_rows / enc_sec),
+          "adc_8q_sec": round(adc_sec, 2), "topk_rows": got,
+          "compression_x": round(dim * 8 / 8, 1)})  # 64 f64 -> 8 bytes
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "pq":
+        pq_probe(int(sys.argv[1]))
+    else:
+        main()
