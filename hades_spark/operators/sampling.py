@@ -151,3 +151,31 @@ def stratified_mix(
         F.lit(_threshold(default_fraction)),
     )
     return df.filter(sample_bucket(F.col(key_col), seed) < thr)
+
+
+def split_column(key_col, splits: dict[str, float], seed: int = 0) -> Column:
+    """Label column assigning each KEY to exactly one named split
+    (train/val/test and friends): consecutive bucket ranges over the same
+    hash gate, so splits are DISJOINT and EXHAUSTIVE by construction when
+    fractions sum to 1 (validated), deterministic across reruns and
+    partitionings, and consistent for every table sharing the key. Split
+    boundaries are quantized like the gates (1/RESOLUTION); insertion
+    order of ``splits`` fixes the ranges, so the same dict always yields
+    the same assignment."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {total}")
+    bucket = sample_bucket(key_col, seed)
+    expr = None
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + _threshold(frac)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+        lo = hi
+    # quantization can leave the last few buckets unlabeled; they belong
+    # to the final split (exhaustiveness wins over exact quantization)
+    return expr.otherwise(F.lit(list(splits)[-1]))

@@ -3779,3 +3779,39 @@ def ann_pq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return pq_topk(staged, queries, books, k=5, score_decimals=4)
+
+
+@register("mix_train_val_test", f"""
+WITH b AS (SELECT doc_id, bucket
+           FROM read_parquet('{STAGE_ROOT}/hades_split_oracle_stage/buckets/*.parquet')),
+lab AS (SELECT doc_id,
+               CASE WHEN bucket < {int(0.8 * (1 << 20))} THEN 'train'
+                    WHEN bucket < {int(0.8 * (1 << 20)) + int(0.1 * (1 << 20))}
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM lab GROUP BY split
+""")
+def mix_train_val_test_q(spark: SparkSession, sf: str) -> DataFrame:
+    # deterministic 80/10/10 split: disjoint + exhaustive by construction
+    # (consecutive ranges over one hash gate), reproducible on any
+    # cluster layout, consistent across tables sharing the key. Staged
+    # oracle: DuckDB applies the identical quantized thresholds to the
+    # staged buckets and re-derives the per-split rollup.
+    from .operators.sampling import sample_bucket, split_column
+
+    docs = load_table(spark, sf, "documents")
+    docs.select("doc_id",
+                sample_bucket(F.col("doc_id"), seed=19).alias("bucket")) \
+        .write.mode("overwrite").parquet(
+            f"{STAGE_ROOT}/hades_split_oracle_stage/buckets")
+    lab = docs.select(
+        "doc_id",
+        split_column(F.col("doc_id"),
+                     {"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed=19).alias("split"))
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))

@@ -3325,3 +3325,41 @@ class TestPq:
         with pytest.raises(ValueError):          # too few samples
             train_pq_codebooks(df, m_subspaces=2, n_codes=64,
                                sample_rows=50)
+
+
+class TestSplitColumn:
+    """operators/sampling.split_column — disjoint+exhaustive assignment,
+    determinism, cross-table consistency, validation."""
+
+    def test_fractions_and_exhaustive(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.sampling import split_column
+        df = spark.range(20_000).select(F.col("id").alias("k"))
+        lab = df.select("k", split_column(
+            F.col("k"), {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s"))
+        by = {r.s: r.c for r in
+              lab.groupBy("s").agg(F.count("*").alias("c")).collect()}
+        assert set(by) == {"train", "val", "test"}     # exhaustive
+        assert sum(by.values()) == 20_000
+        assert abs(by["train"] - 16_000) < 400
+        assert abs(by["val"] - 2_000) < 200
+
+    def test_consistent_across_tables(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.sampling import split_column
+        s = {"a": 0.5, "b": 0.5}
+        one = spark.range(500).select(
+            F.col("id").alias("k"), split_column(F.col("k"), s, 4).alias("s"))
+        two = spark.range(500).repartition(7).select(
+            F.col("id").alias("k"), split_column(F.col("k"), s, 4).alias("s"))
+        assert sorted(map(tuple, one.collect())) \
+            == sorted(map(tuple, two.collect()))
+
+    def test_validation(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+        from hades_spark.operators.sampling import split_column
+        with pytest.raises(ValueError):
+            split_column(F.col("k"), {"a": 0.5, "b": 0.6})
+        with pytest.raises(ValueError):
+            split_column(F.col("k"), {})
