@@ -295,6 +295,31 @@ def main() -> int:
         ("partial aggregation engaged", lambda p: "partial_" in p),
     ])
 
+    # BM25: readout is TakeOrderedAndProject; query-term filter reaches
+    # the explode side (no post-agg filter), no python eval
+    from hades_spark.operators.tfidf import bm25_topk
+
+    check("bm25", bm25_topk(docs, ["spark", "hash"], k=5), [
+        ("TakeOrderedAndProject readout",
+         lambda p: "TakeOrderedAndProject" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ])
+
+    # sequence packing: the corpus-wide window is PARTITIONED (by the
+    # range segment) — the only single-partition window is the <=P-row
+    # offsets frame
+    from hades_spark.operators.packing import pack_sequences
+
+    packed = pack_sequences(
+        docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+        capacity=512, num_segments=4)
+    check("pack_sequences", packed, [
+        ("range partitioning on the order key",
+         lambda p: "rangepartitioning(_k" in p),
+        ("segment-partitioned corpus window",
+         lambda p: "windowspecdefinition(_seg" in p),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
