@@ -69,7 +69,9 @@ def url_host(url: Column | str) -> Column:
     """Lowercased hostname (no userinfo, no port), NULL if unparseable."""
     url = F.col(url) if isinstance(url, str) else url
     auth = F.lower(_part(url, "AUTHORITY"))
-    auth = F.regexp_replace(auth, r"^[^@]*@", "")      # strip userinfo
+    # userinfo ends at the LAST '@' in the authority (RFC 3986 §3.2):
+    # greedy match, or 'u@p@h' style dirt leaves a fake userinfo behind
+    auth = F.regexp_replace(auth, r"^.*@", "")
     return F.regexp_replace(auth, r":\d+$", "")        # strip any port
 
 
@@ -78,7 +80,7 @@ def url_normalize(url: Column | str) -> Column:
     url = F.col(url) if isinstance(url, str) else url
     proto = url_scheme(url)
 
-    auth = F.regexp_replace(F.lower(_part(url, "AUTHORITY")), r"^[^@]*@", "")
+    auth = F.regexp_replace(F.lower(_part(url, "AUTHORITY")), r"^.*@", "")
     auth = F.when(proto == "http", F.regexp_replace(auth, r":80$", "")) \
             .when(proto == "https", F.regexp_replace(auth, r":443$", "")) \
             .otherwise(auth)

@@ -3004,7 +3004,7 @@ parts AS (
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS proto,
     regexp_replace(lower(regexp_extract(
       url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
-      '^[^@]*@', '') AS auth0,
+      '^.*@', '') AS auth0,
     regexp_replace(regexp_extract(
       url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
       '/{{2,}}', '/', 'g') AS path0,

@@ -3363,3 +3363,93 @@ class TestSplitColumn:
             split_column(F.col("k"), {"a": 0.5, "b": 0.6})
         with pytest.raises(ValueError):
             split_column(F.col("k"), {})
+
+
+class TestNewOpsFuzz:
+    """Hypothesis property fuzz over the thirteenth-session surfaces:
+    url_normalize never throws and is idempotent on arbitrary strings;
+    pack_sequences equals the sequential Python definition; ngram_windows
+    equals the Python sliding window."""
+
+    def test_url_normalize_total_and_idempotent(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import functions as F
+
+        from hades_spark.functions.urls import url_normalize
+
+        frag = st.sampled_from(
+            ["http://", "HTTPS://", "a.B.co", ":80", ":443", ":8080",
+             "//x", "/p/", "?a=1", "?utm_s=2&b=", "#f", "@u:p@", "%zz",
+             " ", "\t", "://", "..", "日本", ""])
+
+        @settings(max_examples=15, deadline=None)
+        @given(parts=st.lists(frag, max_size=6))
+        def run(parts):
+            s = "".join(parts)
+            df = spark.createDataFrame([(s,)], "url string")
+            once = df.select(url_normalize("url").alias("n")).collect()[0].n
+            if once is not None:
+                df2 = spark.createDataFrame([(once,)], "url string")
+                twice = df2.select(
+                    url_normalize("url").alias("n")).collect()[0].n
+                assert twice == once, (s, once, twice)
+
+        run()
+
+    def test_pack_sequences_equals_sequential(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hades_spark.operators.packing import pack_sequences
+
+        @settings(max_examples=10, deadline=None)
+        @given(tcs=st.lists(st.integers(-2, 40), min_size=0, max_size=30),
+               cap=st.integers(1, 17), segs=st.integers(1, 6))
+        def run(tcs, cap, segs):
+            import pyspark.sql.functions as F
+            rows = [(i, t) for i, t in enumerate(tcs)]
+            df = spark.createDataFrame(rows, "doc_id long, n_tokens long") \
+                if rows else spark.createDataFrame(
+                    [], "doc_id long, n_tokens long")
+            got = {r.doc_id: (r.start_bin, r.end_bin, r.bin_offset)
+                   for r in pack_sequences(df, capacity=cap, seed=5,
+                                           num_segments=segs).collect()}
+            # sequential definition: same order key, running cumsum
+            valid = [(i, t) for i, t in rows if t and t > 0]
+            keyed = spark.createDataFrame(
+                [(i,) for i, _ in valid] or [(0,)], "doc_id long").select(
+                "doc_id", F.xxhash64(F.lit(5), F.col("doc_id")).alias("k"))
+            kmap = {r.doc_id: r.k for r in keyed.collect()}
+            order = sorted(valid, key=lambda it: (kmap[it[0]], it[0]))
+            pos = 0
+            want = {}
+            for i, t in order:
+                want[i] = (pos // cap, (pos + t - 1) // cap, pos % cap)
+                pos += t
+            assert got == want, (tcs, cap, segs)
+
+        run()
+
+    def test_ngram_windows_equals_python(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.decontaminate import ngram_windows
+        from hades_spark.operators.lm import TOKEN_SPLIT_RE  # noqa: F401
+        import re
+
+        @settings(max_examples=15, deadline=None)
+        @given(s=st.text(alphabet="ab1 .,!X", max_size=40),
+               n=st.integers(1, 4))
+        def run(s, n):
+            df = spark.createDataFrame([(s,)], "t string")
+            got = df.select(
+                ngram_windows(F.col("t"), n).alias("w")).collect()[0].w
+            toks = [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+            want = [" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)]
+            assert got == want, (s, n)
+
+        run()
