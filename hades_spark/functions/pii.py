@@ -23,7 +23,7 @@ from pyspark.sql import Column, functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\+?\d{3}[-.]\d{3}[-.]\d{4}\b"
+PHONE_RE = r"(\b\d{3}|\+\d{3})[-.]\d{3}[-.]\d{4}\b"
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP>"

@@ -66,8 +66,11 @@ def pack_sequences(
         .select("_seg", "_off")
     cum = local.join(F.broadcast(offsets), "_seg") \
                .withColumn("_cum", F.col("_lcum") + F.col("_off"))
-    start = F.floor((F.col("_cum") - F.col("_tc")) / capacity)
-    end = F.floor((F.col("_cum") - 1) / capacity)
+    # integer DIV, not floor(double /): past 2^53 cumulative tokens a
+    # double quotient rounds and bin assignment would contradict the
+    # exact long bin_offset — the 10^12-doc regime this targets
+    start = F.expr(f"(_cum - _tc) DIV {int(capacity)}")
+    end = F.expr(f"(_cum - 1) DIV {int(capacity)}")
     return cum.select(
         F.col(id_col), F.col("_tc").alias("tokens"),
         start.alias("start_bin"), end.alias("end_bin"),

@@ -160,7 +160,9 @@ def grouped_quantiles(
     = languages / quality tiers / sources), and the opt-out keeps the
     join a plain shuffle when groups number in the millions (per-host
     frames at crawl scale). Per-group cumulative state stays <= n_bins
-    rows — the window partitions by group, never scans data."""
+    rows — the window partitions by group, never scans data. Rows with a
+    NULL group key are excluded (no threshold is derivable for them —
+    the equi-join drops them; callers route NULL-group dirt explicitly)."""
     _validate(n_bins)
     for q in qs:
         if not 0.0 <= q <= 1.0:
@@ -222,9 +224,10 @@ def adaptive_quality_gate(
     thr = grouped_quantiles(df, group_cols, score_col,
                             [1.0 - keep_top_frac], n_bins) \
         .select(*group_cols, F.col("value").alias("_thr"))
+    s = F.col(score_col).cast("double")
     return (
         df.join(F.broadcast(thr), list(group_cols), "left")
-          .filter(F.col("_thr").isNull()
-                  | (F.col(score_col).cast("double") >= F.col("_thr")))
+          .filter(s.isNotNull() & ~F.isnan(s)
+                  & (F.col("_thr").isNull() | (s >= F.col("_thr"))))
           .drop("_thr")
     )

@@ -2980,10 +2980,9 @@ def sk_hist_quantiles_q(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("q", F.round("value", 6).alias("value"))
 
 
-_URL_SUFFIX_IN = ", ".join(
-    f"'{s}'" for s in __import__(
-        "hades_spark.functions.urls", fromlist=["TWO_LEVEL_SUFFIXES"]
-    ).TWO_LEVEL_SUFFIXES)
+from .functions.urls import TWO_LEVEL_SUFFIXES as _URL_SUFFIXES
+
+_URL_SUFFIX_IN = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
 
 _URL_ORACLE = f"""
 WITH src AS (
@@ -3336,7 +3335,7 @@ def decon_repeated_passages_q(spark: SparkSession, sf: str) -> DataFrame:
 
 _PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-_PII_PHONE_RE = "\\+?\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_PHONE_RE = "(\\b\\d{3}|\\+\\d{3})[-.]\\d{3}[-.]\\d{4}\\b"
 
 _PII_ORACLE = f"""
 WITH dirty AS (
@@ -3387,11 +3386,12 @@ def pii_redact_q(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("-"), (1000 + doc_id % 9000).cast("string"),
             F.lit(" from 10."), (doc_id % 256).cast("string"),
             F.lit(".0."), (doc_id % 100).cast("string")).alias("t"))
+    c = pii_counts("t")
     return dirty.select(
         "doc_id",
-        pii_counts("t").getField("n_emails").alias("n_emails"),
-        pii_counts("t").getField("n_ips").alias("n_ips"),
-        pii_counts("t").getField("n_phones").alias("n_phones"),
+        c.getField("n_emails").alias("n_emails"),
+        c.getField("n_ips").alias("n_ips"),
+        c.getField("n_phones").alias("n_phones"),
         redact_pii("t").alias("redacted"))
 
 
@@ -3490,10 +3490,9 @@ c AS (SELECT doc_id, tc,
              sum(tc) OVER (ORDER BY k, doc_id) AS cum
       FROM s)
 SELECT doc_id, tc AS tokens,
-       CAST(floor((cum - tc) / 512e0) AS BIGINT) AS start_bin,
-       CAST(floor((cum - 1) / 512e0) AS BIGINT) AS end_bin,
-       CAST(floor((cum - 1) / 512e0)
-            - floor((cum - tc) / 512e0) + 1 AS BIGINT) AS n_bins_spanned,
+       (cum - tc) // 512 AS start_bin,
+       (cum - 1) // 512 AS end_bin,
+       (cum - 1) // 512 - (cum - tc) // 512 + 1 AS n_bins_spanned,
        (cum - tc) % 512 AS bin_offset
 FROM c
 """
@@ -3650,10 +3649,9 @@ cum AS (
          sum(d.tc) OVER (ORDER BY ks.k, d.doc_id) AS c
   FROM ded d JOIN ks USING (doc_id))
 SELECT doc_id, tc AS tokens,
-       CAST(floor((c - tc) / 256e0) AS BIGINT) AS start_bin,
-       CAST(floor((c - 1) / 256e0) AS BIGINT) AS end_bin,
-       CAST(floor((c - 1) / 256e0)
-            - floor((c - tc) / 256e0) + 1 AS BIGINT) AS n_bins_spanned,
+       (c - tc) // 256 AS start_bin,
+       (c - 1) // 256 AS end_bin,
+       (c - 1) // 256 - (c - tc) // 256 + 1 AS n_bins_spanned,
        (c - tc) % 256 AS bin_offset
 FROM cum
 """
@@ -3785,8 +3783,8 @@ def ann_pq_topk_q(spark: SparkSession, sf: str) -> DataFrame:
 WITH b AS (SELECT doc_id, bucket
            FROM read_parquet('{STAGE_ROOT}/hades_split_oracle_stage/buckets/*.parquet')),
 lab AS (SELECT doc_id,
-               CASE WHEN bucket < {int(0.8 * (1 << 20))} THEN 'train'
-                    WHEN bucket < {int(0.8 * (1 << 20)) + int(0.1 * (1 << 20))}
+               CASE WHEN bucket < {int(round(0.8 * (1 << 20)))} THEN 'train'
+                    WHEN bucket < {int(round(0.8 * (1 << 20))) + int(round(0.1 * (1 << 20)))}
                       THEN 'val'
                     ELSE 'test' END AS split
         FROM b)

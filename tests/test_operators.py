@@ -3453,3 +3453,57 @@ class TestNewOpsFuzz:
             assert got == want, (s, n)
 
         run()
+
+
+class TestReviewFixes13:
+    """Regressions for the thirteenth-session review findings."""
+
+    def test_adaptive_gate_drops_nan_scores(self, spark):
+        from hades_spark.operators.quantile import adaptive_quality_gate
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+             ("a", float("nan")), ("a", None)], "g string, s double")
+        kept = sorted(r.s for r in adaptive_quality_gate(
+            df, ["g"], "s", keep_top_frac=0.5).collect())
+        # NaN would have passed every gate under NaN-greatest ordering
+        assert kept == [3.0, 4.0]
+
+    def test_adaptive_gate_keeps_unthresholded_groups(self, spark):
+        from hades_spark.operators.quantile import adaptive_quality_gate
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 9.0), (None, 5.0)], "g string, s double")
+        got = {(r.g, r.s) for r in adaptive_quality_gate(
+            df, ["g"], "s", keep_top_frac=0.5).collect()}
+        assert (None, 5.0) in got          # no threshold -> kept, not lost
+
+    def test_phone_never_matches_inside_digit_runs(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.functions.pii import redact_pii
+        df = spark.createDataFrame(
+            [("order 91234-567-8901 ok",), ("call 234-567-8901 ok",)],
+            "t string")
+        got = [r[0] for r in df.select(redact_pii("t")).collect()]
+        assert got[0] == "order 91234-567-8901 ok"   # suffix not mangled
+        assert got[1] == "call <PHONE> ok"
+
+    def test_packing_exact_past_double_precision(self, spark):
+        from hades_spark.operators.packing import pack_sequences
+        big = (1 << 53) + 1                 # not representable as double
+        df = spark.createDataFrame(
+            [(1, big), (2, 3), (3, 5)], "doc_id long, n_tokens long")
+        got = sorted(pack_sequences(df, capacity=4, seed=9).collect(),
+                     key=lambda r: r.start_bin * 4 + r.bin_offset)
+        pos = 0
+        for r in got:                       # exact long arithmetic holds
+            assert r.start_bin * 4 + r.bin_offset == pos
+            assert r.end_bin == (pos + r.tokens - 1) // 4
+            pos += r.tokens
+
+    def test_split_thresholds_round_not_truncate(self):
+        # the oracle string must embed the SAME rounded thresholds the
+        # gate uses (int() truncation drifted 3 buckets)
+        from hades_spark.operators.sampling import _threshold
+        from hades_spark.queries import ORACLE_SQL
+        sql = ORACLE_SQL["mix_train_val_test"]
+        assert f"bucket < {_threshold(0.8)}" in sql
+        assert f"bucket < {_threshold(0.8) + _threshold(0.1)}" in sql
