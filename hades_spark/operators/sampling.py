@@ -179,3 +179,31 @@ def split_column(key_col, splits: dict[str, float], seed: int = 0) -> Column:
     # quantization can leave the last few buckets unlabeled; they belong
     # to the final split (exhaustiveness wins over exact quantization)
     return expr.otherwise(F.lit(list(splits)[-1]))
+
+
+def weighted_sample_topk_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+    score_col: str = "es_key",
+) -> DataFrame:
+    """Per-GROUP weight-proportional sample of ``k`` keys (the
+    per-language / per-source mixing quota shape): same Efraimidis–
+    Spirakis race keys, ranked inside each group with one window shuffle
+    on the group key instead of the global TakeOrdered. Completes the
+    sampling matrix: {uniform, weighted} × {global, grouped, split}."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    w = F.col(weight_col).cast("double")
+    scored = (
+        df.filter(w.isNotNull() & (w > 0) & F.col(key_col).isNotNull())
+          .withColumn(score_col, exp_sample_key(F.col(key_col), w, seed))
+    )
+    win = Window.partitionBy(*group_cols).orderBy(score_col, key_col)
+    return scored.withColumn("_rn", F.row_number().over(win)) \
+                 .filter(F.col("_rn") <= k).drop("_rn")

@@ -3813,3 +3813,35 @@ def mix_train_val_test_q(spark: SparkSession, sf: str) -> DataFrame:
     return lab.groupBy("split").agg(
         F.count("*").alias("n_docs"),
         F.min("doc_id").alias("min_id"), F.max("doc_id").alias("max_id"))
+
+
+_WSG_STAGE = f"{STAGE_ROOT}/hades_wsg_oracle_stage"
+
+
+@register("mix_weighted_sample_grouped", f"""
+WITH u AS (SELECT doc_id, lang, u, w
+           FROM read_parquet('{_WSG_STAGE}/uniforms/*.parquet')),
+r AS (SELECT doc_id, lang, -ln(u) / w AS es_key FROM u WHERE w > 0),
+rk AS (SELECT doc_id, lang, es_key,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY es_key, doc_id) AS rn
+       FROM r)
+SELECT lang, doc_id, round(es_key, 9) AS es_key
+FROM rk WHERE rn <= 20
+""")
+def mix_weighted_sample_grouped_q(spark: SparkSession, sf: str) -> DataFrame:
+    # per-language weighted quota (20 docs per lang, inclusion ∝ length):
+    # the grouped variant ranks the same race keys inside each group.
+    # Staged oracle re-derives keys AND each group's selection boundary.
+    from .operators.sampling import (uniform_unit,
+                                     weighted_sample_topk_grouped)
+
+    docs = load_table(spark, sf, "documents")
+    docs.select("doc_id", "lang",
+                uniform_unit(F.col("doc_id"), seed=13).alias("u"),
+                F.col("n_chars").cast("double").alias("w")) \
+        .write.mode("overwrite").parquet(f"{_WSG_STAGE}/uniforms")
+    picked = weighted_sample_topk_grouped(
+        docs, ["lang"], "doc_id", "n_chars", k=20, seed=13)
+    return picked.select("lang", "doc_id",
+                         F.round("es_key", 9).alias("es_key"))

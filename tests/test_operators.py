@@ -3507,3 +3507,25 @@ class TestReviewFixes13:
         sql = ORACLE_SQL["mix_train_val_test"]
         assert f"bucket < {_threshold(0.8)}" in sql
         assert f"bucket < {_threshold(0.8) + _threshold(0.1)}" in sql
+
+
+class TestWeightedSamplingGrouped:
+    def test_per_group_quota_and_parity_with_global(self, spark):
+        from pyspark.sql import functions as F
+        from hades_spark.operators.sampling import (
+            weighted_sample_topk, weighted_sample_topk_grouped)
+        rows = [(f"k{i}", "g" + str(i % 3), float(i % 7 + 1))
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "key string, g string, w double")
+        got = weighted_sample_topk_grouped(df, ["g"], "key", "w", k=5,
+                                           seed=2).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r.g, set()).add(r.key)
+        assert all(len(v) == 5 for v in by.values()) and len(by) == 3
+        # the grouped pick for one group == the global pick run on that
+        # group alone (same race keys, same order)
+        solo = {r.key for r in weighted_sample_topk(
+            df.filter(F.col("g") == "g0"), "key", "w", k=5, seed=2)
+            .collect()}
+        assert by["g0"] == solo
