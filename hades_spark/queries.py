@@ -3845,3 +3845,116 @@ def mix_weighted_sample_grouped_q(spark: SparkSession, sf: str) -> DataFrame:
         docs, ["lang"], "doc_id", "n_chars", k=20, seed=13)
     return picked.select("lang", "doc_id",
                          F.round("es_key", 9).alias("es_key"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals + cross-doc boilerplate line dedup
+# (round-5 fourteenth session; operators/quality.py)
+# ---------------------------------------------------------------------------
+
+@register("text_repetition_signals", r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents),
+s AS (
+  SELECT doc_id, len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+              AS BIGINT) AS word_chars
+  FROM w),
+g2 AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 1], ' ')
+           AS gram
+  FROM w, UNNEST(range(1, len(words))) AS t(i)),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+t2 AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2) WHERE rn = 1),
+g5 AS (
+  SELECT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 4], ' ')
+           AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)),
+c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+d5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup,
+         sum(cnt) AS tot
+  FROM c5 GROUP BY 1)
+SELECT s.doc_id, s.n_words, s.word_chars,
+  CASE WHEN s.n_words > 0
+       THEN CAST(s.word_chars AS DOUBLE) / s.n_words ELSE 0.0 END
+    AS mean_word_len,
+  t2.gram AS top_gram,
+  CASE WHEN s.word_chars > 0
+       THEN CAST(coalesce((length(t2.gram) - 1) * t2.cnt, 0) AS DOUBLE)
+            / s.word_chars ELSE 0.0 END AS top_gram_char_frac,
+  CASE WHEN coalesce(d5.tot, 0) > 0
+       THEN CAST(d5.dup AS DOUBLE) / d5.tot ELSE 0.0 END AS dup_gram_frac
+FROM s LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+""")
+def text_repetition_signals_q(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-family within-doc repetition signals: most-frequent-2-gram
+    # character share + duplicate-5-gram instance share + word-shape
+    # stats, per document. Spark builds n-grams with transform/slice
+    # column algebra (no window, no UDF) and aggregates with combinable
+    # (doc, gram) groupBys; DuckDB re-derives every gram, count, argmax
+    # tie-break, and ratio independently from the raw text — the value
+    # hash pins tokenization, gram construction, and the exact-integer
+    # ratio chains.
+    from .operators.quality import repetition_signals
+
+    return repetition_signals(load_table(spark, sf, "documents"))
+
+
+@register("web_line_dedup", """
+WITH src AS (
+  SELECT doc_id,
+    'subscribe to our newsletter' || chr(10)
+    || CASE WHEN doc_id % 17 = 0 THEN 'common promo body' ELSE text END
+    || chr(10) || 'copyright footer v'
+    || CAST(doc_id % 7 AS VARCHAR) AS t
+  FROM documents),
+l AS (
+  SELECT doc_id, CAST(i AS INT) AS pos, lines[CAST(i AS INT)] AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS lines FROM src),
+       UNNEST(range(1, len(lines) + 1)) AS u(i)),
+b AS (
+  SELECT trim(line) AS k FROM l WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+kept AS (
+  SELECT doc_id, pos, line FROM l
+  WHERE trim(line) NOT IN (SELECT k FROM b))
+SELECT l.doc_id,
+       coalesce((SELECT string_agg(line, chr(10) ORDER BY pos)
+                 FROM kept WHERE kept.doc_id = l.doc_id), '') AS text,
+       count(*) AS n_lines,
+       count(*) - coalesce((SELECT count(*) FROM kept
+                            WHERE kept.doc_id = l.doc_id), 0) AS n_removed
+FROM l GROUP BY l.doc_id
+""")
+def web_line_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet-style cross-document boilerplate removal: pages are built
+    # deterministically with a shared header, a per-site footer variant
+    # (doc_id % 7), and — for doc_id % 17 == 0 — a promo body shared
+    # across docs; every line whose trimmed form appears in >= 5 distinct
+    # docs is dropped and the survivors reassemble in order (unique bodies
+    # survive verbatim; all-boilerplate docs come back empty, still one
+    # row per doc). DuckDB re-derives split/trim/count-distinct/threshold/
+    # ordered reassembly independently.
+    from .operators.quality import line_dedup
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    page = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.when(doc_id % 17 == 0, F.lit("common promo body"))
+             .otherwise(F.col("text")),
+            F.lit("\ncopyright footer v"), (doc_id % 7).cast("string"),
+        ).alias("text"))
+    return line_dedup(page, min_docs=5)

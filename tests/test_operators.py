@@ -3529,3 +3529,121 @@ class TestWeightedSamplingGrouped:
             df.filter(F.col("g") == "g0"), "key", "w", k=5, seed=2)
             .collect()}
         assert by["g0"] == solo
+
+
+class TestQualitySignals:
+    """operators/quality.py — repetition signals + gate (Gopher family)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame([
+            (1, "a b a b a b c"),        # top 2-gram 'a b' x3 of 6 grams
+            (2, "x"),                     # < top_ngram words
+            (3, ""),                      # empty
+            (4, "p q r s t p q r s t p q r s t"),  # fully periodic
+            (5, "alpha beta gamma delta epsilon zeta"),  # all unique
+        ], ["doc_id", "text"])
+
+    def test_closed_form(self, spark):
+        from hades_spark.operators.quality import repetition_signals
+
+        rows = {r["doc_id"]: r for r in
+                repetition_signals(self._docs(spark)).collect()}
+        r1 = rows[1]
+        assert (r1["n_words"], r1["word_chars"]) == (7, 7)
+        assert r1["top_gram"] == "a b"
+        # 'a b' occurs 3x, 2 chars each occurrence, over 7 word chars
+        assert abs(r1["top_gram_char_frac"] - 6 / 7) < 1e-12
+        # 3 five-gram windows: ababa / babab / ababc -> no duplicates...
+        # (a b a b a), (b a b a b), (a b a b c): all distinct
+        assert r1["dup_gram_frac"] == 0.0
+        # doc 4: period-5 string of 15 words -> all 11 windows repeat
+        assert rows[4]["dup_gram_frac"] == 1.0
+        assert rows[4]["top_gram_char_frac"] == pytest.approx(6 / 15)
+        # degenerate docs still emit one well-defined row
+        assert rows[2]["top_gram"] is None
+        assert rows[2]["top_gram_char_frac"] == 0.0
+        assert rows[3]["n_words"] == 0 and rows[3]["mean_word_len"] == 0.0
+        # all-unique doc: top 2-gram has count 1, no 5-gram dups
+        assert rows[5]["dup_gram_frac"] == 0.0
+
+    def test_tie_break_lexicographic(self, spark):
+        from hades_spark.operators.quality import repetition_signals
+
+        df = spark.createDataFrame([(1, "z y z y x w x w")],
+                                   ["doc_id", "text"])
+        # 'z y' x2 and 'x w' x2 tie on count -> lexicographically smaller
+        r = repetition_signals(df).collect()[0]
+        assert r["top_gram"] == "x w"
+
+    def test_gate_filters_repetitive(self, spark):
+        from hades_spark.operators.quality import repetition_gate
+
+        df = spark.createDataFrame([
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "this sentence contains reasonably varied words overall"),
+        ], ["doc_id", "text"])
+        kept = repetition_gate(df, max_top_gram_char_frac=0.5,
+                               max_dup_gram_frac=0.5,
+                               min_mean_word_len=2.0).collect()
+        assert [r["doc_id"] for r in kept] == [2]
+        # original columns survive the gate untouched
+        assert set(kept[0].asDict()) == {"doc_id", "text"}
+
+
+class TestLineDedup:
+    """operators/quality.py — cross-document boilerplate line removal."""
+
+    def _pages(self, spark):
+        return spark.createDataFrame([
+            (1, "HEADER\nbody one\nfooter a"),
+            (2, "HEADER\nbody two\nfooter a"),
+            (3, "HEADER\nbody three\nfooter b"),
+            (4, "HEADER\nfooter a"),            # fully boilerplate
+            (5, "  HEADER  \nbody five"),        # trim-normalized match
+        ], ["doc_id", "text"])
+
+    def test_removal_and_order(self, spark):
+        from hades_spark.operators.quality import line_dedup
+
+        out = {r["doc_id"]: r for r in
+               line_dedup(self._pages(spark), min_docs=3).collect()}
+        assert len(out) == 5                       # one row per input doc
+        assert out[1]["text"] == "body one"
+        assert out[1]["n_removed"] == 2            # HEADER (5) + footer a (3)
+        assert out[4]["text"] == ""                # fully boilerplate doc
+        assert out[4]["n_removed"] == 2
+        assert out[3]["text"] == "body three\nfooter b"  # footer b: 1 doc
+        # trimmed form matches: '  HEADER  ' removed with the others
+        assert out[5]["text"] == "body five"
+        # higher threshold: footer a (3 docs) survives at min_docs=4
+        by_id = {r["doc_id"]: r for r in
+                 line_dedup(self._pages(spark), min_docs=4).collect()}
+        assert by_id[1]["text"] == "body one\nfooter a"
+        assert by_id[4]["text"] == "footer a"
+        assert by_id[4]["n_removed"] == 1
+
+    def test_empty_lines_never_boilerplate(self, spark):
+        from hades_spark.operators.quality import line_dedup
+
+        df = spark.createDataFrame([
+            (1, "a\n\nb"), (2, "c\n\nd"), (3, "e\n\nf"),
+        ], ["doc_id", "text"])
+        out = {r["doc_id"]: r["text"]
+               for r in line_dedup(df, min_docs=2).collect()}
+        # blank lines appear in every doc but are exempt from counting
+        assert out[1] == "a\n\nb"
+
+    def test_broadcast_opt_out_parity(self, spark):
+        from hades_spark.operators.quality import line_dedup
+
+        pages = self._pages(spark)
+        a = sorted(map(tuple, line_dedup(pages, min_docs=3).collect()))
+        b = sorted(map(tuple, line_dedup(
+            pages, min_docs=3, broadcast_boiler=False).collect()))
+        assert a == b
+
+    def test_min_docs_validated(self, spark):
+        from hades_spark.operators.quality import line_dedup
+
+        with pytest.raises(ValueError, match="min_docs"):
+            line_dedup(self._pages(spark), min_docs=1)

@@ -320,6 +320,23 @@ def main() -> int:
          lambda p: "windowspecdefinition(_seg" in p),
     ])
 
+    # repetition signals: pure column-algebra n-grams — no window over the
+    # corpus, no Python eval anywhere in the plan
+    from hades_spark.operators.quality import line_dedup, repetition_signals
+
+    check("repetition_signals", repetition_signals(docs), [
+        ("no window function", lambda p: "Window" not in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ])
+
+    # line dedup: the bounded boilerplate set rides a broadcast into the
+    # anti-join (the corpus-sized line frame never re-shuffles for it)
+    check("line_dedup", line_dedup(docs, min_docs=3), [
+        ("boilerplate set broadcast into anti-join",
+         lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p),
+        ("no python eval", lambda p: "EvalPython" not in p),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
