@@ -100,6 +100,18 @@ def url_normalize(url: Column | str) -> Column:
             .otherwise(out)
 
 
+def extract_hrefs(html: Column | str) -> Column:
+    """All ``href`` attribute values in the markup, in document order —
+    pure column algebra (``regexp_extract_all``), no UDF, no parser.
+    Case-insensitive attribute name, optional whitespace around ``=``,
+    single- or double-quoted values. Relative and non-URL targets come
+    back verbatim; ``url_normalize`` maps them to NULL downstream (the
+    dirt route) — link-graph callers filter on that."""
+    html = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(
+        html, F.lit(r"""(?i)href\s*=\s*["']([^"']+)["']"""), 1)
+
+
 def registered_domain(host: Column | str) -> Column:
     """eTLD+1 under the bundled mini-PSL: ``a.b.co.uk`` -> ``b.co.uk``,
     ``a.b.com`` -> ``b.com``; hosts with one label (or NULL) pass through.

@@ -3958,3 +3958,93 @@ def web_line_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("\ncopyright footer v"), (doc_id % 7).cast("string"),
         ).alias("text"))
     return line_dedup(page, min_docs=5)
+
+
+_LINKGRAPH_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, source,
+    '<html><body><p>page</p>'
+    || '<a href="HTTP://Link' || CAST(doc_id % 11 AS VARCHAR)
+    || '.COM:80//promo/?utm_campaign=x&z=' || CAST(doc_id % 3 AS VARCHAR)
+    || '">spam</a>'
+    || '<A HREF = ''https://cdn.Assets' || CAST(doc_id % 4 AS VARCHAR)
+    || '.co.uk/lib.js''>asset</A>'
+    || '<a href="/local/nav">rel</a>'
+    || '<a href="mailto:x@example.com">mail</a>'
+    || '</body></html>' AS html
+  FROM documents),
+h AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(html,
+           '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS href
+  FROM src),
+auth AS (
+  SELECT doc_id, source,
+    regexp_replace(regexp_replace(lower(regexp_extract(href,
+      '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)),
+      '^.*@', ''), ':[0-9]+$', '') AS host
+  FROM h
+  WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+')),
+dom AS (
+  SELECT doc_id, source,
+    CASE WHEN len(labels) <= 1 THEN host
+         WHEN len(labels) >= 3 AND (labels[-2] || '.' || labels[-1])
+              IN ({_URL_SUFFIX_IN})
+           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS dst_domain
+  FROM (SELECT doc_id, source, host, string_split(host, '.') AS labels
+        FROM auth WHERE host <> ''))
+SELECT source || '.com' AS src_domain, dst_domain,
+       count(*) AS n_links, count(DISTINCT doc_id) AS n_pages
+FROM dom GROUP BY 1, 2
+"""
+
+
+@register("web_link_domain_edges", _LINKGRAPH_ORACLE)
+def web_link_domain_edges_q(spark: SparkSession, sf: str) -> DataFrame:
+    # host-level web link graph: anchor hrefs pulled from markup with
+    # pure-column regexp_extract_all (functions/urls.extract_hrefs — no
+    # parser UDF), canonicalized, reduced to registered domains, and
+    # aggregated to (src_domain, dst_domain) edges. Pages are built
+    # deterministically with messy absolute links (mixed-case scheme and
+    # host, default port, duplicate slashes, tracking params; both quote
+    # styles and spaced/uppercase HREF attributes), plus a relative link
+    # and a mailto: that must route to dirt (url_normalize NULL). DuckDB
+    # re-derives extraction, authority/host reduction, and the PSL label
+    # logic independently; the page's own domain is stated closed-form —
+    # Spark computing it via registered_domain(url_host(...)) is itself
+    # under test. One shuffle (the groupBy); zero UDFs.
+    from .functions.urls import (extract_hrefs, registered_domain, url_host,
+                                 url_normalize)
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><p>page</p><a href="HTTP://Link'),
+        (doc_id % 11).cast("string"),
+        F.lit('.COM:80//promo/?utm_campaign=x&z='),
+        (doc_id % 3).cast("string"),
+        F.lit('">spam</a><A HREF = \'https://cdn.Assets'),
+        (doc_id % 4).cast("string"),
+        F.lit(".co.uk/lib.js'>asset</A>"),
+        F.lit('<a href="/local/nav">rel</a>'),
+        F.lit('<a href="mailto:x@example.com">mail</a></body></html>'))
+    page_url = F.concat(
+        F.when(doc_id % 2 == 0, F.lit("https://blog."))
+         .otherwise(F.lit("https://")),
+        F.col("source"), F.lit(".com/page/"), doc_id.cast("string"))
+    links = (
+        d.select(
+            "doc_id",
+            registered_domain(url_host(page_url)).alias("src_domain"),
+            F.explode(extract_hrefs(html)).alias("href"))
+        .select("doc_id", "src_domain",
+                url_normalize(F.col("href")).alias("norm"))
+        .where(F.col("norm").isNotNull())
+        .select("doc_id", "src_domain",
+                registered_domain(url_host(F.col("norm")))
+                .alias("dst_domain"))
+    )
+    return links.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("doc_id").alias("n_pages"))

@@ -3647,3 +3647,44 @@ class TestLineDedup:
 
         with pytest.raises(ValueError, match="min_docs"):
             line_dedup(self._pages(spark), min_docs=1)
+
+
+class TestExtractHrefs:
+    """functions/urls.extract_hrefs — pure-column anchor extraction."""
+
+    def test_quote_and_case_variants(self, spark):
+        from hades_spark.functions.urls import extract_hrefs
+
+        df = spark.createDataFrame([(
+            '<a href="http://a.com/x">1</a>'
+            "<A HREF = 'https://b.org'>2</A>"
+            '<a class="z" href="/rel/path">3</a>'
+            '<a href="mailto:u@c.com">4</a>',
+        )], ["html"])
+        out = df.select(extract_hrefs("html").alias("h")).collect()[0]["h"]
+        assert out == ["http://a.com/x", "https://b.org",
+                       "/rel/path", "mailto:u@c.com"]
+
+    def test_no_anchors_and_dirt_routing(self, spark):
+        from hades_spark.functions.urls import extract_hrefs, url_normalize
+
+        df = spark.createDataFrame(
+            [("<p>no links</p>",)], ["html"])
+        assert df.select(extract_hrefs("html").alias("h")) \
+                 .collect()[0]["h"] == []
+        # relative + mailto targets normalize to NULL (the dirt route)
+        dirt = spark.createDataFrame(
+            [("/rel",), ("mailto:u@c.com",)], ["href"])
+        vals = [r["n"] for r in
+                dirt.select(url_normalize("href").alias("n")).collect()]
+        assert vals == [None, None]
+
+    def test_plan_is_udf_free(self, spark):
+        from hades_spark.functions.urls import extract_hrefs
+
+        df = spark.range(3).select(
+            F.concat(F.lit('<a href="http://x'), F.col("id"),
+                     F.lit('.com/">l</a>')).alias("html"))
+        plan = df.select(extract_hrefs("html").alias("h")) \
+                 ._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
