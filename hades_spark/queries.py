@@ -4048,3 +4048,70 @@ def web_link_domain_edges_q(spark: SparkSession, sf: str) -> DataFrame:
     return links.groupBy("src_domain", "dst_domain").agg(
         F.count("*").alias("n_links"),
         F.countDistinct("doc_id").alias("n_pages"))
+
+
+_WARC_STAGE = f"{STAGE_ROOT}/hades_warc_oracle_stage"
+
+
+@register("src_warc_ingest", """
+SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%d %H:%M:%S') AS ts,
+       text,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+""")
+def src_warc_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
+    # WARC container ingest (sources/warc.py): documents are packed into 8
+    # member-gzipped WARC files (response records wrapped in real HTTP/1.1
+    # messages, plus per-file warcinfo records and one 404 response that
+    # the pages reader must drop), parsed back through the binaryFile +
+    # mapInPandas source, and compared against the closed-form per-doc
+    # (url, timestamp, text, byte-length) the oracle states directly —
+    # writer and parser are independent code paths, and the HTTP split,
+    # gzip member handling, date parse, and status filter are all under
+    # the value hash. The driver-side file build is fixture construction
+    # (500 rows at sf0.01), not the read path: parsing runs distributed,
+    # one file per task — the Common-Crawl granularity.
+    import datetime as _dt
+    import os as _os2
+    import shutil as _shutil
+
+    from .sources.warc import (make_http_response, make_warc_bytes,
+                               warc_pages_df)
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text") \
+        .collect()
+    _shutil.rmtree(_WARC_STAGE, ignore_errors=True)
+    _os2.makedirs(_WARC_STAGE, exist_ok=True)
+    base = _dt.datetime(2024, 1, 1)
+    groups: dict[int, list] = {k: [] for k in range(8)}
+    for r in docs:
+        groups[r["doc_id"] % 8].append(r)
+    for k, rows in groups.items():
+        recs = [{"warc_type": "warcinfo",
+                 "payload": b"software: hades_spark fixture\r\n"}]
+        for r in rows:
+            ts = base + _dt.timedelta(seconds=int(r["doc_id"]))
+            recs.append({
+                "warc_type": "response",
+                "url": f"https://corpus.example/doc/{r['doc_id']}",
+                "date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "payload": make_http_response(r["text"].encode("utf-8")),
+                "headers": {"Content-Type":
+                            "application/http; msgtype=response"}})
+        recs.append({
+            "warc_type": "response",
+            "url": f"https://corpus.example/dead/{k}",
+            "payload": make_http_response(b"gone", status=404),
+            "headers": {"Content-Type":
+                        "application/http; msgtype=response"}})
+        with open(f"{_WARC_STAGE}/part-{k}.warc.gz", "wb") as f:
+            f.write(make_warc_bytes(recs, compress="member"))
+
+    pages = warc_pages_df(spark, f"{_WARC_STAGE}/*.warc.gz")
+    return pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        F.length("html").alias("n_bytes"))

@@ -1,0 +1,149 @@
+"""sources/warc.py — WARC container parsing (tolerance is the contract)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from hades_spark.sources.warc import (
+    iter_warc_records,
+    make_http_response,
+    make_warc_bytes,
+    parse_warc_date,
+    split_http_response,
+    warc_pages_df,
+    warc_records_df,
+)
+
+
+def _fixture_records():
+    return [
+        {"warc_type": "warcinfo", "payload": b"software: fixture\r\n"},
+        {"warc_type": "request", "url": "https://e.com/a",
+         "payload": b"GET /a HTTP/1.1\r\n\r\n"},
+        {"warc_type": "response", "url": "https://e.com/a",
+         "date": "2024-03-01T10:00:00Z",
+         "payload": make_http_response(b"<html>hello A</html>"),
+         "headers": {"Content-Type": "application/http; msgtype=response"}},
+        {"warc_type": "response", "url": "https://e.com/b",
+         "date": "2024-03-01T10:00:05Z",
+         "payload": make_http_response(b"gone", status=404),
+         "headers": {"Content-Type": "application/http; msgtype=response"}},
+    ]
+
+
+class TestWarcParser:
+    @pytest.mark.parametrize("mode", ["none", "whole", "member"])
+    def test_roundtrip_all_compress_modes(self, mode):
+        blob = make_warc_bytes(_fixture_records(), compress=mode)
+        recs = list(iter_warc_records(blob))
+        assert [r["headers"]["warc-type"] for r in recs] == \
+            ["warcinfo", "request", "response", "response"]
+        assert recs[2]["headers"]["warc-target-uri"] == "https://e.com/a"
+        status, hh, body = split_http_response(recs[2]["payload"])
+        assert (status, body) == (200, b"<html>hello A</html>")
+        assert hh["content-type"] == "text/html"
+
+    def test_http_split_non_http_payload(self):
+        status, hh, body = split_http_response(b"not an http message")
+        assert status is None and body == b"not an http message"
+
+    def test_date_parse(self):
+        import datetime as dt
+
+        assert parse_warc_date("2024-03-01T10:00:00Z") == \
+            dt.datetime(2024, 3, 1, 10, 0, 0)
+        assert parse_warc_date("2024-03-01T10:00:00.123456Z") == \
+            dt.datetime(2024, 3, 1, 10, 0, 0, 123456)
+        assert parse_warc_date("not a date") is None
+        assert parse_warc_date(None) is None
+
+    def test_garbage_between_records_resyncs(self):
+        recs = _fixture_records()
+        a = make_warc_bytes(recs[:2])
+        b = make_warc_bytes(recs[2:])
+        blob = a + b"\x00GARBAGE not a record\xff\xfe" + b
+        parsed = list(iter_warc_records(blob))
+        assert [r["headers"]["warc-type"] for r in parsed] == \
+            ["warcinfo", "request", "response", "response"]
+
+    def test_bad_content_length_skips_record_only(self):
+        blob = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                b"Content-Length: NaN\r\n\r\nxx\r\n\r\n"
+                + make_warc_bytes(_fixture_records()[:1]))
+        parsed = list(iter_warc_records(blob))
+        assert [r["headers"]["warc-type"] for r in parsed] == ["warcinfo"]
+
+    def test_truncated_tail_stops_silently(self):
+        blob = make_warc_bytes(_fixture_records())
+        for cut in (len(blob) - 10, len(blob) // 2, 7, 1):
+            parsed = list(iter_warc_records(blob[:cut]))  # must not raise
+            assert all(r["headers"].get("content-length") is not None
+                       for r in parsed)
+
+    def test_corrupt_gzip_yields_nothing(self):
+        blob = make_warc_bytes(_fixture_records(), compress="whole")
+        assert list(iter_warc_records(blob[:2] + b"\x00" * 10)) == []
+
+    def test_mutation_fuzz_never_raises(self):
+        blob = bytearray(make_warc_bytes(_fixture_records()))
+        for i in range(0, len(blob), 13):
+            mutated = bytes(blob[:i]) + bytes([blob[i] ^ 0xFF]) \
+                + bytes(blob[i + 1:])
+            list(iter_warc_records(mutated))        # tolerance contract
+
+    def test_header_continuation_lines(self):
+        blob = (b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+                b"X-Long: first\r\n  folded tail\r\n"
+                b"Content-Length: 2\r\n\r\nok\r\n\r\n")
+        recs = list(iter_warc_records(blob))
+        assert recs[0]["headers"]["x-long"] == "first folded tail"
+        assert recs[0]["payload"] == b"ok"
+
+
+class TestWarcSpark:
+    def test_records_and_pages_df(self, spark, tmp_path):
+        (tmp_path / "f1.warc.gz").write_bytes(
+            make_warc_bytes(_fixture_records(), compress="member"))
+        (tmp_path / "f2.warc").write_bytes(
+            make_warc_bytes([{
+                "warc_type": "response", "url": "https://e.com/c",
+                "date": "2024-03-02T00:00:00Z",
+                "payload": make_http_response(b"page C"),
+                "headers": {"Content-Type":
+                            "application/http; msgtype=response"}}]))
+        recs = warc_records_df(spark, str(tmp_path))
+        assert recs.count() == 5
+        by_url = {r["url"]: r for r in recs.collect()}
+        assert by_url["https://e.com/a"] is not None
+        # HTTP split happened on response records: payload is the body,
+        # content_type comes from the HTTP headers, status filled
+        resp = [r for r in recs.collect()
+                if r["warc_type"] == "response" and r["http_status"] == 200]
+        assert sorted(bytes(r["payload"]) for r in resp) == \
+            [b"<html>hello A</html>", b"page C"]
+        assert all(r["content_type"] == "text/html" for r in resp)
+
+        pages = warc_pages_df(spark, str(tmp_path))
+        rows = {r["url"]: r for r in pages.collect()}
+        # 404 response and non-response records are dropped
+        assert sorted(rows) == ["https://e.com/a", "https://e.com/c"]
+        assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+        assert bytes(rows["https://e.com/a"]["html"]) == \
+            b"<html>hello A</html>"
+
+    def test_pages_feed_extraction(self, spark, tmp_path):
+        # the parsed pages flow straight into the existing extractor seam
+        from hades_spark.functions.html_text import with_extracted_text
+
+        (tmp_path / "f.warc.gz").write_bytes(make_warc_bytes([{
+            "warc_type": "response", "url": "https://e.com/x",
+            "payload": make_http_response(
+                b"<html><body><p>Alpha beta.</p></body></html>"),
+            "headers": {"Content-Type":
+                        "application/http; msgtype=response"}}],
+            compress="member"))
+        pages = warc_pages_df(spark, str(tmp_path)).drop("text")
+        out = with_extracted_text(pages).collect()
+        assert "Alpha beta." in out[0]["text"]
