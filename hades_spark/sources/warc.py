@@ -105,9 +105,39 @@ def iter_warc_records(raw: bytes):
         pos = body_start + length
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer coding; returns what decoded
+    cleanly (prefix) on malformed input — never raises."""
+    out, pos, n = [], 0, len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break                                    # terminal chunk
+        start = eol + 2
+        if start + size > n:
+            out.append(body[start:])                 # truncated chunk
+            break
+        out.append(body[start:start + size])
+        pos = start + size + 2                       # skip trailing CRLF
+    return b"".join(out)
+
+
 def split_http_response(payload: bytes):
     """``(status, headers, body)`` from an ``application/http`` payload;
-    ``(None, {}, payload)`` when it isn't an HTTP response message."""
+    ``(None, {}, payload)`` when it isn't an HTTP response message.
+
+    Real-crawl message codings are undone here so downstream always sees
+    the entity bytes: ``Transfer-Encoding: chunked`` is dechunked and
+    ``Content-Encoding: gzip``/``x-gzip``/``deflate`` decompressed (both
+    tolerant — malformed codings fall back to the raw body rather than
+    failing the record)."""
     if not payload.startswith(b"HTTP/"):
         return None, {}, payload
     sep = payload.find(_CRLF2)
@@ -120,7 +150,26 @@ def split_http_response(payload: bytes):
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, {}, payload
-    return status, _parse_headers(rest), payload[sep + 4:]
+    headers = _parse_headers(rest)
+    body = payload[sep + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except Exception:
+            pass                                     # keep raw body
+    elif enc == "deflate":
+        import zlib
+        try:                                         # zlib- or raw-deflate
+            body = zlib.decompress(body)
+        except Exception:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except Exception:
+                pass
+    return status, headers, body
 
 
 def parse_warc_date(s: str | None):

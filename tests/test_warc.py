@@ -147,3 +147,60 @@ class TestWarcSpark:
         pages = warc_pages_df(spark, str(tmp_path)).drop("text")
         out = with_extracted_text(pages).collect()
         assert "Alpha beta." in out[0]["text"]
+
+
+class TestHttpCodings:
+    """split_http_response — chunked transfer coding + content encodings."""
+
+    def _msg(self, body: bytes, extra: str) -> bytes:
+        return (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"{extra}\r\n\r\n").encode("latin-1") + body
+
+    def test_chunked(self):
+        chunks = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+        status, hh, body = split_http_response(
+            self._msg(chunks, "Transfer-Encoding: chunked"))
+        assert (status, body) == (200, b"hello world")
+
+    def test_chunked_with_extensions_and_truncation(self):
+        ext = b"5;name=v\r\nhello\r\nA\r\ntrunc"
+        _, _, body = split_http_response(
+            self._msg(ext, "Transfer-Encoding: chunked"))
+        assert body == b"hellotrunc"          # decoded prefix, no raise
+        bad = b"ZZ\r\nxx\r\n0\r\n\r\n"
+        _, _, body = split_http_response(
+            self._msg(bad, "Transfer-Encoding: chunked"))
+        assert body == b""                    # malformed size: stop clean
+
+    def test_content_encoding_gzip_and_deflate(self):
+        import gzip as _gz
+        import zlib
+
+        plain = b"<html>compressed page</html>"
+        _, _, body = split_http_response(
+            self._msg(_gz.compress(plain), "Content-Encoding: gzip"))
+        assert body == plain
+        _, _, body = split_http_response(
+            self._msg(zlib.compress(plain), "Content-Encoding: deflate"))
+        assert body == plain
+        # raw-deflate variant (IE-era servers) also handled
+        raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+        _, _, body = split_http_response(self._msg(
+            raw.compress(plain) + raw.flush(), "Content-Encoding: deflate"))
+        assert body == plain
+
+    def test_chunked_then_gzip_composes(self):
+        import gzip as _gz
+
+        plain = b"chunked and gzipped"
+        gz = _gz.compress(plain)
+        chunks = (f"{len(gz):x}\r\n".encode() + gz + b"\r\n0\r\n\r\n")
+        _, _, body = split_http_response(self._msg(
+            chunks,
+            "Transfer-Encoding: chunked\r\nContent-Encoding: gzip"))
+        assert body == plain
+
+    def test_corrupt_encoding_falls_back_to_raw(self):
+        _, _, body = split_http_response(
+            self._msg(b"not gzip", "Content-Encoding: gzip"))
+        assert body == b"not gzip"
