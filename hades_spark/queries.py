@@ -4115,3 +4115,85 @@ def src_warc_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         F.decode(F.col("html"), "UTF-8").alias("text"),
         F.length("html").alias("n_bytes"))
+
+
+_ROBOTS_STAGE = f"{STAGE_ROOT}/hades_robots_oracle_stage"
+
+_ROBOTS_ORACLE = f"""
+WITH u AS (
+  SELECT 'site' || CAST(doc_id % 12 AS VARCHAR) || '.com' AS host,
+    CASE doc_id % 5
+      WHEN 0 THEN '/page/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN '/private/pub/' || CAST(doc_id AS VARCHAR)
+      WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.pdf'
+      ELSE '/secret/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents),
+r AS (SELECT host, allow, pattern_len, rule_re
+      FROM read_parquet('{_ROBOTS_STAGE}/rules/*.parquet')),
+m AS (
+  SELECT u.host, u.path, r.allow, r.pattern_len
+  FROM u JOIN r ON u.host = r.host
+  WHERE regexp_matches(u.path, r.rule_re)),
+w AS (
+  SELECT host, path, allow FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY host, path
+      ORDER BY pattern_len DESC,
+               CASE WHEN allow THEN 0 ELSE 1 END) AS rn
+    FROM m) WHERE rn = 1)
+SELECT u.host, u.path, coalesce(w.allow, TRUE) AS allowed
+FROM u LEFT JOIN w USING (host, path)
+"""
+
+
+@register("web_robots_gate", _ROBOTS_ORACLE)
+def web_robots_gate_q(spark: SparkSession, sf: str) -> DataFrame:
+    # RFC 9309 robots gate: 12 per-host robots.txt bodies (a shared `*`
+    # group with prefix, Allow-override, and `/*.pdf$` wildcard rules;
+    # every third host adds a hadesbot-specific group that must REPLACE
+    # the `*` group for our agent), urls built from doc_id across five
+    # path shapes hitting every rule class. Staged oracle: the parsed
+    # rule rows go to parquet and DuckDB independently replays the match
+    # (RE2 vs Java regex on the same translated subset), the
+    # longest-pattern precedence, the Allow tie-break, and the
+    # allowed-by-default cases (unmatched paths AND hosts with no
+    # robots row — doc_id % 12 == 11 has none). Group selection and
+    # pattern translation are pinned by units.
+    from .operators.robots import robots_gate, robots_rules_df
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+
+    hosts = spark.range(11).select(          # host 11 publishes no robots
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\n"
+                  "Disallow: /private/\n"
+                  "Allow: /private/pub/\n"
+                  "Disallow: /*.pdf$\n"),
+            F.when(F.col("id") % 3 == 0,
+                   F.lit("\nUser-agent: hadesbot\n"
+                         "Disallow: /secret/\n"
+                         "Allow: /"))
+             .otherwise(F.lit(""))).alias("robots_txt"))
+    rules = robots_rules_df(hosts, agent="hadesbot")
+    rules.write.mode("overwrite").parquet(f"{_ROBOTS_STAGE}/rules")
+    rules = spark.read.parquet(f"{_ROBOTS_STAGE}/rules")
+
+    urls = d.select(
+        F.concat(F.lit("site"), (doc_id % 12).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.when(doc_id % 5 == 0,
+               F.concat(F.lit("/page/"), doc_id.cast("string")))
+         .when(doc_id % 5 == 1,
+               F.concat(F.lit("/private/"), doc_id.cast("string")))
+         .when(doc_id % 5 == 2,
+               F.concat(F.lit("/private/pub/"), doc_id.cast("string")))
+         .when(doc_id % 5 == 3,
+               F.concat(F.lit("/files/"), doc_id.cast("string"),
+                        F.lit(".pdf")))
+         .otherwise(F.concat(F.lit("/secret/"), doc_id.cast("string")))
+         .alias("path"))
+    return robots_gate(urls, rules)

@@ -3688,3 +3688,85 @@ class TestExtractHrefs:
         plan = df.select(extract_hrefs("html").alias("h")) \
                  ._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestRobotsGate:
+    """operators/robots.py — RFC 9309 group selection + precedence."""
+
+    TXT = ("# politeness\n"
+           "User-agent: googlebot\n"
+           "User-agent: hadesbot\n"
+           "Disallow: /private/\n"
+           "Allow: /private/pub/\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /tmp/\n"
+           "Disallow: /*.pdf$\n"
+           "Allow:\n"          # empty rule: ignored
+           "Crawl-delay: 10\n")
+
+    def test_group_selection(self):
+        from hades_spark.operators.robots import parse_robots_rules
+
+        # exact agent group REPLACES the * group (consecutive UA lines
+        # share it); unknown agents get the * group
+        ours = parse_robots_rules(self.TXT, "HadesBot")
+        assert [(p, a) for p, a, *_ in ours] == \
+            [("/private/", False), ("/private/pub/", True)]
+        other = parse_robots_rules(self.TXT, "otherbot")
+        assert [(p, a) for p, a, *_ in other] == \
+            [("/tmp/", False), ("/*.pdf$", False)]
+        assert parse_robots_rules(None, "x") == []
+        assert parse_robots_rules("garbage without colons\n%%", "x") == []
+
+    def test_rule_regex_translation(self):
+        from hades_spark.operators.robots import rule_to_regex
+
+        assert rule_to_regex("/*.pdf$") == r"^/.*\.pdf$"
+        assert rule_to_regex("/a+b(c)") == r"^/a\+b\(c\)"
+        import re
+        assert re.match(rule_to_regex("/*.pdf$"), "/x/y.pdf")
+        assert not re.match(rule_to_regex("/*.pdf$"), "/x/y.pdfz")
+
+    def test_precedence_longest_and_allow_tie(self, spark):
+        from hades_spark.operators.robots import (robots_gate,
+                                                  robots_rules_df)
+
+        robots = spark.createDataFrame([
+            ("t.com", "User-agent: *\n"
+                      "Disallow: /a/\n"
+                      "Allow: /a/b/\n"       # longer: wins under /a/b/
+                      "Disallow: /x/\n"
+                      "Allow: /x/\n"),       # same length: Allow wins
+        ], ["host", "robots_txt"])
+        rules = robots_rules_df(robots)
+        urls = spark.createDataFrame([
+            ("t.com", "/a/deny"), ("t.com", "/a/b/allow"),
+            ("t.com", "/x/tie"), ("t.com", "/free"),
+            ("none.com", "/whatever"),
+        ], ["host", "path"])
+        out = {(r["host"], r["path"]): r["allowed"]
+               for r in robots_gate(urls, rules).collect()}
+        assert out[("t.com", "/a/deny")] is False
+        assert out[("t.com", "/a/b/allow")] is True
+        assert out[("t.com", "/x/tie")] is True
+        assert out[("t.com", "/free")] is True           # no matching rule
+        assert out[("none.com", "/whatever")] is True    # no robots row
+
+    def test_broadcast_opt_out_parity_and_plan(self, spark):
+        from hades_spark.operators.robots import (robots_gate,
+                                                  robots_rules_df)
+
+        robots = spark.createDataFrame(
+            [("t.com", "User-agent: *\nDisallow: /no/")],
+            ["host", "robots_txt"])
+        rules = robots_rules_df(robots)
+        urls = spark.createDataFrame(
+            [("t.com", "/no/1"), ("t.com", "/yes")], ["host", "path"])
+        a = sorted(map(tuple, robots_gate(urls, rules).collect()))
+        b = sorted(map(tuple, robots_gate(
+            urls, rules, broadcast_rules=False).collect()))
+        assert a == b
+        plan = robots_gate(urls, rules) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
