@@ -44,6 +44,7 @@ RULE_TYPE = ArrayType(StructType([
     StructField("allow", BooleanType(), False),
     StructField("pattern_len", IntegerType(), False),
     StructField("rule_re", StringType(), False),
+    StructField("is_literal", BooleanType(), False),
 ]))
 
 # characters escaped literally in rule patterns (everything regex-special
@@ -99,7 +100,8 @@ def parse_robots_rules(txt: str | None, agent: str) -> list[tuple]:
     star = [r for agents, r in groups if "*" in agents]
     chosen = exact if exact else star
     rules = [rule for grp in chosen for rule in grp]
-    return [(p, a, len(p), rule_to_regex(p)) for p, a in rules]
+    return [(p, a, len(p), rule_to_regex(p),
+             "*" not in p and not p.endswith("$")) for p, a in rules]
 
 
 def robots_rules_df(
@@ -120,7 +122,8 @@ def robots_rules_df(
     return (
         robots.select(F.col(host_col).alias("host"),
                       F.explode(parse(F.col(txt_col))).alias("r"))
-        .select("host", "r.pattern", "r.allow", "r.pattern_len", "r.rule_re")
+        .select("host", "r.pattern", "r.allow", "r.pattern_len",
+                "r.rule_re", "r.is_literal")
     )
 
 
@@ -140,15 +143,18 @@ def robots_gate(
     the url side."""
     r = rules.select(
         F.col("host").alias("_rh"), "pattern", "allow",
-        "pattern_len", "rule_re")
+        "pattern_len", "rule_re", "is_literal")
     if broadcast_rules:
         r = F.broadcast(r)
     key = urls.select(F.col(host_col).alias("_h"),
                       F.col(path_col).alias("_p")).distinct()
-    matched = (
-        key.join(r, key["_h"] == r["_rh"], "inner")
-           .where(F.regexp_like(F.col("_p"), F.col("rule_re")))
-    )
+    # literal prefixes (the dominant rule class) match with codegen
+    # startswith; only '*'/'$'-bearing patterns pay the per-row regex
+    # compile of a non-foldable regexp_like
+    hit = F.when(F.col("is_literal"),
+                 F.col("_p").startswith(F.col("pattern"))) \
+           .otherwise(F.regexp_like(F.col("_p"), F.col("rule_re")))
+    matched = key.join(r, key["_h"] == r["_rh"], "inner").where(hit)
     # longest pattern wins; Allow wins ties (allow sorts before disallow)
     verdict = (
         matched.groupBy("_h", "_p")

@@ -3770,3 +3770,24 @@ class TestRobotsGate:
         plan = robots_gate(urls, rules) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+    def test_literal_startswith_equals_regex_path(self, spark):
+        from hades_spark.operators.robots import (robots_gate,
+                                                  robots_rules_df)
+
+        robots = spark.createDataFrame([
+            ("t.com", "User-agent: *\nDisallow: /a+b/\nAllow: /a+b/(ok)/"),
+        ], ["host", "robots_txt"])    # regex-special chars in literals
+        rules = robots_rules_df(robots)
+        assert all(r["is_literal"] for r in rules.collect())
+        urls = spark.createDataFrame(
+            [("t.com", "/a+b/x"), ("t.com", "/a+b/(ok)/y"),
+             ("t.com", "/aab/x")], ["host", "path"])
+        fast = sorted(map(tuple, robots_gate(urls, rules).collect()))
+        slow = sorted(map(tuple, robots_gate(
+            urls, rules.withColumn("is_literal", F.lit(False))).collect()))
+        assert fast == slow           # startswith path == regex path
+        out = dict(((h, p), a) for h, p, a in fast)
+        assert out[("t.com", "/a+b/x")] is False
+        assert out[("t.com", "/a+b/(ok)/y")] is True
+        assert out[("t.com", "/aab/x")] is True
