@@ -172,3 +172,28 @@ def robots_gate(
     return out.select(
         *urls.columns,
         F.coalesce(F.col("_allowed"), F.lit(True)).alias("allowed"))
+
+
+def robots_sitemaps(txt: str | None) -> list[str]:
+    """``Sitemap:`` directive values (absolute URLs per RFC 9309 §2.3) —
+    group-independent, so collected over the whole file."""
+    if not txt:
+        return []
+    out = []
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
+def sitemap_locs(xml) -> "F.Column":
+    """``<loc>`` values from a sitemap / sitemap-index document, in order —
+    pure column algebra (``regexp_extract_all``); entity-decodes the
+    ampersand (the one escape required in sitemap URLs)."""
+    xml = F.col(xml) if isinstance(xml, str) else xml
+    locs = F.regexp_extract_all(
+        xml, F.lit(r"(?is)<loc>\s*(.*?)\s*</loc>"), 1)
+    return F.transform(locs, lambda u: F.replace(
+        u, F.lit("&amp;"), F.lit("&")))

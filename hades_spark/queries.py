@@ -4197,3 +4197,61 @@ def web_robots_gate_q(spark: SparkSession, sf: str) -> DataFrame:
          .otherwise(F.concat(F.lit("/secret/"), doc_id.cast("string")))
          .alias("path"))
     return robots_gate(urls, rules)
+
+
+@register("web_sitemap_discovery", r"""
+WITH src AS (
+  SELECT doc_id,
+    '<?xml version="1.0"?><urlset><url><loc> https://s'
+    || CAST(doc_id % 9 AS VARCHAR) || '.com/page/'
+    || CAST(doc_id AS VARCHAR) || '?a=1&amp;b=2 </loc></url>'
+    || CASE WHEN doc_id % 2 = 0
+         THEN '<url><LOC>https://s' || CAST(doc_id % 9 AS VARCHAR)
+              || '.com/alt/' || CAST(doc_id AS VARCHAR) || '</LOC></url>'
+         ELSE '' END
+    || '</urlset>' AS xml
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         replace(trim(unnest(regexp_extract_all(
+           xml, '(?is)<loc>\s*(.*?)\s*</loc>', 1))), '&amp;', '&') AS loc
+  FROM src),
+h AS (
+  SELECT doc_id, loc,
+    regexp_replace(regexp_replace(lower(regexp_extract(loc,
+      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)),
+      '^.*@', ''), ':[0-9]+$', '') AS host
+  FROM l)
+SELECT host, count(*) AS n_locs, count(DISTINCT doc_id) AS n_sitemaps,
+       min(loc) AS sample_loc
+FROM h GROUP BY host
+""")
+def web_sitemap_discovery_q(spark: SparkSession, sf: str) -> DataFrame:
+    # sitemap <loc> harvesting: per-doc sitemap XML (mixed-case tags,
+    # loc-internal whitespace, &amp; escapes, variable entry counts) is
+    # parsed with the pure-column sitemap_locs extractor, exploded, and
+    # rolled up per host. DuckDB re-derives the (?is) regex, trim, and
+    # entity decode through its independent RE2 engine — the value hash
+    # pins the extraction rules; host reduction reuses the url_host
+    # algebra already oracled in web_url_host_stats.
+    from .functions.urls import url_host
+    from .operators.robots import sitemap_locs
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://s'),
+        (doc_id % 9).cast("string"), F.lit(".com/page/"),
+        doc_id.cast("string"), F.lit("?a=1&amp;b=2 </loc></url>"),
+        F.when(doc_id % 2 == 0, F.concat(
+            F.lit("<url><LOC>https://s"), (doc_id % 9).cast("string"),
+            F.lit(".com/alt/"), doc_id.cast("string"),
+            F.lit("</LOC></url>"))).otherwise(F.lit("")),
+        F.lit("</urlset>"))
+    locs = d.select("doc_id", F.explode(sitemap_locs(xml)).alias("loc"))
+    return (locs
+            .select("doc_id", "loc", url_host(F.col("loc")).alias("host"))
+            .groupBy("host")
+            .agg(F.count("*").alias("n_locs"),
+                 F.countDistinct("doc_id").alias("n_sitemaps"),
+                 F.min("loc").alias("sample_loc")))

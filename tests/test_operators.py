@@ -3791,3 +3791,34 @@ class TestRobotsGate:
         assert out[("t.com", "/a+b/x")] is False
         assert out[("t.com", "/a+b/(ok)/y")] is True
         assert out[("t.com", "/aab/x")] is True
+
+
+class TestSitemaps:
+    """operators/robots.py — Sitemap directives + <loc> extraction."""
+
+    def test_robots_sitemaps(self):
+        from hades_spark.operators.robots import robots_sitemaps
+
+        txt = ("User-agent: *\nDisallow: /x\n"
+               "Sitemap: https://a.com/s.xml\n"
+               "# Sitemap: https://a.com/commented.xml\n"
+               "sitemap:  https://a.com/s2.xml \n"
+               "Sitemap:\n")               # empty value ignored
+        assert robots_sitemaps(txt) == \
+            ["https://a.com/s.xml", "https://a.com/s2.xml"]
+        assert robots_sitemaps(None) == []
+
+    def test_sitemap_locs(self, spark):
+        from hades_spark.operators.robots import sitemap_locs
+
+        xml = ("<urlset><url><loc> https://a.com/p?x=1&amp;y=2 </loc></url>"
+               "<url><LOC>https://a.com/q</LOC></url>"
+               "<url><loc>https://a.com/\nr</loc></url></urlset>")
+        out = spark.createDataFrame([(xml,)], ["xml"]) \
+            .select(sitemap_locs("xml").alias("l")).collect()[0]["l"]
+        # order preserved, whitespace trimmed, &amp; decoded, (?s) spans \n
+        assert out == ["https://a.com/p?x=1&y=2", "https://a.com/q",
+                       "https://a.com/\nr"]
+        empty = spark.createDataFrame([("<urlset/>",)], ["xml"]) \
+            .select(sitemap_locs("xml").alias("l")).collect()[0]["l"]
+        assert empty == []
