@@ -101,15 +101,26 @@ def url_normalize(url: Column | str) -> Column:
 
 
 def extract_hrefs(html: Column | str) -> Column:
-    """All ``href`` attribute values in the markup, in document order —
-    pure column algebra (``regexp_extract_all``), no UDF, no parser.
-    Case-insensitive attribute name, optional whitespace around ``=``,
-    single- or double-quoted values. Relative and non-URL targets come
-    back verbatim; ``url_normalize`` maps them to NULL downstream (the
-    dirt route) — link-graph callers filter on that."""
+    """All ``href`` attribute values in the markup — pure column algebra
+    (``regexp_extract_all``), no UDF, no parser. Case-insensitive
+    attribute name, optional whitespace around ``=``; the attribute must
+    not be a suffix of another name (``data-href`` does not match), and
+    each value is delimited by its OWN quote style, so a double-quoted
+    URL containing ``'`` survives intact. Two scans (one per quote
+    style, RE2-safe — no backreferences, so the DuckDB oracle replays
+    the identical patterns): document order holds within each style,
+    double-quoted values listed first. Known limit: back-to-back
+    attributes with no separator (``href="a"href="b"``) only yield the
+    first — the boundary char is consumed by the prior match. Relative
+    and non-URL targets come back verbatim; ``url_normalize`` maps them
+    to NULL downstream (the dirt route) — link-graph callers filter on
+    that."""
     html = F.col(html) if isinstance(html, str) else html
-    return F.regexp_extract_all(
-        html, F.lit(r"""(?i)href\s*=\s*["']([^"']+)["']"""), 1)
+    dq = F.regexp_extract_all(
+        html, F.lit(r'''(?i)(?:^|[^\w-])href\s*=\s*"([^"]*)"'''), 1)
+    sq = F.regexp_extract_all(
+        html, F.lit(r"""(?i)(?:^|[^\w-])href\s*=\s*'([^']*)'"""), 1)
+    return F.concat(dq, sq)
 
 
 def registered_domain(host: Column | str) -> Column:

@@ -87,7 +87,11 @@ def repetition_signals(
     on (id, gram) / id — uniform at any corpus size.
     """
     kid = F.col(id_col)
-    base = df.select(kid.alias("_id"), _words(F.col(text_col)).alias("_w"))
+    # NULL text behaves as empty (one well-defined zero row, never a
+    # dropped doc) — the oracle applies the same coalesce
+    base = df.select(
+        kid.alias("_id"),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"))
 
     stats = base.select(
         "_id",
@@ -198,9 +202,12 @@ def line_dedup(
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     kid = F.col(id_col)
+    # NULL text coalesces to '' (one empty line) so the one-row-per-doc
+    # contract holds for NULL-text docs too
     lines = df.select(
         kid.alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+         .alias("_pos", "_line"),
     ).withColumn("_key", F.trim(F.col("_line")))
 
     boiler = (

@@ -3855,7 +3855,8 @@ def mix_weighted_sample_grouped_q(spark: SparkSession, sf: str) -> DataFrame:
 @register("text_repetition_signals", r"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS words
   FROM documents),
 s AS (
   SELECT doc_id, len(words) AS n_words,
@@ -3975,8 +3976,11 @@ WITH src AS (
   FROM documents),
 h AS (
   SELECT doc_id, source,
-         unnest(regexp_extract_all(html,
-           '(?i)href\\s*=\\s*["'']([^"'']+)["'']', 1)) AS href
+         unnest(list_concat(
+           regexp_extract_all(html,
+             '(?i)(?:^|[^\\w-])href\\s*=\\s*"([^"]*)"', 1),
+           regexp_extract_all(html,
+             '(?i)(?:^|[^\\w-])href\\s*=\\s*''([^'']*)''', 1))) AS href
   FROM src),
 auth AS (
   SELECT doc_id, source,

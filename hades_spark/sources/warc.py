@@ -63,6 +63,30 @@ def _parse_headers(block: str) -> dict[str, str]:
     return headers
 
 
+def _gunzip_tolerant(raw: bytes) -> bytes:
+    """Decompress member-by-member, keeping every member that decodes —
+    a truncated/corrupt TRAILING member must not discard the thousands of
+    intact records before it in a ~1 GiB crawl file (``gzip.decompress``
+    would raise and lose the whole file)."""
+    import zlib
+
+    out, pos, n = [], 0, len(raw)
+    while pos < n and raw[pos:pos + 2] == GZIP_MAGIC:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunk = d.decompress(raw[pos:]) + d.flush()
+        except Exception:
+            break                                    # corrupt member
+        out.append(chunk)
+        if not d.eof:
+            break                                    # truncated member
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:                            # pragma: no cover
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 def iter_warc_records(raw: bytes):
     """Yield ``{"version", "headers", "payload"}`` per well-formed record.
 
@@ -72,10 +96,7 @@ def iter_warc_records(raw: bytes):
     at truncation. Never raises on malformed input.
     """
     if raw[:2] == GZIP_MAGIC:
-        try:
-            raw = gzip.decompress(raw)
-        except Exception:
-            return
+        raw = _gunzip_tolerant(raw)
     pos, n = 0, len(raw)
     while pos < n:
         start = raw.find(b"WARC/", pos)
@@ -174,15 +195,19 @@ def split_http_response(payload: bytes):
 
 def parse_warc_date(s: str | None):
     """``WARC-Date`` (ISO 8601 Zulu, optional fractional seconds) to a
-    naive UTC datetime; None when absent/invalid."""
+    naive UTC datetime; None when absent/invalid. Zone-less dirt values
+    are treated as ALREADY UTC — ``astimezone`` on a naive datetime would
+    read the executor's local zone, making the result cluster-layout-
+    dependent."""
     if not s:
         return None
     try:
-        return dt.datetime.fromisoformat(
-            s.strip().replace("Z", "+00:00")
-        ).astimezone(dt.timezone.utc).replace(tzinfo=None)
+        d = dt.datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
     except ValueError:
         return None
+    if d.tzinfo is None:
+        return d
+    return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
 
 
 def make_warc_bytes(records: list[dict], compress: str = "none") -> bytes:

@@ -44,12 +44,6 @@ def emit(d: dict) -> None:
     print(json.dumps(d), flush=True)
 
 
-def hash_word(seed: int, vocab: int):
-    return F.concat(
-        F.lit("w"),
-        F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(vocab)).cast("string"))
-
-
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark("webops_probe", master=f"local[{cores}]",
@@ -143,6 +137,7 @@ def main() -> None:
               "Disallow: /*.pdf$\n").alias("robots_txt"))
     rules = robots_rules_df(robots).localCheckpoint()
     urls = spark.range(n_urls).select(
+        F.col("id"),
         F.concat(F.lit("h"), F.pmod(F.xxhash64("id"),
                                     F.lit(n_hosts)).cast("string"),
                  F.lit(".com")).alias("host"),
@@ -152,10 +147,12 @@ def main() -> None:
                     F.lit("/tmp/ok/")),
             (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5)) + 1).cast("int"))
          .alias("prefix"))
+    # ~1/11 of ROWS get the .pdf suffix (hash the row id, not the
+    # 5-valued prefix) so the wildcard rule is actually exercised
     urls = urls.select(
         "host",
         F.concat("prefix", F.col("host"),
-                 F.when(F.pmod(F.xxhash64(F.col("prefix")), F.lit(11)) == 0,
+                 F.when(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(11)) == 0,
                         F.lit("x.pdf")).otherwise(F.lit("x.html")))
          .alias("path")).localCheckpoint()
     t0 = time.monotonic()

@@ -3662,8 +3662,20 @@ class TestExtractHrefs:
             '<a href="mailto:u@c.com">4</a>',
         )], ["html"])
         out = df.select(extract_hrefs("html").alias("h")).collect()[0]["h"]
-        assert out == ["http://a.com/x", "https://b.org",
-                       "/rel/path", "mailto:u@c.com"]
+        # double-quoted values first (two RE2-safe scans), then single
+        assert out == ["http://a.com/x", "/rel/path", "mailto:u@c.com",
+                       "https://b.org"]
+
+    def test_attribute_boundary_and_quote_nesting(self, spark):
+        from hades_spark.functions.urls import extract_hrefs
+
+        df = spark.createDataFrame([(
+            '<div data-href="https://tracker.example/x">'   # NOT an href
+            '<a href="https://a.com/it\'s-fine">q</a>'      # \' inside ""
+            "<a href='https://b.com/say-\"hi\"'>r</a>",      # " inside ''
+        )], ["html"])
+        out = df.select(extract_hrefs("html").alias("h")).collect()[0]["h"]
+        assert out == ["https://a.com/it's-fine", 'https://b.com/say-"hi"']
 
     def test_no_anchors_and_dirt_routing(self, spark):
         from hades_spark.functions.urls import extract_hrefs, url_normalize
@@ -3822,3 +3834,29 @@ class TestSitemaps:
         empty = spark.createDataFrame([("<urlset/>",)], ["xml"]) \
             .select(sitemap_locs("xml").alias("l")).collect()[0]["l"]
         assert empty == []
+
+
+class TestQualityNullText:
+    """review findings: NULL text must not drop docs or break oracles."""
+
+    def test_line_dedup_null_text_keeps_row(self, spark):
+        from hades_spark.operators.quality import line_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a\nb"), (3, "a\nc"), (4, "a\nd")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in line_dedup(df, min_docs=3).collect()}
+        assert sorted(out) == [1, 2, 3, 4]          # nobody dropped
+        assert out[1]["text"] == "" and out[1]["n_lines"] == 1
+        assert out[1]["n_removed"] == 0
+        assert out[2]["text"] == "b"                # 'a' was boilerplate
+
+    def test_repetition_signals_null_text_zero_row(self, spark):
+        from hades_spark.operators.quality import repetition_signals
+
+        df = spark.createDataFrame([(1, None), (2, "x y")],
+                                   "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert rows[1]["n_words"] == 0
+        assert rows[1]["word_chars"] == 0
+        assert rows[1]["dup_gram_frac"] == 0.0

@@ -204,3 +204,30 @@ class TestHttpCodings:
         _, _, body = split_http_response(
             self._msg(b"not gzip", "Content-Encoding: gzip"))
         assert body == b"not gzip"
+
+
+class TestGzipTolerance:
+    """review finding: a bad trailing member must not lose the file."""
+
+    def test_truncated_trailing_member_keeps_intact_records(self):
+        good = make_warc_bytes(_fixture_records(), compress="member")
+        extra = make_warc_bytes([{
+            "warc_type": "response", "url": "https://e.com/tail",
+            "payload": make_http_response(b"tail page"),
+            "headers": {"Content-Type": "application/http"}}],
+            compress="member")
+        for bad_tail in (extra[: len(extra) // 2],      # truncated member
+                         b"\x1f\x8b\x00corrupt"):        # corrupt member
+            parsed = list(iter_warc_records(good + bad_tail))
+            assert [r["headers"]["warc-type"] for r in parsed] == \
+                ["warcinfo", "request", "response", "response"]
+
+    def test_naive_warc_date_is_utc_not_local(self):
+        import datetime as dt
+
+        # zone-less dirt: interpreted as UTC, never the executor's zone
+        assert parse_warc_date("2024-03-01T10:00:00") == \
+            dt.datetime(2024, 3, 1, 10, 0, 0)
+        # explicit offsets still convert
+        assert parse_warc_date("2024-03-01T10:00:00+02:00") == \
+            dt.datetime(2024, 3, 1, 8, 0, 0)
