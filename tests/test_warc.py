@@ -231,3 +231,42 @@ class TestGzipTolerance:
         # explicit offsets still convert
         assert parse_warc_date("2024-03-01T10:00:00+02:00") == \
             dt.datetime(2024, 3, 1, 8, 0, 0)
+
+
+class TestWarcToKg:
+    """End-to-end: the WARC front door feeds the KG pipeline with
+    byte-identical html — edges match the direct-synthesis run exactly."""
+
+    def test_warc_roundtrip_preserves_kg_edges(self, spark, tmp_path):
+        from hades_spark.pipeline.corpus import gen_pages, pages_df
+        from hades_spark.pipeline.kg import canonical_triples, distinct_edges
+
+        n = 120   # spans html/markdown/latex routing + the invalid-utf8
+                  # page (i % 97 == 13) that must survive HTTP+gzip intact
+        pages = gen_pages(n, compute_text=False)
+        groups: dict[int, list] = {k: [] for k in range(4)}
+        for i, p in enumerate(pages):
+            groups[i % 4].append({
+                "warc_type": "response", "url": p.url,
+                "date": p.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                "payload": make_http_response(p.html),
+                "headers": {"Content-Type": "application/http"}})
+        for k, recs in groups.items():
+            (tmp_path / f"p{k}.warc.gz").write_bytes(
+                make_warc_bytes(recs, compress="member"))
+
+        from_warc = warc_pages_df(spark, str(tmp_path))
+        direct = pages_df(spark, n, with_text=False)
+
+        a = {r["url"]: (bytes(r["html"]), r["warc_ts"])
+             for r in from_warc.collect()}
+        b = {r["url"]: (bytes(r["html"]), r["warc_ts"])
+             for r in direct.collect()}
+        assert a == b                      # byte-identical html + exact ts
+
+        e_warc = sorted(map(tuple, distinct_edges(
+            canonical_triples(from_warc)).collect()))
+        e_direct = sorted(map(tuple, distinct_edges(
+            canonical_triples(direct)).collect()))
+        assert len(e_warc) > 0
+        assert e_warc == e_direct
