@@ -337,6 +337,26 @@ def main() -> int:
         ("no python eval", lambda p: "EvalPython" not in p),
     ])
 
+    # robots gate: rules ride a broadcast; the precedence argmax is a
+    # combinable aggregate, never a window over the url table
+    from hades_spark.operators.robots import robots_gate, robots_rules_df
+
+    rb = spark.createDataFrame(
+        [(f"h{k}.com",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/pub/"
+          "\nDisallow: /*.pdf$") for k in range(8)],
+        ["host", "robots_txt"])
+    rurls = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"),
+                 F.lit(".com")).alias("host"),
+        F.concat(F.lit("/private/"), F.col("doc_id").cast("string"))
+         .alias("path"))
+    check("robots_gate", robots_gate(rurls, robots_rules_df(rb)), [
+        ("rules broadcast into url join",
+         lambda p: "BroadcastHashJoin" in p),
+        ("no window over urls", lambda p: "Window" not in p),
+    ])
+
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
     spark.stop()
     return 1 if failures else 0
