@@ -123,6 +123,33 @@ def extract_hrefs(html: Column | str) -> Column:
     return F.concat(dq, sq)
 
 
+def extract_anchor_pairs(html: Column | str) -> Column:
+    """``array<struct<href,anchor>>`` — every ``<a ...href=...>text</a>``
+    with its plain-texted anchor (inner tags stripped, whitespace
+    collapsed/trimmed). Pure column algebra: one ``regexp_extract_all``
+    over whole anchor elements, then per-element ``regexp_extract`` inside
+    ``transform`` — no UDF. Anchors whose href uses either quote style
+    match; elements without a quoted href yield href '' (callers filter
+    via ``url_normalize`` NULL). The anchor text is the classic target-
+    side relevance signal (what the web calls the page, not what the page
+    calls itself)."""
+    html = F.col(html) if isinstance(html, str) else html
+    tags = F.regexp_extract_all(
+        html, F.lit(r"(?is)<a\b[^>]*>.*?</a>"), 0)
+
+    def pair(t: Column) -> Column:
+        dq = F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(t, r"(?i)href\s*=\s*'([^']*)'", 1)
+        inner = F.regexp_extract(t, r"(?is)>(.*)</a>$", 1)
+        anchor = F.trim(F.regexp_replace(F.regexp_replace(
+            inner, r"(?s)<[^>]*>", " "), r"\s+", " "))
+        return F.struct(
+            F.when(dq != "", dq).otherwise(sq).alias("href"),
+            anchor.alias("anchor"))
+
+    return F.transform(tags, pair)
+
+
 def registered_domain(host: Column | str) -> Column:
     """eTLD+1 under the bundled mini-PSL: ``a.b.co.uk`` -> ``b.co.uk``,
     ``a.b.com`` -> ``b.com``; hosts with one label (or NULL) pass through.

@@ -4259,3 +4259,90 @@ def web_sitemap_discovery_q(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("n_locs"),
                  F.countDistinct("doc_id").alias("n_sitemaps"),
                  F.min("loc").alias("sample_loc")))
+
+
+@register("web_anchor_text_signals", r"""
+WITH src AS (
+  SELECT doc_id,
+    '<p>pre</p><a href="https://t' || CAST(doc_id % 7 AS VARCHAR)
+    || '.com/page"><b>Entity ' || CAST(doc_id % 7 AS VARCHAR)
+    || '</b></a><a class=''x'' href=''https://t'
+    || CAST(doc_id % 3 AS VARCHAR) || '.com/page''>entity  '
+    || CAST(doc_id % 3 AS VARCHAR) || '
+alias</a><a href="/rel/' || CAST(doc_id AS VARCHAR) || '">rel</a>' AS html
+  FROM documents),
+tags AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(html, '(?is)<a\b[^>]*>.*?</a>', 0)) AS t
+  FROM src),
+pairs AS (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) <> ''
+         THEN regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1)
+         ELSE regexp_extract(t, '(?i)href\s*=\s*''([^'']*)''', 1) END
+      AS href,
+    trim(regexp_replace(regexp_replace(
+      regexp_extract(t, '(?is)>(.*)</a>$', 1), '(?s)<[^>]*>', ' ', 'g'),
+      '\s+', ' ', 'g')) AS anchor
+  FROM tags),
+linked AS (
+  SELECT href, anchor FROM pairs
+  WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+')),
+c AS (SELECT href, anchor, count(*) AS cnt FROM linked GROUP BY 1, 2),
+top AS (
+  SELECT href, anchor AS top_anchor, cnt AS top_anchor_refs FROM (
+    SELECT *, row_number() OVER (PARTITION BY href
+                                 ORDER BY cnt DESC, anchor ASC) AS rn
+    FROM c) WHERE rn = 1)
+SELECT c.href AS target, sum(c.cnt) AS n_refs,
+       count(*) AS n_anchor_variants,
+       min(top.top_anchor) AS top_anchor,
+       min(top.top_anchor_refs) AS top_anchor_refs
+FROM c JOIN top ON c.href = top.href
+GROUP BY c.href
+""")
+def web_anchor_text_signals_q(spark: SparkSession, sf: str) -> DataFrame:
+    # anchor-text aggregation per link target — the classic target-side
+    # relevance signal (what the web calls a page). Anchor elements are
+    # pulled and plain-texted with pure column algebra
+    # (functions/urls.extract_anchor_pairs: tag regexp_extract_all +
+    # per-tag extracts inside transform — no UDF), dirt targets (relative
+    # hrefs, href-less anchors) route out via url_normalize NULL, and the
+    # per-target rollup computes refs, distinct anchor variants, and the
+    # modal anchor (count desc, anchor asc tie) with a two-level
+    # combinable aggregation. DuckDB re-derives tag split, inner-text
+    # stripping, whitespace collapse, quote-style fallback, and the mode
+    # independently; targets are constructed already-canonical so the
+    # value hash isolates THESE rules (url_normalize itself is oracled in
+    # web_url_host_stats).
+    from .functions.urls import extract_anchor_pairs, url_normalize
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p>pre</p><a href="https://t'), (doc_id % 7).cast("string"),
+        F.lit('.com/page"><b>Entity '), (doc_id % 7).cast("string"),
+        F.lit("</b></a><a class='x' href='https://t"),
+        (doc_id % 3).cast("string"), F.lit(".com/page'>entity  "),
+        (doc_id % 3).cast("string"),
+        F.lit('\nalias</a><a href="/rel/'), doc_id.cast("string"),
+        F.lit('">rel</a>'))
+    pairs = (
+        d.select(F.explode(extract_anchor_pairs(html)).alias("p"))
+        .select(F.col("p.href").alias("href"),
+                F.col("p.anchor").alias("anchor"))
+        .where(url_normalize(F.col("href")).isNotNull())
+    )
+    counts = pairs.groupBy("href", "anchor").agg(F.count("*").alias("cnt"))
+    top = (counts.groupBy("href")
+           .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                               F.col("anchor").alias("anchor")))
+                .alias("t"))
+           .select("href", F.col("t.anchor").alias("top_anchor"),
+                   (-F.col("t.neg")).alias("top_anchor_refs")))
+    return (counts.groupBy("href")
+            .agg(F.sum("cnt").alias("n_refs"),
+                 F.count("*").alias("n_anchor_variants"))
+            .join(top, "href")
+            .select(F.col("href").alias("target"), "n_refs",
+                    "n_anchor_variants", "top_anchor", "top_anchor_refs"))

@@ -3860,3 +3860,34 @@ class TestQualityNullText:
         assert rows[1]["n_words"] == 0
         assert rows[1]["word_chars"] == 0
         assert rows[1]["dup_gram_frac"] == 0.0
+
+
+class TestAnchorPairs:
+    """functions/urls.extract_anchor_pairs — anchor-text extraction."""
+
+    def test_pairs_and_plain_texting(self, spark):
+        from hades_spark.functions.urls import extract_anchor_pairs
+
+        df = spark.createDataFrame([(
+            '<a href="http://a.com/x"><b>Bold</b> link</a>'
+            "<a class='z' href='http://b.com'>spaced  text\nwrapped</a>"
+            '<a name="no-href">anchor only</a>'
+            '<A HREF="http://c.com">CAPS</A>',)], ["html"])
+        out = [tuple(p) for p in
+               df.select(extract_anchor_pairs("html").alias("p"))
+                 .collect()[0]["p"]]
+        assert out == [
+            ("http://a.com/x", "Bold link"),     # inner tags stripped
+            ("http://b.com", "spaced text wrapped"),  # ws collapsed
+            ("", "anchor only"),                 # href-less: empty href
+            ("http://c.com", "CAPS"),            # case-insensitive
+        ]
+
+    def test_no_anchors(self, spark):
+        from hades_spark.functions.urls import extract_anchor_pairs
+
+        df = spark.createDataFrame([("<p>none</p>",), (None,)],
+                                   "html string")
+        rows = df.select(extract_anchor_pairs("html").alias("p")).collect()
+        assert rows[0]["p"] == []
+        assert rows[1]["p"] is None             # NULL html passes through
