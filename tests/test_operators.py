@@ -3891,3 +3891,61 @@ class TestAnchorPairs:
         rows = df.select(extract_anchor_pairs("html").alias("p")).collect()
         assert rows[0]["p"] == []
         assert rows[1]["p"] is None             # NULL html passes through
+
+
+class TestHrefAnchorFuzz:
+    """Property fuzz: the Spark (Java regex) extraction of hrefs/anchors
+    equals a Python `re` reference on adversarial markup — pinning the
+    cross-engine regex subset the DuckDB oracles also rely on."""
+
+    @staticmethod
+    def _py_hrefs(html: str) -> list[str]:
+        import re as _re
+
+        dq = _re.findall(r'(?i)(?:^|[^\w-])href\s*=\s*"([^"]*)"', html)
+        sq = _re.findall(r"(?i)(?:^|[^\w-])href\s*=\s*'([^']*)'", html)
+        return dq + sq
+
+    @staticmethod
+    def _py_pairs(html: str) -> list[tuple]:
+        import re as _re
+
+        out = []
+        for t in _re.findall(r"(?is)<a\b[^>]*>.*?</a>", html):
+            m = _re.search(r'(?i)href\s*=\s*"([^"]*)"', t)
+            href = m.group(1) if m and m.group(1) != "" else ""
+            if href == "":
+                m2 = _re.search(r"(?i)href\s*=\s*'([^']*)'", t)
+                href = m2.group(1) if m2 else ""
+            inner_m = _re.search(r"(?is)>(.*)</a>$", t)
+            inner = inner_m.group(1) if inner_m else ""
+            anchor = _re.sub(r"\s+", " ",
+                             _re.sub(r"(?s)<[^>]*>", " ", inner)).strip()
+            out.append((href, anchor))
+        return out
+
+    def test_fuzz_against_python_re(self, spark):
+        import random
+
+        from hades_spark.functions.urls import (extract_anchor_pairs,
+                                                extract_hrefs)
+
+        rng = random.Random(20260820)
+        frags = ['<a href="', "<a href='", '">x</a>', "'>y</a>", "</a>",
+                 "<a ", 'href = "u1"', "HREF='u2'", "data-href=\"t\"",
+                 '<b>z</b>', '"', "'", ">", "<", " ", "\n", "\t",
+                 "plain", "href", "=", 'xhref="v"', "<a>bare</a>",
+                 "a-href='w'", '<A Href="UP">c</A>']
+        cases = ["".join(rng.choice(frags)
+                         for _ in range(rng.randrange(1, 14)))
+                 for _ in range(120)]
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                                   "i long, html string")
+        got_h = {r["i"]: list(r["h"]) for r in
+                 df.select("i", extract_hrefs("html").alias("h")).collect()}
+        got_p = {r["i"]: [tuple(p) for p in r["p"]] for r in
+                 df.select("i", extract_anchor_pairs("html").alias("p"))
+                   .collect()}
+        for i, c in enumerate(cases):
+            assert got_h[i] == self._py_hrefs(c), (i, c)
+            assert got_p[i] == self._py_pairs(c), (i, c)
