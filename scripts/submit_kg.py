@@ -30,6 +30,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None,
                     help="pages parquet dir; omit to synthesize --pages")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc"],
+                    help="'warc' reads raw .warc/.warc.gz crawl files via "
+                         "sources/warc.py (one file per task) and extracts "
+                         "text in-pipeline")
     ap.add_argument("--pages", type=int, default=1000,
                     help="synthetic corpus size when --input is omitted")
     ap.add_argument("--vocab", type=int, default=0,
@@ -50,7 +55,11 @@ def main() -> int:
 
     from hades_spark.pipeline.metrics import run_kg_pipeline_metered
 
-    if args.input:
+    if args.input and args.input_format == "warc":
+        from hades_spark.sources.warc import warc_pages_df
+
+        pages = warc_pages_df(spark, args.input)
+    elif args.input:
         pages = spark.read.parquet(args.input)
     else:
         from hades_spark.pipeline.corpus import pages_df_distributed

@@ -270,3 +270,42 @@ class TestWarcToKg:
             canonical_triples(direct)).collect()))
         assert len(e_warc) > 0
         assert e_warc == e_direct
+
+
+class TestWarcSubmit:
+    def test_submit_entry_reads_warc_input(self, tmp_path):
+        """Deployment seam: submit_kg.py --input-format warc ingests raw
+        crawl files and produces edges (full pipeline in a fresh JVM)."""
+        import json
+        import os
+        import subprocess
+
+        from hades_spark.pipeline.corpus import gen_pages
+
+        warc_dir = tmp_path / "crawl"
+        warc_dir.mkdir()
+        pages = gen_pages(60, compute_text=False)
+        for k in range(2):
+            recs = [{"warc_type": "response", "url": p.url,
+                     "date": p.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                     "payload": make_http_response(p.html),
+                     "headers": {"Content-Type": "application/http"}}
+                    for i, p in enumerate(pages) if i % 2 == k]
+            (warc_dir / f"c{k}.warc.gz").write_bytes(
+                make_warc_bytes(recs, compress="member"))
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo
+        r = subprocess.run(
+            ["python", f"{repo}/scripts/submit_kg.py",
+             "--input", str(warc_dir), "--input-format", "warc",
+             "--output", str(tmp_path / "edges"),
+             "--metrics", str(tmp_path / "metrics"), "--run-id", "warc1"],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(
+            [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1])
+        assert payload["edges"] > 0
+        assert "extract_triples" in payload["stages"]
