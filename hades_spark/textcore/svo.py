@@ -83,14 +83,30 @@ def extract_triples(text: str, pattern: re.Pattern = _DEFAULT_RE,
 
     Optimized: the full pattern backtracks over every sentence boundary,
     which is wasted work on the (dominant) predicate-free lines of a web
-    page; a cheap word-alternation prescan skips them. Matches cannot
-    cross lines (every span class excludes newline), so per-line scanning
-    is output-identical to the spec (fuzz-tested)."""
+    page; a cheap word-alternation prescan skips them. MATCHES cannot
+    cross lines (every span class excludes newline) — but the sentence-
+    boundary START assertion ``(?<=\\.)\\s+`` can: a line whose preceding
+    text tails off in '.'+whitespace licenses a subject at the top of
+    THIS line, and that earlier-starting attempt wins leftmost-match
+    precedence over the ``^`` attempt (hypothesis found the case: a line
+    of '. ' followed by '  uses A1 uses B2.'). Scanning such lines with a
+    synthetic '.\\n' prefix reproduces the whole-text engine behavior
+    exactly — the ``\\s+`` run's current-line splits, attempt order, and
+    resume positions all map 1:1 (offsets shift by the 2-char prefix);
+    fuzz-tested equal to the spec."""
     out: list[dict] = []
     offset = 0
+    after_dot = False          # last non-ws char seen so far is '.'
     for line in (text or "").split("\n"):
         if quick.search(line):
-            out.extend(_matches_to_rows(pattern.finditer(line), offset))
+            if after_dot:
+                ms = pattern.finditer(".\n" + line)
+                out.extend(_matches_to_rows(ms, offset - 2))
+            else:
+                out.extend(_matches_to_rows(pattern.finditer(line), offset))
+        stripped = line.rstrip()
+        if stripped:               # ws-only lines keep the flag: the
+            after_dot = stripped.endswith(".")  # \s+ run crosses them
         offset += len(line) + 1
     return out
 

@@ -106,3 +106,27 @@ class TestTripleEquivalence:
 
         for p in gen_pages(80, seed=13, compute_text=True, richness=4):
             assert extract_triples(p.text) == extract_triples_spec(p.text)
+
+
+class TestCrossLineSentenceStart:
+    """Regression: the sentence-boundary start (?<=\\.)\\s+ crosses
+    newlines, so a dot-ended line licenses a subject at the top of the
+    NEXT line — and that earlier attempt beats the ^ attempt. The
+    per-line fast path must reproduce this (hypothesis-found case)."""
+
+    def test_pinned_counterexamples(self):
+        from hades_spark.functions.triples import (extract_triples,
+                                                   extract_triples_spec)
+
+        for s in [
+            ".\n  uses A1 uses B2.",          # the found case
+            ". \n uses uses uses.",            # boundary + ws-only tail
+            "A.\n\n  HADES uses Spark.",       # blank line in the run
+            "tail\n  uses A1 uses B2.",        # NO dot tail: ^ semantics
+            "x.  \n\t HADES extends Spark.",   # tab/space mixes
+        ]:
+            assert extract_triples(s) == extract_triples_spec(s), s
+        # the found case now emits the spec's triple, not nothing
+        got = extract_triples(".\n  uses A1 uses B2.")
+        assert [(t["subj"], t["pred"], t["obj"], t["start_char"])
+                for t in got] == [("uses A1", "uses", "B2", 4)]
