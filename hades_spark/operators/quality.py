@@ -173,6 +173,86 @@ def repetition_gate(
     return df.join(keep, id_col, "semi")
 
 
+def excise_shared_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document repeated token spans (the exact-substring
+    dedup of Lee et al., *Deduplicating Training Data Makes Language
+    Models Better*, restated at token granularity): every token position
+    covered by ANY occurrence of a token ``n``-gram that appears in >=
+    ``min_docs`` DISTINCT documents is excised; the surviving tokens
+    reassemble in order (single spaces). ``repeated_passages`` MINES
+    these spans for inspection — this operator removes them.
+
+    One row per input doc: ``id_col``, ``text`` (cleaned), ``n_tokens``,
+    ``n_removed`` (token counts). NULL text behaves as empty.
+
+    Shuffle shape: the wide exchange keys on the int64 gram HASH
+    (uniform — a million-doc boilerplate gram is one reduce group whose
+    distinct-doc count combines map-side); covered positions fan out
+    ``n`` rows per shared-gram occurrence (bounded), dedup by (doc, idx)
+    and anti-join the token table; reassembly is the same combinable
+    position-sorted groupBy as ``line_dedup`` — no corpus-wide window.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    kid = F.col(id_col)
+    toks = df.select(
+        kid.alias("_id"),
+        F.posexplode(_words(F.coalesce(F.col(text_col), F.lit(""))))
+         .alias("_pos", "_tok"))
+
+    base = df.select(
+        kid.alias("_id"),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"))
+    grams = base.select(
+        "_id",
+        F.posexplode(_word_ngrams(F.col("_w"), n)).alias("_gpos", "_gram")
+    ).select("_id", "_gpos", F.xxhash64("_gram").alias("_gh"))
+
+    shared = (
+        grams.groupBy("_gh")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_gh")
+    )
+    covered = (
+        grams.join(shared, "_gh")
+        .select("_id", F.explode(
+            F.sequence(F.col("_gpos"), F.col("_gpos") + (n - 1)))
+            .alias("_pos"))
+        .distinct()
+    )
+    kept = toks.join(covered, ["_id", "_pos"], "anti")
+    rolled = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_pos"), F.col("_tok")))),
+                    lambda s: s["_tok"]),
+                " ").alias("text"),
+            F.count("*").alias("_n_kept"))
+    )
+    totals = base.select("_id", F.size("_w").alias("n_tokens"))
+    return (
+        totals.join(rolled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .alias("n_removed"))
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

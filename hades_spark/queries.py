@@ -4346,3 +4346,68 @@ def web_anchor_text_signals_q(spark: SparkSession, sf: str) -> DataFrame:
             .join(top, "href")
             .select(F.col("href").alias("target"), "n_refs",
                     "n_anchor_variants", "top_anchor", "top_anchor_refs"))
+
+
+@register("dedup_excise_shared", r"""
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0
+         THEN 'shared passage tokens one two three four five ' || text
+         WHEN doc_id % 4 = 1
+         THEN text || ' shared passage tokens one two three four five'
+         ELSE text END AS t
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(t, ''), '\s+'),
+                     x -> x <> '') AS words
+  FROM src),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[CAST(i AS INT)] AS tok
+  FROM w, UNNEST(range(1, len(words) + 1)) AS u(i)),
+g AS (
+  SELECT doc_id, CAST(i AS INT) AS gstart,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT) + 4], ' ')
+           AS gram
+  FROM w, UNNEST(range(1, len(words) - 3)) AS u(i)),
+sh AS (SELECT gram FROM g GROUP BY 1
+       HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(gstart - 1 + j AS INT) AS pos
+  FROM g JOIN sh USING (gram), UNNEST(range(0, 5)) AS v(j)),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok ANTI JOIN cov USING (doc_id, pos))
+SELECT w.doc_id,
+  coalesce((SELECT string_agg(tok, ' ' ORDER BY pos)
+            FROM kept k WHERE k.doc_id = w.doc_id), '') AS text,
+  CAST(len(words) AS BIGINT) AS n_tokens,
+  CAST(len(words) AS BIGINT)
+    - coalesce((SELECT count(*) FROM kept k
+                WHERE k.doc_id = w.doc_id), 0) AS n_removed
+FROM w
+""")
+def dedup_excise_shared_q(spark: SparkSession, sf: str) -> DataFrame:
+    # exact shared-substring EXCISION (Lee et al. dedup, token level):
+    # an 8-token passage is planted at the head of doc_id%4==0 docs and
+    # the tail of %4==1 docs; every token position covered by any
+    # 5-gram shared across >=2 docs is removed (the planted passage AND
+    # whatever 5-grams the small-vocab word-soup shares organically —
+    # both engines must agree on all of it). Spark shuffles on the
+    # xxhash64 of the gram; DuckDB re-derives on the gram STRINGS, so
+    # the int64-hash device is itself under the value hash (same
+    # pattern as decon_benchmark_overlap). Reassembly is position-
+    # sorted inside the groupBy — no corpus window.
+    from .operators.quality import excise_shared_windows
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    passage = "shared passage tokens one two three four five"
+    page = d.select(
+        "doc_id",
+        F.when(doc_id % 4 == 0,
+               F.concat(F.lit(passage + " "), F.col("text")))
+         .when(doc_id % 4 == 1,
+               F.concat(F.col("text"), F.lit(" " + passage)))
+         .otherwise(F.col("text")).alias("text"))
+    return excise_shared_windows(page, n=5, min_docs=2)

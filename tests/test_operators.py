@@ -3949,3 +3949,73 @@ class TestHrefAnchorFuzz:
         for i, c in enumerate(cases):
             assert got_h[i] == self._py_hrefs(c), (i, c)
             assert got_p[i] == self._py_pairs(c), (i, c)
+
+
+class TestExciseSharedWindows:
+    """operators/quality.excise_shared_windows — Lee-et-al-style exact
+    shared-substring removal at token granularity."""
+
+    def test_planted_passage_removed(self, spark):
+        from hades_spark.operators.quality import excise_shared_windows
+
+        df = spark.createDataFrame([
+            (1, "alpha beta the quick brown fox jumps gamma"),
+            (2, "delta the quick brown fox jumps epsilon zeta"),
+            (3, "totally unique content here only once ever"),
+            (4, None),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               excise_shared_windows(df, n=5, min_docs=2).collect()}
+        assert out[1]["text"] == "alpha beta gamma"
+        assert out[2]["text"] == "delta epsilon zeta"
+        assert (out[1]["n_removed"], out[2]["n_removed"]) == (5, 5)
+        assert out[3]["n_removed"] == 0          # unique doc untouched
+        assert out[4]["text"] == "" and out[4]["n_tokens"] == 0
+
+    def test_overlapping_windows_union(self, spark):
+        from hades_spark.operators.quality import excise_shared_windows
+
+        # 6 shared tokens -> two overlapping 5-gram windows; covered
+        # positions are the UNION (6 tokens), not double-counted
+        df = spark.createDataFrame([
+            (1, "x a b c d e f y"),
+            (2, "z a b c d e f w"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               excise_shared_windows(df, n=5, min_docs=2).collect()}
+        assert out[1]["text"] == "x y" and out[1]["n_removed"] == 6
+        assert out[2]["text"] == "z w"
+
+    def test_min_docs_threshold(self, spark):
+        from hades_spark.operators.quality import excise_shared_windows
+
+        df = spark.createDataFrame([
+            (1, "p q r s t u"), (2, "p q r s t v"), (3, "m n o k l j"),
+        ], "doc_id long, text string")
+        # shared gram 'p q r s t' in 2 docs: survives min_docs=3
+        out3 = {r["doc_id"]: r["n_removed"] for r in
+                excise_shared_windows(df, n=5, min_docs=3).collect()}
+        assert out3 == {1: 0, 2: 0, 3: 0}
+        out2 = {r["doc_id"]: r["n_removed"] for r in
+                excise_shared_windows(df, n=5, min_docs=2).collect()}
+        assert out2 == {1: 5, 2: 5, 3: 0}
+
+    def test_whole_doc_removed(self, spark):
+        from hades_spark.operators.quality import excise_shared_windows
+
+        df = spark.createDataFrame([
+            (1, "a b c d e"), (2, "a b c d e"),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               excise_shared_windows(df, n=5, min_docs=2).collect()}
+        assert out[1]["text"] == "" and out[1]["n_removed"] == 5
+        assert len(out) == 2                      # rows survive empty
+
+    def test_validation(self, spark):
+        from hades_spark.operators.quality import excise_shared_windows
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="min_docs"):
+            excise_shared_windows(df, min_docs=1)
+        with pytest.raises(ValueError, match="n must"):
+            excise_shared_windows(df, n=0)
