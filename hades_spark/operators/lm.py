@@ -111,3 +111,52 @@ def bigram_quality_scores(
                    F.avg("lp").alias("avg_logprob"))
               .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information — the classic phrase-mining statistic (Church & Hanks
+    1990): ``pmi = ln( p(x,y) / (p(x) p(y)) )`` with ``p(x,y)`` over
+    bigram instances and unigram probabilities over token instances.
+    Pairs seen fewer than ``min_count`` times are dropped (PMI's known
+    rare-pair blowup). Deterministic total order: pmi desc, then (x, y)
+    asc — compiles to TakeOrderedAndProject (per-partition heaps, no
+    corpus sort).
+
+    Columns: ``x, y, n_xy, pmi``. Same tokenizer as the bigram LM, so
+    mined phrases line up with LM vocabulary. Shuffle shape: three
+    combinable groupBys (pair counts, token counts x2 via one agg) +
+    two equi-joins of the distinct-keyed pair table against the
+    distinct-keyed unigram table — never an instance-level join.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    n_tokens = uni.agg(F.sum("c").alias("nt"))
+
+    pairs = docs.select(
+        F.explode(bigrams_col(F.col(text_col))).alias("b")
+    ).select(F.col("b.w1").alias("x"), F.col("b.w2").alias("y"))
+    pc = pairs.groupBy("x", "y").agg(F.count("*").alias("n_xy")) \
+              .where(F.col("n_xy") >= min_count)
+    n_pairs = pairs.groupBy().agg(F.count("*").alias("np"))
+
+    ux = uni.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        pc.join(ux, "x").join(uy, "y")
+          .crossJoin(F.broadcast(n_pairs))
+          .crossJoin(F.broadcast(n_tokens))
+          .select(
+              "x", "y", "n_xy",
+              F.log((F.col("n_xy") / F.col("np"))
+                    / ((F.col("cx") / F.col("nt"))
+                       * (F.col("cy") / F.col("nt")))).alias("pmi"))
+    )
+    return scored.orderBy(F.col("pmi").desc(), "x", "y").limit(k)

@@ -4411,3 +4411,43 @@ def dedup_excise_shared_q(spark: SparkSession, sf: str) -> DataFrame:
                F.concat(F.col("text"), F.lit(" " + passage)))
          .otherwise(F.col("text")).alias("text"))
     return excise_shared_windows(page, n=5, min_docs=2)
+
+
+@register("lm_collocations_pmi", r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (
+  SELECT t AS w, count(*) AS c
+  FROM (SELECT unnest(toks) AS t FROM w) GROUP BY 1),
+nt AS (SELECT CAST(sum(c) AS DOUBLE) AS nt FROM uni),
+p AS (
+  SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i AS INT) + 1] AS y
+  FROM w, UNNEST(range(1, len(toks))) AS u(i)),
+np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM p),
+pc AS (SELECT x, y, count(*) AS n_xy FROM p GROUP BY 1, 2
+       HAVING count(*) >= 5),
+scored AS (
+  SELECT pc.x, pc.y, pc.n_xy,
+         ln((pc.n_xy / np.np)
+            / ((ux.c / nt.nt) * (uy.c / nt.nt))) AS pmi
+  FROM pc
+  JOIN uni ux ON ux.w = pc.x
+  JOIN uni uy ON uy.w = pc.y, np, nt)
+SELECT x, y, n_xy, round(pmi, 6) AS pmi
+FROM scored ORDER BY pmi DESC, x, y LIMIT 100
+""")
+def lm_collocations_pmi_q(spark: SparkSession, sf: str) -> DataFrame:
+    # PMI collocation mining (Church & Hanks): adjacent-pair counts vs
+    # unigram expectation, min-count 5, top-100 under (pmi desc, x, y).
+    # Three combinable groupBys + distinct-keyed joins; the readout is a
+    # TakeOrderedAndProject. DuckDB re-derives tokenize/pair/count/ln
+    # through the identical expression chain — the value hash pins the
+    # estimator and the selection boundary.
+    from .operators.lm import collocations_pmi
+
+    out = collocations_pmi(load_table(spark, sf, "documents"),
+                           min_count=5, k=100)
+    return out.select("x", "y", "n_xy", F.round("pmi", 6).alias("pmi"))

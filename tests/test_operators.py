@@ -4019,3 +4019,44 @@ class TestExciseSharedWindows:
             excise_shared_windows(df, min_docs=1)
         with pytest.raises(ValueError, match="n must"):
             excise_shared_windows(df, n=0)
+
+
+class TestCollocationsPmi:
+    def test_planted_collocation_tops(self, spark):
+        from hades_spark.operators.lm import collocations_pmi
+
+        # 'hong kong' always adjacent and exclusive; filler words mix
+        rows = [(i, "hong kong " + " ".join(
+            ["the", "of", "data", "the", "of"][j % 5]
+            for j in range(i % 7 + 3))) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = collocations_pmi(df, min_count=5, k=5).collect()
+        assert (out[0]["x"], out[0]["y"]) == ("hong", "kong")
+        assert out[0]["n_xy"] == 40
+        # exclusive pair: pmi = ln(N_pairs / n_xy) + 2 ln(N_tokens/n_xy)
+        # ... just check it's the strict max and positive
+        assert out[0]["pmi"] > out[1]["pmi"] > 0 or out[1]["pmi"] <= 0
+
+    def test_min_count_and_determinism(self, spark):
+        from hades_spark.operators.lm import collocations_pmi
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b c d"), (2, "a b e f")],
+            "doc_id long, text string")
+        out = collocations_pmi(df, min_count=4, k=10).collect()
+        assert [(r["x"], r["y"]) for r in out] == [("a", "b")]
+        a = collocations_pmi(df.repartition(7), min_count=1, k=10).collect()
+        b = collocations_pmi(df.repartition(2), min_count=1, k=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="min_count"):
+            collocations_pmi(df, min_count=0)
+
+    def test_plan_takeordered(self, spark):
+        from hades_spark.operators.lm import collocations_pmi
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        plan = collocations_pmi(df, min_count=1, k=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
