@@ -243,3 +243,57 @@ def simhash_pairs_from_hashes(
         .dropDuplicates(["a", "b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit1_pairs(
+    strings: DataFrame,
+    str_col: str = "s",
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """All unordered pairs of DISTINCT strings at Levenshtein distance
+    exactly 1 — typo-variant matching (the SymSpell deletion-neighborhood
+    device), without an all-pairs product.
+
+    Exactness at distance 1: two distinct strings with one substitution
+    share the deletion at that position; with one insertion/deletion, the
+    shorter IS a deletion variant of the longer. So blocking each string
+    on {itself} ∪ {its length-1 deletions} and self-joining on the block
+    key finds every candidate; a JVM ``levenshtein(a, b) == 1`` probe
+    discards the false positives (two different substitutions sharing a
+    deletion). Dedup to ``a < b`` canonical pairs.
+
+    Shuffle shape: variant fan-out is len(s)+1 rows per string (bounded
+    by the alias-length cap upstream); the self-join keys on the variant
+    string — ``max_bucket_size`` drops degenerate hot blocks (e.g. the
+    deletions of very common short tokens) before they square, the same
+    guard as the LSH bucket cap, and dropped blocks are a documented
+    recall trade at distance-1 on pathological vocabularies.
+    """
+    s = strings.select(F.col(str_col).alias("_s")).where(
+        F.col("_s").isNotNull() & (F.col("_s") != "")).distinct()
+    # block keys: the string itself + every single-char deletion
+    variants = s.select(
+        "_s",
+        F.explode(F.array_union(
+            F.array(F.col("_s")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("_s")),
+                lambda i: F.concat(
+                    F.substring(F.col("_s"), F.lit(1), i - 1),
+                    F.col("_s").substr(i + 1, F.length("_s")))),
+        )).alias("_v"))
+    capped = (
+        variants.groupBy("_v").agg(
+            F.collect_list("_s").alias("_ss"),
+            F.count("*").alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+        .select(F.explode("_ss").alias("_s"), F.col("_v"))
+    )
+    a = capped.select(F.col("_s").alias("a"), "_v")
+    b = capped.select(F.col("_s").alias("b"), "_v")
+    return (
+        a.join(b, "_v")
+        .where(F.col("a") < F.col("b"))
+        .where(F.levenshtein("a", "b") == 1)
+        .select("a", "b").distinct()
+    )

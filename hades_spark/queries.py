@@ -4451,3 +4451,55 @@ def lm_collocations_pmi_q(spark: SparkSession, sf: str) -> DataFrame:
     out = collocations_pmi(load_table(spark, sf, "documents"),
                            min_count=5, k=100)
     return out.select("x", "y", "n_xy", F.round("pmi", 6).alias("pmi"))
+
+
+@register("link_edit1_variants", r"""
+WITH base AS (
+  SELECT DISTINCT 'entity' || CAST(doc_id % 60 AS VARCHAR) AS s
+  FROM documents
+  UNION
+  SELECT DISTINCT
+    substring('entity' || CAST(doc_id % 60 AS VARCHAR),
+              1, CAST(doc_id % 6 AS INT))
+    || substring('entity' || CAST(doc_id % 60 AS VARCHAR),
+                 CAST(doc_id % 6 AS INT) + 2,
+                 length('entity' || CAST(doc_id % 60 AS VARCHAR)))
+  FROM documents WHERE doc_id % 7 = 0),
+v AS (
+  SELECT s, s AS var FROM base
+  UNION
+  SELECT s, substring(s, 1, CAST(i AS INT) - 1)
+            || substring(s, CAST(i AS INT) + 1, length(s)) AS var
+  FROM base, UNNEST(range(1, len(s) + 1)) AS u(i)),
+blocks AS (
+  SELECT var FROM v GROUP BY var
+  HAVING count(*) BETWEEN 2 AND 1000),
+cand AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM v a JOIN blocks USING (var) JOIN v b USING (var)
+  WHERE a.s < b.s)
+SELECT a, b FROM cand WHERE levenshtein(a, b) = 1
+""")
+def link_edit1_variants_q(spark: SparkSession, sf: str) -> DataFrame:
+    # distance-1 typo-variant pairing (SymSpell deletion blocking): an
+    # alias vocabulary of 60 entities plus single-char-deletion typos
+    # (every 7th doc contributes one, deletion position from doc_id);
+    # the operator must find exactly the levenshtein==1 pairs — typo vs
+    # base AND the typo-vs-typo substitutions different deletions of the
+    # same base can create — with no all-pairs product. DuckDB
+    # re-derives the variant fan-out, block cap, candidate join, and
+    # its own independent levenshtein. Note UNION (not UNION ALL) in
+    # both engines: the vocabulary is the distinct string set.
+    from .operators.dedup import edit1_pairs
+
+    d = load_table(spark, sf, "documents")
+    doc_id = F.col("doc_id")
+    base_s = F.concat(F.lit("entity"), (doc_id % 60).cast("string"))
+    pos = (doc_id % 6).cast("int")
+    bases = d.select(base_s.alias("s"))
+    typos = d.where(doc_id % 7 == 0).select(
+        F.concat(
+            F.substring(base_s, F.lit(1), pos),
+            base_s.substr(pos + 2, F.length(base_s))).alias("s"))
+    vocab = bases.unionByName(typos)
+    return edit1_pairs(vocab, "s")

@@ -4060,3 +4060,50 @@ class TestCollocationsPmi:
         plan = collocations_pmi(df, min_count=1, k=5) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestEdit1Pairs:
+    """operators/dedup.edit1_pairs — deletion-neighborhood blocking."""
+
+    def test_exact_vs_brute_force(self, spark):
+        from hades_spark.operators.dedup import edit1_pairs
+
+        words = ["spark", "spork", "sprk", "sparkk", "hadoop", "hadop",
+                 "flink", "blink", "clink", "a", "ab", "b", "ba", "abc"]
+        df = spark.createDataFrame([(w,) for w in words], "s string")
+        got = sorted(map(tuple, edit1_pairs(df).collect()))
+
+        def lev(x, y):
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def d(i, j):
+                if i == 0 or j == 0:
+                    return i + j
+                return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                           d(i - 1, j - 1) + (x[i - 1] != y[j - 1]))
+            return d(len(x), len(y))
+
+        want = sorted(tuple(sorted((a, b)))
+                      for i, a in enumerate(words)
+                      for b in words[i + 1:] if lev(a, b) == 1)
+        assert got == want
+        assert ("blink", "flink") in want        # brute-force sanity
+
+    def test_distance_two_excluded_and_dirt(self, spark):
+        from hades_spark.operators.dedup import edit1_pairs
+
+        df = spark.createDataFrame(
+            [("abcd",), ("abxy",), ("",), (None,), ("abcd",)], "s string")
+        assert edit1_pairs(df).collect() == []   # d=2; dirt/dups ignored
+
+    def test_bucket_cap_drops_hot_block(self, spark):
+        from hades_spark.operators.dedup import edit1_pairs
+
+        # 'xN' strings all share deletion-variant 'x' -> one hot block
+        df = spark.createDataFrame([(f"x{i}",) for i in range(10)],
+                                   "s string")
+        full = edit1_pairs(df, max_bucket_size=1000).count()
+        assert full == 45                        # all pairs are d=1
+        capped = edit1_pairs(df, max_bucket_size=5).count()
+        assert capped < full                     # hot block dropped
