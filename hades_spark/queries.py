@@ -4503,3 +4503,41 @@ def link_edit1_variants_q(spark: SparkSession, sf: str) -> DataFrame:
             base_s.substr(pos + 2, F.length(base_s))).alias("s"))
     vocab = bases.unionByName(typos)
     return edit1_pairs(vocab, "s")
+
+
+def _profile_oracle(table: str, cols: list[str], top_k: int = 5) -> str:
+    """DuckDB twin of operators/profile.profile_table(exact_distinct=True):
+    native-type min/max/distinct stringified, top-k most frequent string
+    values (freq desc, value asc)."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+SELECT '{c}' AS "column",
+  count(*) AS n_rows,
+  sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_value,
+  CAST(max({c}) AS VARCHAR) AS max_value,
+  (SELECT coalesce(list(v ORDER BY cnt DESC, v ASC)[1:{top_k}], [])
+   FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt
+         FROM {table} WHERE {c} IS NOT NULL GROUP BY 1)) AS top_values
+FROM {table}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@register("prof_table_profile", _profile_oracle("orders", _PROFILE_COLS))
+def prof_table_profile_q(spark: SparkSession, sf: str) -> DataFrame:
+    # per-column data-quality profile of the orders table: one native-
+    # typed agg pass (count/nulls/exact-distinct/min/max, all combinable)
+    # + a stack melt with per-column top-5 frequent values. DuckDB
+    # re-derives every statistic per column and the frequency ranking
+    # (freq desc, value asc) independently — the value hash covers the
+    # stringification of ints, doubles, dates, and enums alike.
+    from .operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf, "orders"),
+                         _PROFILE_COLS, top_k=5, exact_distinct=True)

@@ -4107,3 +4107,40 @@ class TestEdit1Pairs:
         assert full == 45                        # all pairs are d=1
         capped = edit1_pairs(df, max_bucket_size=5).count()
         assert capped < full                     # hot block dropped
+
+
+class TestProfileTable:
+    def test_stats_and_topk(self, spark):
+        from hades_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame([
+            (1, "en", None), (2, "en", 5.0), (3, "de", 5.0),
+            (4, "en", 7.5), (5, None, 7.5),
+        ], "id long, lang string, score double")
+        out = {r["column"]: r for r in
+               profile_table(df, exact_distinct=True, top_k=2).collect()}
+        assert set(out) == {"id", "lang", "score"}
+        lang = out["lang"]
+        assert (lang["n_rows"], lang["n_nulls"], lang["n_distinct"]) == \
+            (5, 1, 2)
+        assert (lang["min_value"], lang["max_value"]) == ("de", "en")
+        assert lang["top_values"] == ["en", "de"]
+        # native-typed min/max (NOT lexicographic on the string cast)
+        big = spark.createDataFrame([(999.0,), (100006.33,)], "v double")
+        prof = profile_table(big, exact_distinct=True).collect()[0]
+        assert (prof["min_value"], prof["max_value"]) == \
+            ("999.0", "100006.33")
+
+    def test_all_null_column_and_validation(self, spark):
+        from hades_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame([(1, None), (2, None)],
+                                   "id long, z string")
+        z = {r["column"]: r for r in
+             profile_table(df, exact_distinct=True).collect()}["z"]
+        assert (z["n_nulls"], z["n_distinct"]) == (2, 0)
+        assert z["min_value"] is None and z["top_values"] == []
+        with pytest.raises(ValueError, match="not in frame"):
+            profile_table(df, ["nope"])
+        with pytest.raises(ValueError, match="no columns"):
+            profile_table(df, [])
