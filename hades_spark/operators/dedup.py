@@ -297,3 +297,81 @@ def edit1_pairs(
         .where(F.levenshtein("a", "b") == 1)
         .select("a", "b").distinct()
     )
+
+
+def jaccard_join_exact(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join at ``threshold`` — the
+    prefix-filtering All-Pairs/PPJoin scheme (Bayardo et al. 2007),
+    complementing the approximate MinHash path with a no-false-negatives
+    guarantee at a stated threshold.
+
+    Exactness: with every doc's distinct-token set sorted by one GLOBAL
+    order (document frequency asc, token asc — rarest first), the first
+    token two qualifying sets share sits inside both sets' prefixes of
+    length ``|s| - ceil(t*|s|) + 1``: J >= t forces ``|intersect| >=
+    ceil(t*|s|)`` per side, and all shared tokens sort at or after that
+    first one. So a self-join on exploded PREFIX tokens finds every
+    qualifying pair; a length-ratio prune (``t*|a| <= |b|``) and an
+    exact ``array_intersect`` Jaccard verify finish it.
+
+    Shuffle shape: global token frequencies are one combinable groupBy;
+    per-doc sorted sets one more; the candidate self-join keys on
+    PREFIX tokens, which are the rarest tokens by construction — the
+    frequency order IS the skew guard (a stopword shared by every doc
+    sorts last and never enters a prefix at sane thresholds). Verify
+    joins candidates back to the bounded doc->set map. Returns
+    ``(a, b, jaccard)`` with ``a < b``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    kid = F.col(id_col)
+    toks = (
+        docs.select(kid.alias("_id"),
+                    F.explode(F.array_distinct(F.filter(
+                        F.split(F.lower(F.coalesce(F.col(text_col),
+                                                   F.lit(""))), r"\s+"),
+                        lambda t: t != ""))).alias("_t"))
+    )
+    freq = toks.groupBy("_t").agg(F.count("*").alias("_df"))
+    ordered = (
+        toks.join(freq, "_t")
+        .groupBy("_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("_df"), F.col("_t")))),
+            lambda s: s["_t"]).alias("_set"))
+        .withColumn("_n", F.size("_set"))
+        .where(F.col("_n") > 0)
+    )
+    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    prefixes = ordered.select(
+        "_id", "_n",
+        F.explode(F.slice("_set", F.lit(1), prefix_len)).alias("_t"))
+
+    a = prefixes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"),
+                        "_t")
+    b = prefixes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"),
+                        "_t")
+    cand = (
+        a.join(b, "_t")
+        .where(F.col("a") < F.col("b"))
+        # length prune: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+        .where(F.least("_na", "_nb")
+               >= F.ceil(F.lit(threshold) * F.greatest("_na", "_nb")))
+        .select("a", "b").distinct()
+    )
+    sa = ordered.select(F.col("_id").alias("a"), F.col("_set").alias("_sa"))
+    sb = ordered.select(F.col("_id").alias("b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

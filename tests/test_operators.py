@@ -4144,3 +4144,48 @@ class TestProfileTable:
             profile_table(df, ["nope"])
         with pytest.raises(ValueError, match="no columns"):
             profile_table(df, [])
+
+
+class TestJaccardJoinExact:
+    """operators/dedup.jaccard_join_exact — prefix-filter exactness."""
+
+    def _brute(self, rows, t):
+        out = []
+        sets = {i: set(s.lower().split()) for i, s in rows if s and s.split()}
+        ids = sorted(sets)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if u and inter / u >= t:
+                    out.append((a, b, round(inter / u, 9)))
+        return sorted(out)
+
+    def test_randomized_vs_brute_force(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [(i, " ".join(rng.sample(vocab, rng.randrange(3, 12))))
+                for i in range(60)] + [(60, ""), (61, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from hades_spark.operators.dedup import jaccard_join_exact
+
+        for t in (0.5, 0.7, 0.9):
+            got = sorted((r["a"], r["b"], round(r["jaccard"], 9))
+                         for r in jaccard_join_exact(
+                             df, threshold=t).collect())
+            assert got == self._brute(rows, t), t
+
+    def test_duplicate_tokens_and_threshold_validation(self, spark):
+        from hades_spark.operators.dedup import jaccard_join_exact
+
+        # token SETS: repeated words don't change the similarity
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "b a")], "doc_id long, text string")
+        out = jaccard_join_exact(df, threshold=0.99).collect()
+        assert [(r["a"], r["b"], r["jaccard"]) for r in out] == \
+            [(1, 2, 1.0)]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="threshold"):
+            jaccard_join_exact(df, threshold=0.0)
