@@ -290,3 +290,40 @@ def interval_join(
         .filter(overlap & (F.col("_bk") == start_bucket))
         .drop("_bk")
     )
+
+
+def rolling_zscore(
+    buckets: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int = 24,
+    min_history: int = 4,
+) -> DataFrame:
+    """Per-key rolling z-score over an ordered bucket series — the
+    metric-anomaly shape (crawl-rate spikes, error-rate regressions):
+    each bucket is scored against the mean/stddev of its ``window``
+    PRECEDING buckets (never itself — no self-masking), NULL until
+    ``min_history`` buckets exist or the trailing stddev is 0.
+
+    Input is the PRE-AGGREGATED bucket table (one row per key x bucket),
+    so the window's partition width is the series length, not the event
+    count — the expensive shuffle is the upstream combinable bucket
+    groupBy, not this. Adds ``mean_prev, std_prev, zscore``.
+    """
+    from pyspark.sql import Window as W
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    w = (W.partitionBy(*key_cols).orderBy(order_col)
+          .rowsBetween(-window, -1))
+    mean_p = F.avg(value_col).over(w)
+    std_p = F.stddev(value_col).over(w)
+    n_p = F.count(value_col).over(w)
+    z = F.when((n_p >= min_history) & (std_p > 0),
+               (F.col(value_col) - mean_p) / std_p)
+    return buckets.select(
+        "*",
+        F.round(mean_p, 9).alias("mean_prev"),
+        F.round(std_p, 9).alias("std_prev"),
+        F.round(z, 9).alias("zscore"))

@@ -4573,3 +4573,42 @@ def dedup_jaccard_exact_q(spark: SparkSession, sf: str) -> DataFrame:
     out = jaccard_join_exact(load_table(spark, sf, "documents"),
                              threshold=0.9)
     return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+@register("ts_anomaly_zscore", """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+z AS (
+  SELECT event_type, hour, cnt,
+    avg(cnt) OVER w AS mean_prev,
+    stddev(cnt) OVER w AS std_prev,
+    count(cnt) OVER w AS n_prev
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, hour, cnt,
+  round(mean_prev, 9) AS mean_prev,
+  round(std_prev, 9) AS std_prev,
+  round(CASE WHEN n_prev >= 4 AND std_prev > 0
+             THEN (cnt - mean_prev) / std_prev END, 9) AS zscore
+FROM z
+""")
+def ts_anomaly_zscore_q(spark: SparkSession, sf: str) -> DataFrame:
+    # rolling z-score anomaly scoring of hourly event-type rates: each
+    # hour scored against its trailing 24 hours (never itself), NULL
+    # until 4 buckets of history. The window runs over the tiny
+    # pre-aggregated bucket series; the only wide shuffle is the
+    # combinable (type, hour) count. DuckDB replays the identical frame
+    # (ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) with its own
+    # avg/stddev — the 9-digit round absorbs Welford-vs-two-pass
+    # last-ulp drift while pinning the math.
+    from .operators.temporal import rolling_zscore
+
+    b = (load_table(spark, sf, "events")
+         .groupBy("event_type",
+                  F.date_trunc("hour", F.col("ts")).alias("hour"))
+         .agg(F.count("*").alias("cnt")))
+    return rolling_zscore(b, ["event_type"], "hour", "cnt",
+                          window=24, min_history=4)

@@ -4189,3 +4189,35 @@ class TestJaccardJoinExact:
         import pytest as _pt
         with _pt.raises(ValueError, match="threshold"):
             jaccard_join_exact(df, threshold=0.0)
+
+
+class TestRollingZscore:
+    def test_closed_form_and_spike(self, spark):
+        from hades_spark.operators.temporal import rolling_zscore
+
+        rows = [("a", i, 10.0) for i in range(8)] + [("a", 8, 22.0)] \
+            + [("b", 0, 1.0), ("b", 1, 2.0)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = {(r["k"], r["t"]): r for r in
+               rolling_zscore(df, ["k"], "t", "v",
+                              window=24, min_history=4).collect()}
+        # constant history -> std 0 -> NULL z even for the spike's prefix
+        assert out[("a", 7)]["zscore"] is None
+        # the spike at t=8 has 8 constant preceding values: std 0 -> NULL
+        assert out[("a", 8)]["zscore"] is None
+        # too little history
+        assert out[("b", 1)]["zscore"] is None
+        # varied history: hand-computed z
+        rows2 = [("c", i, float(i % 3)) for i in range(6)] \
+            + [("c", 6, 10.0)]
+        df2 = spark.createDataFrame(rows2, "k string, t int, v double")
+        z = {r["t"]: r for r in
+             rolling_zscore(df2, ["k"], "t", "v",
+                            window=24, min_history=4).collect()}
+        import statistics
+
+        hist = [0.0, 1.0, 2.0, 0.0, 1.0, 2.0]
+        want = (10.0 - statistics.mean(hist)) / statistics.stdev(hist)
+        assert abs(z[6]["zscore"] - want) < 1e-6
+        with pytest.raises(ValueError, match="window"):
+            rolling_zscore(df, ["k"], "t", "v", window=1)
