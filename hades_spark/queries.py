@@ -4612,3 +4612,52 @@ def ts_anomaly_zscore_q(spark: SparkSession, sf: str) -> DataFrame:
          .agg(F.count("*").alias("cnt")))
     return rolling_zscore(b, ["event_type"], "hour", "cnt",
                           window=24, min_history=4)
+
+
+@register("g5_component_size_histogram", r"""
+WITH RECURSIVE s AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS toks
+  FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM s WHERE len(toks) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (a.n + b.n - len(list_intersect(a.toks, b.toks))) >= 0.9),
+edges AS (
+  SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p),
+walk AS (
+  SELECT s AS node, d AS reach FROM edges
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach),
+comp AS (
+  SELECT node, least(node, min(reach)) AS component
+  FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+SELECT sz AS component_size, count(*) AS n_components,
+       min(component) AS sample_component
+FROM sizes GROUP BY sz
+""")
+def g5_component_size_histogram_q(spark: SparkSession, sf: str) -> DataFrame:
+    # connected-component size distribution of the exact-Jaccard>=0.9
+    # near-dup graph (9k edges over 500 docs — a DENSE multi-component
+    # instance): prefix-filtered pair join -> alternating large-star/
+    # small-star components -> size histogram. The oracle recomputes the
+    # pairs BRUTE-FORCE and the closure as a recursive CTE with
+    # min-label components — so both the similarity join's exactness
+    # AND the distributed CC's labels (size spectrum + smallest label
+    # per size class) are under one value hash. Singletons (docs with
+    # no >=0.9 neighbor) are intentionally absent on both sides.
+    from .operators.components import alternating_components
+    from .operators.dedup import jaccard_join_exact
+
+    pairs = jaccard_join_exact(load_table(spark, sf, "documents"),
+                               threshold=0.9).select("a", "b")
+    comp = alternating_components(pairs, "a", "b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count("*").alias("n_components"),
+        F.min("component").alias("sample_component"))
