@@ -93,3 +93,66 @@ def wl_label_py(adjacency: dict, iterations: int = 2) -> dict:
             nxt[n] = md5(f"{labels[n]}|{nl}")
         labels = nxt
     return labels
+
+
+def negative_samples(
+    edges: DataFrame,
+    src_col: str = "src",
+    rel_col: str = "rel",
+    dst_col: str = "dst",
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Corrupted-tail negative samples for link-prediction training —
+    ``k`` candidates per positive edge, tails drawn uniformly from the
+    observed entity set by a SEEDED hash (reproducible across reruns
+    and partitionings, the operators/sampling.py contract), with true
+    edges filtered out (type-corrected negative sampling: a "negative"
+    that exists in the graph is a false negative label).
+
+    Returns ``(src, rel, dst_neg, neg_idx)``. Plan: the entity index is
+    one distinct + one zipWithIndex-free ranking (a window over the
+    ENTITY table, bounded by entity count, not edge count); candidates
+    fan out k rows per edge narrowly; the index join shuffles on the
+    uniform hash-derived index; the truth filter is one anti-join on
+    (src, rel, dst). Collisions with the true tail or duplicate draws
+    are dropped (not resampled) — the standard contract; callers
+    oversample k accordingly.
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(rel_col).alias("rel"),
+                     F.col(dst_col).alias("dst"))
+    ents = (
+        e.select(F.col("src").alias("ent"))
+        .unionByName(e.select(F.col("dst").alias("ent")))
+        .distinct()
+    )
+    idx = ents.select(
+        "ent",
+        (F.row_number().over(W.orderBy("ent")) - 1).alias("_i"))
+    n = idx.count()
+
+    cand = (
+        e.select("src", "rel", "dst",
+                 F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                  .alias("neg_idx"))
+        .withColumn("_i", F.pmod(
+            F.xxhash64("src", "rel", "dst", "neg_idx", F.lit(seed)),
+            F.lit(n)))
+    )
+    neg = (
+        cand.join(F.broadcast(idx), "_i")
+        .select("src", "rel", F.col("ent").alias("dst_neg"), "neg_idx",
+                "dst")
+        .where(F.col("dst_neg") != F.col("dst"))
+    )
+    truth = e.select("src", "rel", F.col("dst").alias("dst_neg")).distinct()
+    return (
+        neg.join(truth, ["src", "rel", "dst_neg"], "anti")
+        .select("src", "rel", "dst_neg", "neg_idx")
+        .distinct()
+    )

@@ -4661,3 +4661,60 @@ def g5_component_size_histogram_q(spark: SparkSession, sf: str) -> DataFrame:
     return sizes.groupBy(F.col("sz").alias("component_size")).agg(
         F.count("*").alias("n_components"),
         F.min("component").alias("sample_component"))
+
+
+_NEG_STAGE = f"{STAGE_ROOT}/hades_negsample_oracle_stage"
+
+_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         'buys' AS rel,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+ents AS (
+  SELECT ent, row_number() OVER (ORDER BY ent) - 1 AS i
+  FROM (SELECT src AS ent FROM e UNION SELECT dst FROM e)),
+c AS (SELECT src, rel, dst, neg_idx, i
+      FROM read_parquet('{_NEG_STAGE}/cand/*.parquet')),
+neg AS (
+  SELECT c.src, c.rel, ents.ent AS dst_neg, c.neg_idx, c.dst
+  FROM c JOIN ents USING (i)
+  WHERE ents.ent <> c.dst)
+SELECT DISTINCT n.src, n.rel, n.dst_neg, n.neg_idx
+FROM neg n
+ANTI JOIN e ON e.src = n.src AND e.rel = n.rel AND e.dst = n.dst_neg
+"""
+
+
+@register("kg_negative_samples", _NEG_ORACLE)
+def kg_negative_samples_q(spark: SparkSession, sf: str) -> DataFrame:
+    # corrupted-tail negative sampling over the customer->supplier
+    # purchase graph (k=3 per positive edge, seeded hash tails). Staged
+    # oracle: only the per-candidate hash INDEX goes to parquet (the
+    # sampling.py pattern — DuckDB has no Spark-compatible xxhash64);
+    # DuckDB re-derives the entity ranking, index join, self-collision
+    # drop, and the true-edge anti-filter independently. The staged
+    # index is computed by the QUERY's own replica of the operator's
+    # draw expression, so operator drift breaks the hash.
+    from .operators.graph_features import negative_samples
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select(
+             F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+              .alias("src"),
+             F.lit("buys").alias("rel"),
+             F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+              .alias("dst"))
+         .distinct())
+    n_ents = (e.select(F.col("src").alias("ent"))
+              .unionByName(e.select(F.col("dst").alias("ent")))
+              .distinct().count())
+    (e.select("src", "rel", "dst",
+              F.explode(F.sequence(F.lit(0), F.lit(2))).alias("neg_idx"))
+      .withColumn("i", F.pmod(
+          F.xxhash64("src", "rel", "dst", "neg_idx", F.lit(5)),
+          F.lit(n_ents)))
+      .write.mode("overwrite").parquet(f"{_NEG_STAGE}/cand"))
+    return negative_samples(e, k=3, seed=5)

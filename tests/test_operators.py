@@ -4221,3 +4221,29 @@ class TestRollingZscore:
         assert abs(z[6]["zscore"] - want) < 1e-6
         with pytest.raises(ValueError, match="window"):
             rolling_zscore(df, ["k"], "t", "v", window=1)
+
+
+class TestNegativeSamples:
+    def test_contract(self, spark):
+        from hades_spark.operators.graph_features import negative_samples
+
+        e = spark.createDataFrame(
+            [("a", "r", "b"), ("a", "r", "c"), ("b", "r", "d"),
+             ("c", "q", "a")], "src string, rel string, dst string")
+        out = negative_samples(e, k=8, seed=3).collect()
+        rows = {(r["src"], r["rel"], r["dst_neg"]) for r in out}
+        true = {("a", "r", "b"), ("a", "r", "c"), ("b", "r", "d"),
+                ("c", "q", "a")}
+        assert rows and not (rows & true)        # no false negatives
+        ents = {"a", "b", "c", "d"}
+        assert all(d in ents for _, _, d in rows)  # tails from the graph
+        # deterministic across partitionings and reruns
+        a = sorted(map(tuple, negative_samples(e, k=8, seed=3).collect()))
+        b = sorted(map(tuple, negative_samples(
+            e.repartition(7), k=8, seed=3).collect()))
+        assert a == b
+        # different seed -> different draw (overwhelmingly)
+        c = sorted(map(tuple, negative_samples(e, k=8, seed=4).collect()))
+        assert a != c
+        with pytest.raises(ValueError, match="k must"):
+            negative_samples(e, k=0)
