@@ -4718,3 +4718,69 @@ def kg_negative_samples_q(spark: SparkSession, sf: str) -> DataFrame:
           F.lit(n_ents)))
       .write.mode("overwrite").parquet(f"{_NEG_STAGE}/cand"))
     return negative_samples(e, k=3, seed=5)
+
+
+_LEAK_STAGE = f"{STAGE_ROOT}/hades_leakage_oracle_stage"
+
+_LEAK_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '\\s+'),
+           x -> x <> '')) AS toks
+  FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM s WHERE len(toks) > 0),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (a.n + b.n - len(list_intersect(a.toks, b.toks))) >= 0.9),
+lab AS (SELECT doc_id, split
+        FROM read_parquet('{_LEAK_STAGE}/splits/*.parquet')),
+x AS (
+  SELECT la.split AS split_a, lb.split AS split_b
+  FROM p JOIN lab la ON la.doc_id = p.a
+         JOIN lab lb ON lb.doc_id = p.b)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       count(*) AS n_pairs,
+       least(split_a, split_b) <> greatest(split_a, split_b) AS is_leak
+FROM x GROUP BY 1, 2, 4
+"""
+
+
+@register("mix_split_leakage_report", _LEAK_ORACLE)
+def mix_split_leakage_report_q(spark: SparkSession, sf: str) -> DataFrame:
+    # train/val/test LEAKAGE audit: exact-Jaccard>=0.9 near-dup pairs
+    # cross-tabulated against the deterministic hash-gate split — a
+    # near-dup pair straddling train and test is evaluation
+    # contamination (the reason dedup precedes splitting). Composes two
+    # independently-oracled operators; the oracle recomputes pairs
+    # brute-force and reads the STAGED split labels (the split gate's
+    # own derivation is pinned by mix_train_val_test), then re-derives
+    # the cross-tab and leak flags.
+    from .operators.dedup import jaccard_join_exact
+    from .operators.sampling import split_column
+
+    docs = load_table(spark, sf, "documents")
+    labels = docs.select(
+        "doc_id",
+        split_column(F.col("doc_id"),
+                     {"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed=19).alias("split"))
+    labels.write.mode("overwrite").parquet(f"{_LEAK_STAGE}/splits")
+    labels = spark.read.parquet(f"{_LEAK_STAGE}/splits")
+
+    pairs = jaccard_join_exact(docs, threshold=0.9).select("a", "b")
+    la = labels.select(F.col("doc_id").alias("a"),
+                       F.col("split").alias("split_a"))
+    lb = labels.select(F.col("doc_id").alias("b"),
+                       F.col("split").alias("split_b"))
+    x = pairs.join(la, "a").join(lb, "b")
+    return (x.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+        (F.least("split_a", "split_b")
+         != F.greatest("split_a", "split_b")).alias("is_leak"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select("split_lo", "split_hi", "n_pairs", "is_leak"))
