@@ -156,3 +156,72 @@ def negative_samples(
         .select("src", "rel", "dst_neg", "neg_idx")
         .distinct()
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walks_per_node: int = 2,
+    length: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic DeepWalk-style random walks — the training-corpus
+    generator for skip-gram graph embeddings (Perozzi et al. 2014),
+    with the seeded-hash determinism contract of operators/sampling.py:
+    the same (graph, seed) yields the same walks on any cluster layout.
+
+    Each node starts ``walks_per_node`` walks of up to ``length`` steps;
+    at each step the next hop is the neighbor at rank ``pmod(
+    xxhash64(cur, walk_id, step, seed), degree)`` in the (src-ordered)
+    adjacency ranking. Walks truncate at sink nodes (no outgoing edge).
+    Returns ``(start, walk_id, path)`` with ``path`` an array of node
+    ids, ``path[0] == start``.
+
+    Plan shape: adjacency ranking is ONE window over the edge table
+    partitioned by src (per-node degree bounded); each step is one
+    equi-join of the frontier against the ranked adjacency on
+    (cur, rank) — ``length`` joins total, frontier keyed on the hash-
+    uniform current node. No collects, no Python.
+    """
+    from pyspark.sql import Window as W
+
+    if walks_per_node < 1 or length < 1:
+        raise ValueError("walks_per_node and length must be >= 1")
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    ranked = e.withColumn(
+        "_r", F.row_number().over(
+            W.partitionBy("_s").orderBy("_d")) - 1)
+    deg = ranked.groupBy("_s").agg(F.max("_r").alias("_maxr"))
+    adj = ranked.join(deg, "_s").select(
+        "_s", "_d", "_r", (F.col("_maxr") + 1).alias("_deg"))
+
+    nodes = e.select(F.col("_s").alias("n")).unionByName(
+        e.select(F.col("_d").alias("n"))).distinct()
+    frontier = nodes.select(
+        F.col("n").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1)))
+         .alias("walk_id"),
+        F.col("n").alias("_cur"),
+        F.array(F.col("n")).alias("path"))
+
+    for step in range(length):
+        pick = F.pmod(
+            F.xxhash64("_cur", "walk_id", F.lit(step), F.lit(seed)),
+            F.col("_deg"))
+        nxt = (
+            frontier.join(adj, frontier["_cur"] == adj["_s"], "left")
+            .where(F.col("_s").isNull() | (F.col("_r") == pick))
+            .select(
+                "start", "walk_id",
+                F.coalesce("_d", F.lit(None)).alias("_cur2"),
+                F.when(F.col("_d").isNotNull(),
+                       F.concat("path", F.array("_d")))
+                 .otherwise(F.col("path")).alias("path"))
+        )
+        frontier = nxt.select(
+            "start", "walk_id",
+            F.coalesce("_cur2", F.element_at("path", -1)).alias("_cur"),
+            "path")
+        # sink walks carry forward unchanged; rejoining them is a no-op
+    return frontier.select("start", "walk_id", "path")

@@ -4784,3 +4784,81 @@ def mix_split_leakage_report_q(spark: SparkSession, sf: str) -> DataFrame:
          != F.greatest("split_a", "split_b")).alias("is_leak"))
         .agg(F.count("*").alias("n_pairs"))
         .select("split_lo", "split_hi", "n_pairs", "is_leak"))
+
+
+_WALK_STAGE = f"{STAGE_ROOT}/hades_walks_oracle_stage"
+
+_WALK_ORACLE = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS r,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM sym),
+u AS (SELECT ent, walk_id, step, u
+      FROM read_parquet('{_WALK_STAGE}/u/*.parquet')),
+f0 AS (
+  SELECT n AS start, w.walk_id, n AS cur
+  FROM (SELECT DISTINCT src AS n FROM sym) nodes,
+       (SELECT DISTINCT walk_id FROM u) w),
+s1 AS (
+  SELECT f0.start, f0.walk_id, a.dst AS h1,
+         coalesce(a.dst, f0.cur) AS cur
+  FROM f0
+  JOIN u ON u.ent = f0.cur AND u.walk_id = f0.walk_id AND u.step = 0
+  LEFT JOIN adj a ON a.src = f0.cur AND a.r = ((u.u % a.deg) + a.deg) % a.deg),
+s2 AS (
+  SELECT s1.start, s1.walk_id, s1.h1, a.dst AS h2,
+         coalesce(a.dst, s1.cur) AS cur
+  FROM s1
+  JOIN u ON u.ent = s1.cur AND u.walk_id = s1.walk_id AND u.step = 1
+  LEFT JOIN adj a ON a.src = s1.cur AND a.r = ((u.u % a.deg) + a.deg) % a.deg),
+s3 AS (
+  SELECT s2.start, s2.walk_id, s2.h1, s2.h2, a.dst AS h3
+  FROM s2
+  JOIN u ON u.ent = s2.cur AND u.walk_id = s2.walk_id AND u.step = 2
+  LEFT JOIN adj a ON a.src = s2.cur AND a.r = ((u.u % a.deg) + a.deg) % a.deg)
+SELECT start, walk_id,
+       list_filter([start, h1, h2, h3], x -> x IS NOT NULL) AS path
+FROM s3
+"""
+
+
+@register("kg_random_walks", _WALK_ORACLE)
+def kg_random_walks_q(spark: SparkSession, sf: str) -> DataFrame:
+    # DeepWalk corpus over the SYMMETRIZED customer<->supplier purchase
+    # graph: 2 walks x 3 steps per node, seeded-hash next-hop choice.
+    # Staged oracle: the per-(node, walk, step) hash draws for EVERY
+    # node go to parquet (a walk can be at any node at any step), and
+    # DuckDB unrolls the three steps as joins over its own adjacency
+    # ranking, degree mod, and sink-truncation semantics. Every hop of
+    # every path is under the value hash.
+    from .operators.graph_features import random_walks
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select(
+             F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+              .alias("src"),
+             F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+              .alias("dst"))
+         .distinct())
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    nodes = sym.select(F.col("src").alias("ent")).distinct()
+    (nodes
+     .select("ent",
+             F.explode(F.sequence(F.lit(0), F.lit(1))).alias("walk_id"))
+     .select("ent", "walk_id",
+             F.explode(F.sequence(F.lit(0), F.lit(2))).alias("step"))
+     .withColumn("u", F.xxhash64("ent", "walk_id", "step", F.lit(17)))
+     .write.mode("overwrite").parquet(f"{_WALK_STAGE}/u"))
+
+    return random_walks(sym, walks_per_node=2, length=3, seed=17)

@@ -4247,3 +4247,42 @@ class TestNegativeSamples:
         assert a != c
         with pytest.raises(ValueError, match="k must"):
             negative_samples(e, k=0)
+
+
+class TestRandomWalks:
+    def test_paths_follow_edges_and_truncate(self, spark):
+        from hades_spark.operators.graph_features import random_walks
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        out = {(r["start"], r["walk_id"]): list(r["path"]) for r in
+               random_walks(e, walks_per_node=1, length=4,
+                            seed=0).collect()}
+        # deterministic chain: only one neighbor at each hop; c is a sink
+        assert out[("a", 0)] == ["a", "b", "c"]      # truncated at sink
+        assert out[("b", 0)] == ["b", "c"]
+        assert out[("c", 0)] == ["c"]                # sink start
+
+    def test_determinism_and_edge_validity(self, spark):
+        import random
+
+        from hades_spark.operators.graph_features import random_walks
+
+        rng = random.Random(5)
+        edges = list({(f"n{rng.randrange(12)}", f"n{rng.randrange(12)}")
+                      for _ in range(40)})
+        e = spark.createDataFrame(edges, "src string, dst string")
+        walks = random_walks(e, walks_per_node=2, length=3, seed=9)
+        rows = [(r["start"], r["walk_id"], tuple(r["path"]))
+                for r in walks.collect()]
+        eset = set(edges)
+        for start, _, path in rows:
+            assert path[0] == start
+            for x, y in zip(path, path[1:]):
+                assert (x, y) in eset              # every hop is an edge
+        again = [(r["start"], r["walk_id"], tuple(r["path"])) for r in
+                 random_walks(e.repartition(5), walks_per_node=2,
+                              length=3, seed=9).collect()]
+        assert sorted(rows) == sorted(again)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            random_walks(e, walks_per_node=0)
