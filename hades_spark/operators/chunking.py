@@ -241,3 +241,71 @@ def chunks_table(docs: DataFrame, doc_id_col: str = "doc_id",
             F.col("total_chunks").cast("int").alias("total_chunks"),
         )
     )
+
+
+def cdc_chunks(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    target: int = 8,
+    seed: int = 0,
+):
+    """Content-defined chunking at token granularity — boundaries where
+    the rolling window's hash lands in a 1/``target`` band (the
+    gear/Rabin device of dedup storage, restated over tokens): a cut
+    falls AFTER token ``j`` when ``pmod(xxhash64(tokens[j-w+1..j]),
+    target) == 0``. Unlike fixed-size chunking, an insertion near the
+    head only moves boundaries until the window re-synchronizes, so
+    downstream exact/near dedup keeps matching the unchanged tail —
+    the property fixed windows structurally lack.
+
+    Returns one row per chunk: ``id_col, chunk_idx, chunk_text,
+    n_tokens``; expected chunk length ≈ ``target`` tokens (geometric).
+    Empty/NULL docs yield no rows (no tokens, no chunks).
+
+    Plan: per-doc gram hashes via the transform/slice device (no UDF),
+    ONE doc-partitioned window for the running cut count (width = doc
+    token count, bounded by doc length, not corpus size), one
+    combinable groupBy to assemble. The 10^12-doc shuffle keys on the
+    doc id — uniform.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if window < 1 or target < 1:
+        raise ValueError("window and target must be >= 1")
+    kid = F.col(id_col)
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "")
+    toks = df.select(kid.alias("_id"), words.alias("_w")).select(
+        "_id", F.posexplode("_w").alias("_pos", "_tok"),
+        F.col("_w").alias("_all"))
+    # hash of the window ENDING at _pos (only defined once _pos >= w-1)
+    gram = F.array_join(
+        F.slice("_all", F.col("_pos") - (window - 2), window), " ")
+    cut = F.when(
+        (F.col("_pos") >= window - 1)
+        & (F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(target)) == 0), 1
+    ).otherwise(0)
+    marked = toks.select("_id", "_pos", "_tok", cut.alias("_cut"))
+    prev_cuts = F.sum("_cut").over(
+        W.partitionBy("_id").orderBy("_pos")
+         .rowsBetween(W.unboundedPreceding, -1))
+    assigned = marked.select(
+        "_id", "_pos", "_tok",
+        F.coalesce(prev_cuts, F.lit(0)).alias("chunk_idx"))
+    return (
+        assigned.groupBy("_id", "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_pos"), F.col("_tok")))),
+                    lambda s: s["_tok"]),
+                " ").alias("chunk_text"),
+            F.count("*").alias("n_tokens"))
+        .select(F.col("_id").alias(id_col), "chunk_idx", "chunk_text",
+                "n_tokens")
+    )

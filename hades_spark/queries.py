@@ -4862,3 +4862,61 @@ def kg_random_walks_q(spark: SparkSession, sf: str) -> DataFrame:
      .write.mode("overwrite").parquet(f"{_WALK_STAGE}/u"))
 
     return random_walks(sym, walks_per_node=2, length=3, seed=17)
+
+
+_CDC_STAGE = f"{STAGE_ROOT}/hades_cdc_oracle_stage"
+
+_CDC_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, words[CAST(i AS INT)] AS tok
+  FROM w, UNNEST(range(1, len(words) + 1)) AS u(i)),
+h AS (SELECT doc_id, pos, h
+      FROM read_parquet('{_CDC_STAGE}/h/*.parquet')),
+m AS (
+  SELECT t.doc_id, t.pos, t.tok,
+    CASE WHEN t.pos >= 2 AND ((h.h % 8) + 8) % 8 = 0
+         THEN 1 ELSE 0 END AS cut
+  FROM tok t LEFT JOIN h ON h.doc_id = t.doc_id AND h.pos = t.pos),
+a AS (
+  SELECT doc_id, pos, tok,
+    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS chunk_idx
+  FROM m)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+       count(*) AS n_tokens
+FROM a GROUP BY doc_id, chunk_idx
+"""
+
+
+@register("x4_cdc_chunks", _CDC_ORACLE)
+def x4_cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
+    # content-defined chunking over documents (window 3, target 8,
+    # expected ~8-token chunks). Staged oracle: the raw per-(doc, pos)
+    # rolling-window hashes go to parquet and DuckDB re-derives the cut
+    # band (replicated pmod on negatives), the running cut count, and
+    # the ordered chunk assembly. The insertion-robustness property
+    # itself is unit-pinned (a head edit re-synchronizes the tail).
+    from .operators.chunking import cdc_chunks
+
+    d = load_table(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "")
+    toks = d.select("doc_id", words.alias("_w")).select(
+        "doc_id", F.posexplode("_w").alias("pos", "tok"),
+        F.col("_w").alias("_all"))
+    gram = F.array_join(F.slice("_all", F.col("pos") - 1, 3), " ")
+    (toks.where(F.col("pos") >= 2)
+         .select("doc_id", "pos",
+                 F.xxhash64(gram, F.lit(3)).alias("h"))
+         .write.mode("overwrite").parquet(f"{_CDC_STAGE}/h"))
+    out = cdc_chunks(d, window=3, target=8, seed=3)
+    return out.select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                      "chunk_text", "n_tokens")
