@@ -357,3 +357,36 @@ def centrality_features(
         return pd.DataFrame(data)
 
     return embeddings.groupBy(group_col).applyInPandas(_cent, out_schema)
+
+
+def rrf_fuse(rankings, id_col: str = "doc_id", k: int = 60,
+             score_col: str = "score"):
+    """Reciprocal-rank fusion (Cormack et al. 2009) — THE standard way
+    to merge heterogeneous retrieval lists (BM25 + dense + priors)
+    without score calibration: ``rrf = sum_lists 1 / (k + rank)`` with
+    ranks from each list's own (score desc, id asc) order. Items missing
+    from a list simply contribute nothing (no imputation).
+
+    ``rankings`` is a list of DataFrames each carrying ``id_col`` and
+    ``score_col``. Result: ``id_col, rrf_score, n_lists`` ordered-ready
+    (callers sort/limit). The rank windows run over the top-k RESULT
+    LISTS (tens of rows), never the corpus — fusion cost is O(sum of
+    list lengths).
+    """
+    from pyspark.sql import Window as W
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for df in rankings:
+        w = W.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        parts.append(df.select(
+            id_col,
+            (F.lit(1.0) / (F.lit(k) + F.row_number().over(w)))
+            .alias("_contrib")))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (allp.groupBy(id_col)
+            .agg(F.sum("_contrib").alias("rrf_score"),
+                 F.count("*").alias("n_lists")))

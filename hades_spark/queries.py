@@ -4920,3 +4920,47 @@ def x4_cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
     out = cdc_chunks(d, window=3, target=8, seed=3)
     return out.select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
                       "chunk_text", "n_tokens")
+
+
+_RRF_ORACLE = """
+WITH bm AS (
+""" + ORACLE_SQL["bm25_topk"].strip() + """
+),
+ln_ AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS score FROM documents
+  ORDER BY score DESC, doc_id ASC LIMIT 10),
+ra AS (
+  SELECT doc_id, 1.0 / (60 + row_number() OVER (
+           ORDER BY score DESC, doc_id ASC)) AS c
+  FROM bm),
+rb AS (
+  SELECT doc_id, 1.0 / (60 + row_number() OVER (
+           ORDER BY score DESC, doc_id ASC)) AS c
+  FROM ln_),
+u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+SELECT doc_id, round(sum(c), 12) AS rrf_score,
+       count(*) AS n_lists
+FROM u GROUP BY doc_id
+"""
+
+
+@register("search_rrf_fusion", _RRF_ORACLE)
+def search_rrf_fusion_q(spark: SparkSession, sf: str) -> DataFrame:
+    # reciprocal-rank fusion of two heterogeneous rankings — BM25
+    # lexical top-10 (its own full train/score oracle feeds in as a
+    # subquery) and a document-length prior top-10 — fused without
+    # score calibration. The oracle recomputes both lists AND the
+    # 1/(60+rank) sum; overlap items must show n_lists = 2.
+    from .operators.search import rrf_fuse
+    from .operators.tfidf import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    bm = bm25_topk(docs, ["spark", "hash", "window"], k=10) \
+        .select("doc_id", F.round("score", 6).alias("score"))
+    ln = (docs.select("doc_id", F.col("n_chars").cast("double")
+                      .alias("score"))
+          .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+          .limit(10))
+    out = rrf_fuse([bm, ln], k=60)
+    return out.select("doc_id", F.round("rrf_score", 12)
+                      .alias("rrf_score"), "n_lists")

@@ -219,3 +219,29 @@ class TestCascadeTail:
                 per[key] = (max(s, r["score"]), qs | {i})
         want = {k: (round(s, 6), len(qs)) for k, (s, qs) in per.items()}
         assert got == want
+
+
+class TestRrfFuse:
+    def test_closed_form(self, spark):
+        from pyspark.sql import functions as F
+
+        from hades_spark.operators.search import rrf_fuse
+
+        a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)],
+                                  "doc_id long, score double")
+        b = spark.createDataFrame([(3, 0.9), (4, 0.5)],
+                                  "doc_id long, score double")
+        out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+        assert abs(out[1]["rrf_score"] - 1 / 61) < 1e-12
+        assert abs(out[3]["rrf_score"] - (1 / 63 + 1 / 61)) < 1e-12
+        assert out[3]["n_lists"] == 2 and out[1]["n_lists"] == 1
+        assert out[4]["rrf_score"] == 1 / 62     # rank from ITS list
+        # tie broken by id asc: equal scores rank deterministically
+        t = spark.createDataFrame([(7, 1.0), (5, 1.0)],
+                                  "doc_id long, score double")
+        r = {x["doc_id"]: x["rrf_score"]
+             for x in rrf_fuse([t], k=60).collect()}
+        assert r[5] == 1 / 61 and r[7] == 1 / 62
+        import pytest as _pt
+        with _pt.raises(ValueError, match="non-empty"):
+            rrf_fuse([])
