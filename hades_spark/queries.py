@@ -4964,3 +4964,64 @@ def search_rrf_fusion_q(spark: SparkSession, sf: str) -> DataFrame:
     out = rrf_fuse([bm, ln], k=60)
     return out.select("doc_id", F.round("rrf_score", 12)
                       .alias("rrf_score"), "n_lists")
+
+
+from .pipeline.kg import kg_edges_oracle_sql as _kg_sql
+
+_KGDIFF_S1 = f"{STAGE_ROOT}/hades_kgdiff_stage_a"
+_KGDIFF_S2 = f"{STAGE_ROOT}/hades_kgdiff_stage_b"
+
+_KGDIFF_ORACLE = f"""
+WITH e1 AS ({_kg_sql(_KGDIFF_S1)}),
+e2 AS ({_kg_sql(_KGDIFF_S2)})
+SELECT
+  coalesce(e1.subj, e2.subj) AS subj,
+  coalesce(e1.pred, e2.pred) AS pred,
+  coalesce(e1.obj,  e2.obj)  AS obj,
+  CASE WHEN e2.edge_key IS NULL THEN 'removed'
+       WHEN e1.edge_key IS NULL THEN 'added'
+       ELSE 'changed' END AS status,
+  coalesce(e1.support, 0) AS support_old,
+  coalesce(e2.support, 0) AS support_new
+FROM e1 FULL OUTER JOIN e2 USING (edge_key)
+WHERE e1.edge_key IS NULL OR e2.edge_key IS NULL
+   OR e1.support <> e2.support
+"""
+
+
+@register("kg_version_diff", _KGDIFF_ORACLE)
+def kg_version_diff_q(spark: SparkSession, sf: str) -> DataFrame:
+    # KG version diff: the SAME staged pipeline runs over two corpus
+    # versions (seeds 42 and 43 — overlapping but distinct page sets),
+    # and the edge tables full-outer-join on the content edge key into
+    # added / removed / support-changed rows — the audit an incremental
+    # pipeline publishes per re-crawl. The oracle composes the ENTIRE
+    # staged-tail derivation TWICE (two recursive-CTE closures, two
+    # canonical joins, two edge aggregations from the two staged dirs)
+    # and re-derives the diff — both versions' full pipelines sit under
+    # one value hash.
+    from .pipeline.kg import run_kg_pipeline_staged
+
+    e1 = run_kg_pipeline_staged(spark, n_pages=150, seed=42,
+                                stage_dir=_KGDIFF_S1)
+    e2 = run_kg_pipeline_staged(spark, n_pages=150, seed=43,
+                                stage_dir=_KGDIFF_S2)
+    a = e1.select("edge_key", F.col("subj").alias("s1"),
+                  F.col("pred").alias("p1"), F.col("obj").alias("o1"),
+                  F.col("support").alias("support_old"))
+    b = e2.select("edge_key", F.col("subj").alias("s2"),
+                  F.col("pred").alias("p2"), F.col("obj").alias("o2"),
+                  F.col("support").alias("support_new"))
+    j = a.join(b, "edge_key", "full_outer")
+    return (j.where(F.col("support_old").isNull()
+                    | F.col("support_new").isNull()
+                    | (F.col("support_old") != F.col("support_new")))
+            .select(
+                F.coalesce("s1", "s2").alias("subj"),
+                F.coalesce("p1", "p2").alias("pred"),
+                F.coalesce("o1", "o2").alias("obj"),
+                F.when(F.col("support_new").isNull(), F.lit("removed"))
+                 .when(F.col("support_old").isNull(), F.lit("added"))
+                 .otherwise(F.lit("changed")).alias("status"),
+                F.coalesce("support_old", F.lit(0)).alias("support_old"),
+                F.coalesce("support_new", F.lit(0)).alias("support_new")))
