@@ -5025,3 +5025,49 @@ def kg_version_diff_q(spark: SparkSession, sf: str) -> DataFrame:
                  .otherwise(F.lit("changed")).alias("status"),
                 F.coalesce("support_old", F.lit(0)).alias("support_old"),
                 F.coalesce("support_new", F.lit(0)).alias("support_new")))
+
+
+_SKIPGRAM_ORACLE = f"""
+WITH walks AS ({_WALK_ORACLE}),
+pos AS (
+  SELECT start, walk_id, path,
+         CAST(i AS INT) AS ci, path[CAST(i AS INT)] AS center
+  FROM walks, UNNEST(range(1, len(path) + 1)) AS u(i)),
+ctx AS (
+  SELECT center, path[CAST(ci + o AS INT)] AS context
+  FROM pos, UNNEST([-2, -1, 1, 2]) AS v(o)
+  WHERE ci + o BETWEEN 1 AND len(path)),
+p AS (SELECT center, context FROM ctx WHERE center <> context)
+SELECT center, context, count(*) AS n
+FROM p GROUP BY 1, 2
+"""
+
+
+@register("kg_walk_skipgrams", _SKIPGRAM_ORACLE)
+def kg_walk_skipgrams_q(spark: SparkSession, sf: str) -> DataFrame:
+    # skip-gram training pairs from the DeepWalk corpus (window 2, both
+    # directions, self-pairs dropped, multiplicity counted) — the
+    # (center, context) co-occurrence table node2vec/word2vec trains
+    # on. The oracle COMPOSES the full random-walk derivation (staged
+    # hash draws, adjacency ranking, three unrolled steps) as a
+    # subquery and re-derives the window expansion — walks and pairs
+    # sit under one value hash. Spark side: pure array ops over the
+    # path column (posexplode + bounded offset array), one combinable
+    # count.
+    out = kg_random_walks_q(spark, sf)      # same staged walk corpus
+    pos = out.select(
+        "path", F.posexplode("path").alias("ci0", "center"))
+    ctx = (
+        pos.select(
+            "center",
+            F.explode(F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2)))
+             .alias("o"),
+            (F.col("ci0") + 1).alias("ci"), "path")
+        .where((F.col("ci") + F.col("o") >= 1)
+               & (F.col("ci") + F.col("o") <= F.size("path")))
+        .select("center",
+                F.element_at("path", (F.col("ci") + F.col("o"))
+                             .cast("int")).alias("context"))
+        .where(F.col("center") != F.col("context"))
+    )
+    return ctx.groupBy("center", "context").agg(F.count("*").alias("n"))
