@@ -5071,3 +5071,42 @@ def kg_walk_skipgrams_q(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("center") != F.col("context"))
     )
     return ctx.groupBy("center", "context").agg(F.count("*").alias("n"))
+
+
+@register("ar_event_association_rules", """
+WITH m AS (
+  SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+sized AS (SELECT b FROM m GROUP BY b HAVING count(*) <= 200),
+mm AS (SELECT m.b, m.i FROM m JOIN sized USING (b)),
+nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM mm),
+it AS (SELECT i, count(*) AS ni FROM mm GROUP BY i),
+keep AS (SELECT i FROM it, nb WHERE ni >= ceil(0.2 * n)),
+m2 AS (SELECT mm.b, mm.i FROM mm JOIN keep USING (i)),
+p AS (
+  SELECT a.i AS x, c.i AS y, count(*) AS n_pair
+  FROM m2 a JOIN m2 c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2),
+pk AS (SELECT x, y, n_pair FROM p, nb WHERE n_pair >= ceil(0.2 * n))
+SELECT pk.x AS antecedent, pk.y AS consequent, pk.n_pair,
+  round(pk.n_pair / nb.n, 9) AS support,
+  round(CAST(pk.n_pair AS DOUBLE) / ix.ni, 9) AS confidence,
+  round(nb.n * pk.n_pair / (CAST(ix.ni AS DOUBLE) * iy.ni), 9) AS lift
+FROM pk JOIN it ix ON ix.i = pk.x
+        JOIN it iy ON iy.i = pk.y, nb
+""")
+def ar_event_association_rules_q(spark: SparkSession, sf: str) -> DataFrame:
+    # pairwise association rules over per-user event-type baskets
+    # (support / confidence / lift at min-support 0.2, Apriori item
+    # prune before the basket self-join, basket-width cap as the skew
+    # guard). DuckDB re-derives membership, caps, supports, the pair
+    # join, and all three metrics independently.
+    from .operators.assoc import association_rules
+
+    ev = load_table(spark, sf, "events").select(
+        F.col("user_id").alias("basket_id"),
+        F.col("event_type").alias("item"))
+    out = association_rules(ev, min_support=0.2)
+    return out.select("antecedent", "consequent", "n_pair",
+                      F.round("support", 9).alias("support"),
+                      F.round("confidence", 9).alias("confidence"),
+                      F.round("lift", 9).alias("lift"))

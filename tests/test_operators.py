@@ -4327,3 +4327,37 @@ class TestCdcChunks:
         assert a == b
         with pytest.raises(ValueError, match="window"):
             cdc_chunks(df, window=0)
+
+
+class TestAssociationRules:
+    def test_closed_form(self, spark):
+        from hades_spark.operators.assoc import association_rules
+
+        rows = [(1, "milk"), (1, "bread"), (1, "eggs"), (2, "milk"),
+                (2, "bread"), (3, "milk"), (4, "beer"), (4, "chips"),
+                (5, "beer"), (5, "chips"), (5, "milk")]
+        df = spark.createDataFrame(rows, "basket_id long, item string")
+        out = {(r["antecedent"], r["consequent"]): r for r in
+               association_rules(df, min_support=0.3).collect()}
+        r = out[("milk", "bread")]
+        assert (r["n_pair"], r["support"], r["confidence"], r["lift"]) \
+            == (2, 0.4, 0.5, 1.25)
+        assert out[("bread", "milk")]["confidence"] == 1.0  # asymmetric
+        assert out[("beer", "chips")]["lift"] == 2.5
+        # eggs (support .2 < .3) pruned before pairing
+        assert not any("eggs" in k for k in out)
+
+    def test_caps_and_validation(self, spark):
+        from hades_spark.operators.assoc import association_rules
+
+        wide = [(1, f"i{k}") for k in range(10)] + [(2, "a"), (2, "b"),
+                                                    (3, "a"), (3, "b")]
+        df = spark.createDataFrame(wide, "basket_id long, item string")
+        out = association_rules(df, min_support=0.5, max_basket_size=5)
+        keys = {(r["antecedent"], r["consequent"]) for r in out.collect()}
+        assert keys == {("a", "b"), ("b", "a")}  # wide basket dropped
+        # support denominator excludes the dropped basket (n = 2)
+        sup = {r["antecedent"]: r["support"] for r in out.collect()}
+        assert sup["a"] == 1.0
+        with pytest.raises(ValueError, match="min_support"):
+            association_rules(df, min_support=0)
