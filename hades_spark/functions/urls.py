@@ -138,8 +138,12 @@ def extract_anchor_pairs(html: Column | str) -> Column:
         html, F.lit(r"(?is)<a\b[^>]*>.*?</a>"), 0)
 
     def pair(t: Column) -> Column:
-        dq = F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
-        sq = F.regexp_extract(t, r"(?i)href\s*=\s*'([^']*)'", 1)
+        # same attribute boundary as extract_hrefs: data-href/xhref
+        # must not masquerade as the real href
+        dq = F.regexp_extract(
+            t, r'(?i)(?:^|[^\w-])href\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(
+            t, r"(?i)(?:^|[^\w-])href\s*=\s*'([^']*)'", 1)
         inner = F.regexp_extract(t, r"(?is)>(.*)</a>$", 1)
         anchor = F.trim(F.regexp_replace(F.regexp_replace(
             inner, r"(?s)<[^>]*>", " "), r"\s+", " "))

@@ -45,7 +45,9 @@ def association_rules(
              .where(F.col("_w") <= max_basket_size).select("_b")
     m = m.join(sized, "_b")
 
-    n_baskets = m.select("_b").distinct().count()
+    # sized is already one row per surviving basket — count the small
+    # aggregated side, not a second distinct over the membership table
+    n_baskets = sized.count()
     if n_baskets == 0:
         raise ValueError("no baskets after the size cap")
 

@@ -283,8 +283,14 @@ def cdc_chunks(
         "_id", F.posexplode("_w").alias("_pos", "_tok"),
         F.col("_w").alias("_all"))
     # hash of the window ENDING at _pos (only defined once _pos >= w-1)
+    # start clamped to 1: rows with _pos < window-1 never pass the cut
+    # guard, but the slice must be safe BY CONSTRUCTION (a 0/negative
+    # start is a runtime error / from-the-end slice if any evaluation
+    # order change reaches it)
     gram = F.array_join(
-        F.slice("_all", F.col("_pos") - (window - 2), window), " ")
+        F.slice("_all",
+                F.greatest(F.lit(1), F.col("_pos") - (window - 2)),
+                window), " ")
     cut = F.when(
         (F.col("_pos") >= window - 1)
         & (F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(target)) == 0), 1

@@ -282,13 +282,15 @@ def edit1_pairs(
                     F.substring(F.col("_s"), F.lit(1), i - 1),
                     F.col("_s").substr(i + 1, F.length("_s")))),
         )).alias("_v"))
-    capped = (
-        variants.groupBy("_v").agg(
-            F.collect_list("_s").alias("_ss"),
-            F.count("*").alias("_n"))
+    # count first, THEN join members back: a degenerate hot block is
+    # dropped by its count alone and never materializes as one
+    # collect_list buffer in a single reduce task
+    blocks = (
+        variants.groupBy("_v").agg(F.count("*").alias("_n"))
         .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
-        .select(F.explode("_ss").alias("_s"), F.col("_v"))
+        .select("_v")
     )
+    capped = variants.join(blocks, "_v").select("_s", "_v")
     a = capped.select(F.col("_s").alias("a"), "_v")
     b = capped.select(F.col("_s").alias("b"), "_v")
     return (

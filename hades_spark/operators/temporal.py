@@ -304,7 +304,11 @@ def rolling_zscore(
     metric-anomaly shape (crawl-rate spikes, error-rate regressions):
     each bucket is scored against the mean/stddev of its ``window``
     PRECEDING buckets (never itself — no self-masking), NULL until
-    ``min_history`` buckets exist or the trailing stddev is 0.
+    ``min_history`` buckets exist or the trailing stddev is 0. The frame
+    counts BUCKETS, not wall-clock: gaps (periods with no row) widen the
+    effective time span, and a total outage emits no bucket at all —
+    densify the series upstream (join against a generated calendar) when
+    gap-aware semantics are required.
 
     Input is the PRE-AGGREGATED bucket table (one row per key x bucket),
     so the window's partition width is the series length, not the event

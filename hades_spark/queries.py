@@ -4277,9 +4277,12 @@ tags AS (
   FROM src),
 pairs AS (
   SELECT doc_id,
-    CASE WHEN regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1) <> ''
-         THEN regexp_extract(t, '(?i)href\s*=\s*"([^"]*)"', 1)
-         ELSE regexp_extract(t, '(?i)href\s*=\s*''([^'']*)''', 1) END
+    CASE WHEN regexp_extract(t,
+              '(?i)(?:^|[^\w-])href\s*=\s*"([^"]*)"', 1) <> ''
+         THEN regexp_extract(t,
+              '(?i)(?:^|[^\w-])href\s*=\s*"([^"]*)"', 1)
+         ELSE regexp_extract(t,
+              '(?i)(?:^|[^\w-])href\s*=\s*''([^'']*)''', 1) END
       AS href,
     trim(regexp_replace(regexp_replace(
       regexp_extract(t, '(?is)>(.*)</a>$', 1), '(?s)<[^>]*>', ' ', 'g'),
@@ -4432,12 +4435,12 @@ pc AS (SELECT x, y, count(*) AS n_xy FROM p GROUP BY 1, 2
 scored AS (
   SELECT pc.x, pc.y, pc.n_xy,
          ln((pc.n_xy / np.np)
-            / ((ux.c / nt.nt) * (uy.c / nt.nt))) AS pmi
+            / ((ux.c / nt.nt) * (uy.c / nt.nt))) AS pmi_raw
   FROM pc
   JOIN uni ux ON ux.w = pc.x
   JOIN uni uy ON uy.w = pc.y, np, nt)
-SELECT x, y, n_xy, round(pmi, 6) AS pmi
-FROM scored ORDER BY pmi DESC, x, y LIMIT 100
+SELECT x, y, n_xy, round(pmi_raw, 6) AS pmi
+FROM scored ORDER BY pmi_raw DESC, x, y LIMIT 100
 """)
 def lm_collocations_pmi_q(spark: SparkSession, sf: str) -> DataFrame:
     # PMI collocation mining (Church & Hanks): adjacent-pair counts vs
@@ -4912,7 +4915,8 @@ def x4_cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select("doc_id", words.alias("_w")).select(
         "doc_id", F.posexplode("_w").alias("pos", "tok"),
         F.col("_w").alias("_all"))
-    gram = F.array_join(F.slice("_all", F.col("pos") - 1, 3), " ")
+    gram = F.array_join(
+        F.slice("_all", F.greatest(F.lit(1), F.col("pos") - 1), 3), " ")
     (toks.where(F.col("pos") >= 2)
          .select("doc_id", "pos",
                  F.xxhash64(gram, F.lit(3)).alias("h"))

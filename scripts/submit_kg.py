@@ -43,6 +43,8 @@ def main() -> int:
     ap.add_argument("--metrics", default=None, help="metrics table dir")
     ap.add_argument("--run-id", default="submit0")
     args = ap.parse_args()
+    if args.input_format == "warc" and not args.input:
+        ap.error("--input-format warc requires --input (a WARC dir/glob)")
 
     # spark-submit provides master/deploy config; plain builder here
     from pyspark.sql import SparkSession

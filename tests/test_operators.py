@@ -3912,10 +3912,11 @@ class TestHrefAnchorFuzz:
 
         out = []
         for t in _re.findall(r"(?is)<a\b[^>]*>.*?</a>", html):
-            m = _re.search(r'(?i)href\s*=\s*"([^"]*)"', t)
+            m = _re.search(r'(?i)(?:^|[^\w-])href\s*=\s*"([^"]*)"', t)
             href = m.group(1) if m and m.group(1) != "" else ""
             if href == "":
-                m2 = _re.search(r"(?i)href\s*=\s*'([^']*)'", t)
+                m2 = _re.search(
+                    r"(?i)(?:^|[^\w-])href\s*=\s*'([^']*)'", t)
                 href = m2.group(1) if m2 else ""
             inner_m = _re.search(r"(?is)>(.*)</a>$", t)
             inner = inner_m.group(1) if inner_m else ""
@@ -4361,3 +4362,15 @@ class TestAssociationRules:
         assert sup["a"] == 1.0
         with pytest.raises(ValueError, match="min_support"):
             association_rules(df, min_support=0)
+
+    def test_data_href_not_a_pair(self, spark):
+        from hades_spark.functions.urls import extract_anchor_pairs
+
+        df = spark.createDataFrame([(
+            '<a data-href="https://tracker.example/x">Read more</a>'
+            '<a href="https://real.com">ok</a>',)], ["html"])
+        out = [tuple(p) for p in
+               df.select(extract_anchor_pairs("html").alias("p"))
+                 .collect()[0]["p"]]
+        # the tracker attribute is NOT an href; its element yields ''
+        assert out == [("", "Read more"), ("https://real.com", "ok")]
