@@ -331,3 +331,53 @@ def rolling_zscore(
         F.round(mean_p, 9).alias("mean_prev"),
         F.round(std_p, 9).alias("std_prev"),
         F.round(z, 9).alias("zscore"))
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel matching — for each user, the deepest prefix of
+    ``steps`` completed IN ORDER (each step strictly after the previous
+    one's earliest valid occurrence; the standard product-analytics
+    semantics where revisiting step 1 later never helps).
+
+    Returns one row per user: ``user_col, depth, ts_1..ts_k`` (the
+    earliest valid timestamp per completed step, NULL beyond ``depth``).
+    Greedy-earliest is correct for existence: taking the earliest valid
+    occurrence of step i maximizes the time window for step i+1.
+
+    Plan: ONE conditional aggregation pass per step over the user's
+    events — k combinable ``min(when(...))`` aggregates inside a single
+    groupBy... except later steps depend on earlier mins, so the chain
+    compiles as k stacked single-groupBy passes over the per-user event
+    set (k is 3-5 in practice; each pass is one combinable agg, shuffle
+    keyed on the uniform user id — no window, no ordering exchange).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    e = events.select(F.col(user_col).alias("_u"),
+                      F.col(type_col).alias("_t"),
+                      F.col(ts_col).alias("_ts"))
+    cur = e.groupBy("_u").agg(
+        F.min(F.when(F.col("_t") == steps[0], F.col("_ts")))
+         .alias("ts_1"))
+    for i, step in enumerate(steps[1:], start=2):
+        joined = e.join(cur, "_u")
+        agg_cols = [F.first(f"ts_{j}").alias(f"ts_{j}")
+                    for j in range(1, i)]
+        cur = joined.groupBy("_u").agg(
+            *agg_cols,
+            F.min(F.when((F.col("_t") == step)
+                         & F.col(f"ts_{i-1}").isNotNull()
+                         & (F.col("_ts") > F.col(f"ts_{i-1}")),
+                         F.col("_ts"))).alias(f"ts_{i}"))
+    depth = sum([F.when(F.col(f"ts_{i}").isNotNull(), 1).otherwise(0)
+                 for i in range(1, len(steps) + 1)],
+                F.lit(0))
+    return cur.select(F.col("_u").alias(user_col),
+                      depth.alias("depth"),
+                      *[f"ts_{i}" for i in range(1, len(steps) + 1)])

@@ -5114,3 +5114,47 @@ def ar_event_association_rules_q(spark: SparkSession, sf: str) -> DataFrame:
                       F.round("support", 9).alias("support"),
                       F.round("confidence", 9).alias("confidence"),
                       F.round("lift", 9).alias("lift"))
+
+
+@register("ts_funnel_conversion", """
+WITH s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS ts_1
+  FROM events GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, s1.ts_1,
+         min(CASE WHEN e.event_type = 'click' AND s1.ts_1 IS NOT NULL
+                   AND e.ts > s1.ts_1 THEN e.ts END) AS ts_2
+  FROM events e JOIN s1 USING (user_id)
+  GROUP BY e.user_id, s1.ts_1),
+s3 AS (
+  SELECT e.user_id, s2.ts_1, s2.ts_2,
+         min(CASE WHEN e.event_type = 'purchase' AND s2.ts_2 IS NOT NULL
+                   AND e.ts > s2.ts_2 THEN e.ts END) AS ts_3
+  FROM events e JOIN s2 USING (user_id)
+  GROUP BY e.user_id, s2.ts_1, s2.ts_2)
+SELECT user_id,
+  (CASE WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN ts_2 IS NOT NULL THEN 1 ELSE 0 END
+   + CASE WHEN ts_3 IS NOT NULL THEN 1 ELSE 0 END) AS depth,
+  strftime(ts_1, '%Y-%m-%d %H:%M:%S') AS t1,
+  strftime(ts_2, '%Y-%m-%d %H:%M:%S') AS t2,
+  strftime(ts_3, '%Y-%m-%d %H:%M:%S') AS t3
+FROM s3
+""")
+def ts_funnel_conversion_q(spark: SparkSession, sf: str) -> DataFrame:
+    # ordered view -> click -> purchase funnel per user (greedy-earliest
+    # valid occurrence per step — provably optimal for existence).
+    # DuckDB re-derives the stacked conditional-min chain independently;
+    # timestamps stringified second-resolution on both sides (the
+    # events fixture has sub-second precision — format alignment, not
+    # precision loss, is what the strftime provides).
+    from .operators.temporal import funnel_conversion
+
+    ev = load_table(spark, sf, "events")
+    out = funnel_conversion(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id", "depth",
+        F.date_format("ts_1", "yyyy-MM-dd HH:mm:ss").alias("t1"),
+        F.date_format("ts_2", "yyyy-MM-dd HH:mm:ss").alias("t2"),
+        F.date_format("ts_3", "yyyy-MM-dd HH:mm:ss").alias("t3"))

@@ -4374,3 +4374,34 @@ class TestAssociationRules:
                  .collect()[0]["p"]]
         # the tracker attribute is NOT an href; its element yields ''
         assert out == [("", "Read more"), ("https://real.com", "ok")]
+
+
+class TestFunnelConversion:
+    def test_ordered_matching(self, spark):
+        import datetime as dt
+
+        from hades_spark.operators.temporal import funnel_conversion
+
+        T = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, "view", T(0)), (1, "click", T(5)), (1, "buy", T(9)),
+            (2, "click", T(0)), (2, "view", T(5)), (2, "buy", T(9)),
+            (3, "view", T(0)), (3, "buy", T(2)), (3, "click", T(4)),
+            (4, "buy", T(0)),
+            (5, "view", T(0)), (5, "view", T(1)), (5, "click", T(2)),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp")
+        out = {r["user_id"]: r for r in
+               funnel_conversion(df, ["view", "click", "buy"]).collect()}
+        assert [out[u]["depth"] for u in (1, 2, 3, 4, 5)] == \
+            [3, 1, 2, 0, 2]
+        # user 2: click BEFORE the earliest view never counts
+        assert out[2]["ts_2"] is None
+        # greedy-earliest: user 5's ts_1 is the FIRST view
+        assert out[5]["ts_1"] == T(0)
+        # every user emitted exactly once
+        assert len(out) == 5
+        import pytest as _pt
+        with _pt.raises(ValueError, match="non-empty"):
+            funnel_conversion(df, [])
