@@ -125,3 +125,48 @@ def bm25_topk(
           .orderBy(F.desc("score"), F.asc(id_col))
           .limit(k)
     )
+
+
+def build_posting_lists(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 10_000,
+) -> DataFrame:
+    """Materialized inverted index — one row per term: ``term, df,
+    postings`` where ``postings`` is the (doc_id, tf) list sorted by
+    tf desc then doc_id asc, truncated to ``max_postings`` (impact-
+    ordered posting lists: the truncation keeps the highest-tf docs, the
+    WAND/impact-sorted layout retrieval actually scans). ``df`` is the
+    UNTRUNCATED document frequency, so idf stays exact even for capped
+    stopword rows.
+
+    Plan: tokenize/explode narrow, one combinable (term, doc) tf
+    groupBy, one (term) groupBy whose ``slice(array_sort(...))`` bounds
+    the per-term state at max_postings + the pre-slice collect of that
+    term's docs — the cap is why a stopword's row stays materializable;
+    for full-fidelity stopword postings shard the term upstream.
+    """
+    if max_postings < 1:
+        raise ValueError(f"max_postings must be >= 1, got {max_postings}")
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    r"[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+    tf = toks.groupBy("term", "_d").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct((-F.col("tf")).alias("ntf"),
+                                 F.col("_d").alias("d")))),
+                    lambda s: F.struct(
+                        s["d"].alias("doc_id"),
+                        (-s["ntf"]).alias("tf"))),
+                1, max_postings).alias("postings"))
+    )

@@ -5158,3 +5158,33 @@ def ts_funnel_conversion_q(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("ts_1", "yyyy-MM-dd HH:mm:ss").alias("t1"),
         F.date_format("ts_2", "yyyy-MM-dd HH:mm:ss").alias("t2"),
         F.date_format("ts_3", "yyyy-MM-dd HH:mm:ss").alias("t3"))
+
+
+@register("ix_posting_lists", """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+         '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS df,
+       (list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+             ORDER BY tf DESC, doc_id ASC))[1:25] AS postings
+FROM tf GROUP BY term
+""")
+def ix_posting_lists_q(spark: SparkSession, sf: str) -> DataFrame:
+    # impact-ordered inverted index over documents (tf desc, doc asc,
+    # capped at 25 postings/term; df stays untruncated). DuckDB
+    # re-derives tokenization, tf, the impact ordering, and the
+    # truncation boundary — every posting of every term under the value
+    # hash.
+    from .operators.tfidf import build_posting_lists
+
+    out = build_posting_lists(load_table(spark, sf, "documents"),
+                              max_postings=25)
+    # structs render differently across engines (Row-tuple vs dict);
+    # the hashable projection is doc:tf strings — same data, one form
+    return out.select(
+        "term", "df",
+        F.transform("postings", lambda p: F.concat(
+            p["doc_id"].cast("string"), F.lit(":"),
+            p["tf"].cast("string"))).alias("postings"))

@@ -4405,3 +4405,26 @@ class TestFunnelConversion:
         import pytest as _pt
         with _pt.raises(ValueError, match="non-empty"):
             funnel_conversion(df, [])
+
+
+class TestPostingLists:
+    def test_impact_order_and_caps(self, spark):
+        from hades_spark.operators.tfidf import build_posting_lists
+
+        df = spark.createDataFrame(
+            [(1, "spark spark hash"), (2, "hash join spark"),
+             (3, "window only"), (4, None)],
+            "doc_id long, text string")
+        out = {r["term"]: r for r in
+               build_posting_lists(df, max_postings=2).collect()}
+        sp = [(p["doc_id"], p["tf"]) for p in out["spark"]["postings"]]
+        assert sp == [(1, 2), (2, 1)]      # tf desc, doc asc
+        assert out["spark"]["df"] == 2
+        # cap truncates postings but NOT df
+        wide = spark.createDataFrame(
+            [(i, "common") for i in range(9)], "doc_id long, text string")
+        w = build_posting_lists(wide, max_postings=3).collect()[0]
+        assert w["df"] == 9 and len(w["postings"]) == 3
+        assert [p["doc_id"] for p in w["postings"]] == [0, 1, 2]
+        with pytest.raises(ValueError, match="max_postings"):
+            build_posting_lists(df, max_postings=0)
