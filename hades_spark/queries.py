@@ -5188,3 +5188,25 @@ def ix_posting_lists_q(spark: SparkSession, sf: str) -> DataFrame:
         F.transform("postings", lambda p: F.concat(
             p["doc_id"].cast("string"), F.lit(":"),
             p["tf"].cast("string"))).alias("postings"))
+
+
+@register("i6_windowed_distinct_users", """
+SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""")
+def i6_windowed_distinct_users_q(spark: SparkSession, sf: str) -> DataFrame:
+    # tumbling-window distinct users (exact batch twin of the streaming
+    # HLL++ expression — same groupBy, swappable aggregate). The oracle
+    # re-derives the epoch-aligned 10-minute window boundary and the
+    # distinct count.
+    from .streaming.incremental import windowed_distinct_users
+
+    ev = load_table(spark, sf, "events")
+    out = windowed_distinct_users(ev, exact=True)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "event_type", "n_users")

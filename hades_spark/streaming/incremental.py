@@ -115,3 +115,29 @@ def windowed_event_counts(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), key_col, "cnt")
     )
+
+
+def windowed_distinct_users(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    key_col: str = "event_type",
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = False,
+    exact: bool = False,
+) -> DataFrame:
+    """Tumbling-window DISTINCT-user counts — the cardinality twin of
+    ``windowed_event_counts``. Default is ``approx_count_distinct``
+    (HLL++), which is the only distinct aggregate Structured Streaming
+    can run incrementally (exact count_distinct needs the full value set
+    per open window — unbounded state); ``exact=True`` is the batch-mode
+    verification twin. One expression serves both engines/modes."""
+    agg = (F.count_distinct(F.col(user_col)) if exact
+           else F.approx_count_distinct(F.col(user_col)))
+    src = events.withWatermark(ts_col, watermark) if streaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_dur).alias("w"), F.col(key_col))
+        .agg(agg.alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_users")
+    )

@@ -598,3 +598,41 @@ class TestAdviceR3Regressions:
         # NULL key REPLACES the old NULL-key row (eqNullSafe), same as the
         # partition-scoped path — not appended beside it
         assert got == {(None, 10), ("k2", 2)}
+
+
+class TestWindowedDistinct:
+    def test_batch_exact_vs_approx(self, spark):
+        from hades_spark.streaming.incremental import windowed_distinct_users
+
+        rows = [(u, "a", f"2025-01-01 00:0{m}:00")
+                for u in range(40) for m in (1, 2)] + \
+               [(7, "b", "2025-01-01 00:15:00")]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_s string") \
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        exact = {(r["window_start"].minute, r["event_type"]): r["n_users"]
+                 for r in windowed_distinct_users(df, exact=True).collect()}
+        assert exact == {(0, "a"): 40, (10, "b"): 1}
+        approx = {(r["window_start"].minute, r["event_type"]): r["n_users"]
+                  for r in windowed_distinct_users(df).collect()}
+        # HLL++ default rsd 5%: tiny sets are exact in practice
+        assert abs(approx[(0, "a")] - 40) <= 2
+        assert approx[(10, "b")] == 1
+
+    def test_streaming_plan_builds(self, spark, tmp):
+        from hades_spark.streaming.incremental import windowed_distinct_users
+
+        src = spark.readStream.format("rate") \
+            .option("rowsPerSecond", "10").load() \
+            .select(F.col("timestamp").alias("ts"),
+                    (F.col("value") % 5).alias("user_id"),
+                    (F.col("value") % 2).cast("string").alias("event_type"))
+        q = (
+            windowed_distinct_users(src, streaming=True)
+            .writeStream.format("memory").queryName("wdu")
+            .outputMode("append").trigger(once=True)
+            .option("checkpointLocation", f"{tmp}/wdu_ckpt").start()
+        )
+        q.awaitTermination(60)
+        assert spark.table("wdu").columns == \
+            ["window_start", "event_type", "n_users"]
