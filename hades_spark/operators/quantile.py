@@ -231,3 +231,33 @@ def adaptive_quality_gate(
                   & (F.col("_thr").isNull() | (s >= F.col("_thr"))))
           .drop("_thr")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    n_bins: int = 256,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip a column to its [p_lo, p_hi] interpolated-histogram
+    quantiles — outlier winsorization for training signals (loss
+    weights, quality scores) where a handful of extreme rows would
+    otherwise dominate. Thresholds come from ``approx_quantiles`` (two
+    scans, no sort); the clip itself is a broadcast of the 2-row
+    threshold frame + a pure-column ``least/greatest`` — NULL/NaN rows
+    pass through unclipped (they carry no magnitude to clip)."""
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
+    out_col = out_col or f"{value_col}_w"
+    qs = approx_quantiles(df, value_col, [p_lo, p_hi], n_bins=n_bins)
+    thr = qs.groupBy().pivot("q", [p_lo, p_hi]).agg(F.first("value")) \
+            .select(F.col(f"`{p_lo}`").alias("_lo"),
+                    F.col(f"`{p_hi}`").alias("_hi"))
+    v = F.col(value_col)
+    clipped = F.when(v.isNull() | F.isnan(v.cast("double")), v) \
+               .otherwise(F.least(F.greatest(v, F.col("_lo")),
+                                  F.col("_hi")))
+    return df.crossJoin(F.broadcast(thr)).withColumn(out_col, clipped) \
+             .drop("_lo", "_hi")

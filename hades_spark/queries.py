@@ -5210,3 +5210,86 @@ def i6_windowed_distinct_users_q(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
          .alias("window_start"),
         "event_type", "n_users")
+
+
+@register("ts_retention_cohorts", """
+WITH first_seen AS (
+  SELECT user_id,
+         to_timestamp(floor(epoch(min(ts)) / 86400) * 86400) AS cohort
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         CAST(floor((epoch(to_timestamp(
+                floor(epoch(e.ts) / 86400) * 86400))
+              - epoch(f.cohort)) / 86400) AS INT) AS day_offset
+  FROM events e JOIN first_seen f USING (user_id))
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+       count(*) AS n_users
+FROM act GROUP BY 1, 2
+""")
+def ts_retention_cohorts_q(spark: SparkSession, sf: str) -> DataFrame:
+    # retention cohorts: users keyed by first-seen UTC day, counted once
+    # per (cohort, day-offset) they were active — the classic retention
+    # triangle. Two combinable aggregations + one equi-join on the
+    # uniform user key; day bucketing is epoch arithmetic on both
+    # engines (no timezone/calendar dependence).
+    ev = load_table(spark, sf, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+    first = ev.groupBy("user_id").agg(
+        F.min(day).alias("_cohort_s"))
+    act = (ev.join(first, "user_id")
+           .select("user_id", "_cohort_s",
+                   (((day - F.col("_cohort_s")) / 86400)
+                    .cast("int")).alias("day_offset"))
+           .distinct())
+    return (act.groupBy(
+        F.date_format(F.to_timestamp(F.col("_cohort_s")),
+                      "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset")
+        .agg(F.count("*").alias("n_users")))
+
+
+@register("sk_winsorize", """
+WITH v AS (SELECT event_id, CAST(value AS DOUBLE) x FROM events
+           WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
+f AS (SELECT min(x) lo, (max(x) - min(x)) / 256 AS width FROM v),
+h AS (SELECT CAST(least(greatest(
+        CASE WHEN width > 0 THEN floor((x - lo) / width) ELSE 0 END,
+        0), 255) AS INT) AS bin, count(*) AS cnt
+      FROM v, f GROUP BY 1),
+c AS (SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum,
+             sum(cnt) OVER (ORDER BY bin) - cnt AS prev,
+             (SELECT CAST(sum(cnt) AS DOUBLE) FROM h) AS n
+      FROM h),
+qs AS (SELECT CAST(unnest([0.02, 0.98]) AS DOUBLE) AS q),
+hit AS (SELECT q, bin, cnt, prev, n FROM c JOIN qs
+        ON c.cum >= greatest(q * n, 1e-12)
+       AND c.prev < greatest(q * n, 1e-12)),
+thr AS (SELECT
+  max(CASE WHEN q = 0.02 THEN lo + (bin + CASE WHEN cnt > 0
+        THEN (greatest(q * n, 1e-12) - prev) / cnt ELSE 0 END) * width
+      END) AS t_lo,
+  max(CASE WHEN q = 0.98 THEN lo + (bin + CASE WHEN cnt > 0
+        THEN (greatest(q * n, 1e-12) - prev) / cnt ELSE 0 END) * width
+      END) AS t_hi
+  FROM hit, f)
+SELECT e.event_id,
+       round(CASE WHEN e.value IS NULL
+                    OR isnan(CAST(e.value AS DOUBLE)) THEN e.value
+             ELSE least(greatest(CAST(e.value AS DOUBLE), thr.t_lo),
+                        thr.t_hi) END, 9) AS value_w
+FROM events e, thr
+""")
+def sk_winsorize_q(spark: SparkSession, sf: str) -> DataFrame:
+    # winsorization of event values to the [2%, 98%] interpolated-
+    # histogram quantiles — outlier clipping for training signals.
+    # DuckDB re-derives the full threshold chain (frame, bins,
+    # cumulative locate, interpolation — the sk_hist_quantiles oracle)
+    # AND the clip; every row's clipped value is under the hash.
+    from .operators.quantile import winsorize
+
+    ev = load_table(spark, sf, "events")
+    out = winsorize(ev, "value", 0.02, 0.98, n_bins=256,
+                    out_col="value_w")
+    return out.select("event_id", F.round("value_w", 9).alias("value_w"))

@@ -4428,3 +4428,29 @@ class TestPostingLists:
         assert [p["doc_id"] for p in w["postings"]] == [0, 1, 2]
         with pytest.raises(ValueError, match="max_postings"):
             build_posting_lists(df, max_postings=0)
+
+
+class TestWinsorize:
+    def test_clip_and_passthrough(self, spark):
+        from hades_spark.operators.quantile import winsorize
+
+        df = spark.range(1000).select(
+            (F.col("id") / 10.0).alias("v"))
+        out = winsorize(df, "v", 0.05, 0.95, n_bins=1000)
+        r = out.agg(F.min("v_w").alias("lo"), F.max("v_w").alias("hi"),
+                    F.count("*").alias("n")).collect()[0]
+        assert r["n"] == 1000                   # no rows lost
+        assert 4.5 <= r["lo"] <= 5.5            # ~5th percentile
+        assert 94.0 <= r["hi"] <= 95.5          # ~95th percentile
+        # interior values untouched
+        mid = out.where((F.col("v") > 10) & (F.col("v") < 90)) \
+                 .where(F.col("v") != F.col("v_w")).count()
+        assert mid == 0
+        # NULL passes through
+        dn = spark.createDataFrame([(None,), (1.0,), (2.0,), (3.0,)],
+                                   "v double")
+        rows = {r["v"]: r["v_w"]
+                for r in winsorize(dn, "v", 0.01, 0.99).collect()}
+        assert rows[None] is None
+        with pytest.raises(ValueError, match="p_lo"):
+            winsorize(df, "v", 0.9, 0.1)
