@@ -5293,3 +5293,37 @@ def sk_winsorize_q(spark: SparkSession, sf: str) -> DataFrame:
     out = winsorize(ev, "value", 0.02, 0.98, n_bins=256,
                     out_col="value_w")
     return out.select("event_id", F.round("value_w", 9).alias("value_w"))
+
+
+ORACLE_SQL["text_langid_confusion"] = f"""
+WITH pred AS ({_lang_sql()}),
+j AS (SELECT d.lang AS lang_true, p.lang_pred
+      FROM documents d JOIN pred p USING (doc_id))
+SELECT lang_true, lang_pred, count(*) AS n,
+  round(CAST(count(*) AS DOUBLE) / sum(count(*))
+        OVER (PARTITION BY lang_true), 9) AS frac_of_true
+FROM j GROUP BY 1, 2
+"""
+
+
+@register("text_langid_confusion", None)  # SQL attached above (computed)
+def text_langid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
+    # language-ID evaluation: confusion matrix of the n-gram-marker
+    # classifier against the corpus's labeled lang column, with each
+    # cell's share of its true-language row — the accuracy audit any
+    # deployed classifier needs. Composes the full lang-scoring oracle
+    # as a subquery; the confusion rollup and row-normalization are
+    # re-derived independently.
+    from pyspark.sql import Window as W
+
+    from .functions.text_analysis import lang_id_col
+
+    d = load_table(spark, sf, "documents")
+    j = d.select(F.col("lang").alias("lang_true"),
+                 lang_id_col(F.col("text")).alias("lang_pred"))
+    cells = j.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n"))
+    tot = F.sum("n").over(W.partitionBy("lang_true"))
+    return cells.select(
+        "lang_true", "lang_pred", "n",
+        F.round(F.col("n").cast("double") / tot, 9).alias("frac_of_true"))
