@@ -5327,3 +5327,53 @@ def text_langid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
     return cells.select(
         "lang_true", "lang_pred", "n",
         F.round(F.col("n").cast("double") / tot, 9).alias("frac_of_true"))
+
+
+@register("text_zipf_slope", """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS w
+  FROM documents),
+freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM freq),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts)
+SELECT CAST(n AS BIGINT) AS n_types,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+    AS intercept
+FROM m
+""")
+def text_zipf_slope_q(spark: SparkSession, sf: str) -> DataFrame:
+    # Zipf rank-frequency diagnostic: OLS slope of ln(freq) on ln(rank)
+    # over the whole token distribution — natural text sits near -1;
+    # template/spam corpora flatten toward 0 and synthetic-uniform text
+    # collapses. One combinable token count, one (bounded: vocabulary-
+    # sized) rank window, closed-form OLS in pure aggregates. DuckDB
+    # re-derives ranks, the log points, and the normal equations.
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t != "")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = freq.select(
+        "c", F.row_number().over(
+            W.orderBy(F.col("c").desc(), F.col("w").asc())).alias("r"))
+    pts = ranked.select(F.log(F.col("r").cast("double")).alias("x"),
+                        F.log(F.col("c").cast("double")).alias("y"))
+    m = pts.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("x"))
+                .alias("sxx"), F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return m.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9)
+         .alias("intercept"))
