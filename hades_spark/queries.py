@@ -5377,3 +5377,69 @@ def text_zipf_slope_q(spark: SparkSession, sf: str) -> DataFrame:
         F.round(slope, 9).alias("zipf_slope"),
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 9)
          .alias("intercept"))
+
+
+@register("ts_burstiness", """
+WITH b AS (
+  SELECT event_type, floor(epoch(ts) / 3600) AS hour, count(*) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_hours,
+  round(avg(cnt), 9) AS mean_cnt,
+  round(var_samp(cnt), 9) AS var_cnt,
+  round(var_samp(cnt) / avg(cnt), 9) AS fano
+FROM b GROUP BY event_type
+""")
+def ts_burstiness_q(spark: SparkSession, sf: str) -> DataFrame:
+    # burstiness (Fano factor) of hourly event rates per type: ~1 is
+    # Poisson, >>1 is bursty (crawler storms, incident spikes), <1 is
+    # over-regular (synthetic traffic). One combinable bucket count +
+    # one per-type rollup.
+    ev = load_table(spark, sf, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).alias("hour")
+    ).agg(F.count("*").alias("cnt"))
+    return b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(F.avg("cnt"), 9).alias("mean_cnt"),
+        F.round(F.var_samp("cnt"), 9).alias("var_cnt"),
+        F.round(F.var_samp("cnt") / F.avg("cnt"), 9).alias("fano"))
+
+
+@register("ts_interarrival_stats", """
+WITH o AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS prev
+  FROM events),
+g AS (SELECT event_type, epoch(ts) - epoch(prev) AS gap
+      FROM o WHERE prev IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+  round(avg(gap), 6) AS mean_gap_s,
+  round(quantile_cont(gap, 0.5), 6) AS median_gap_s,
+  round(max(gap), 6) AS max_gap_s
+FROM g GROUP BY event_type
+""")
+def ts_interarrival_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    # inter-arrival gap statistics per event type (mean / exact
+    # interpolated median / max seconds). The lag window partitions by
+    # event type over its own ordered series; Spark's exact
+    # `percentile` and DuckDB's `quantile_cont` share the interpolated
+    # definition — the 6-dp round pins them together.
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    epoch = lambda c: (F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+                       / F.lit(1_000_000.0))
+    o = ev.select(
+        "event_type", "ts", "event_id",
+        F.lag("ts").over(W.partitionBy("event_type")
+                         .orderBy("ts", "event_id")).alias("prev"))
+    g = o.where(F.col("prev").isNotNull()).select(
+        "event_type", (epoch("ts") - epoch("prev")).alias("gap"))
+    return g.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("mean_gap_s"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_gap_s"),
+        F.round(F.max("gap"), 6).alias("max_gap_s"))
