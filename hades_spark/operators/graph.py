@@ -437,3 +437,48 @@ def triangle_count(
         o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
         ["v1", "v2"], "left_semi")
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling (the bounded-hop Bellman-Ford convention):
+    ``rounds`` synchronous iterations of "drop every node whose degree
+    in the SURVIVING subgraph is < k". After enough rounds this is the
+    exact k-core; with bounded rounds it is a superset that shrinks
+    monotonically (long degree-1 chains peel one link per round —
+    callers size ``rounds`` to the diameter they care about, and the
+    fixed bound is what makes the computation independently
+    re-derivable round by round).
+
+    Returns ``(node, degree)`` for surviving nodes with their final
+    in-subgraph degree. Each round is one combinable degree count + one
+    semi-join — no window; the edge table re-filters by the surviving
+    node set per round (frontier semantics, lineage truncated every 4
+    rounds).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b")).distinct())
+    cur = und
+    for r in range(rounds):
+        deg = (cur.select(F.col("a").alias("n"))
+               .unionByName(cur.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("d")))
+        keep = deg.where(F.col("d") >= k).select("n")
+        cur = (cur.join(keep.select(F.col("n").alias("a")), "a", "semi")
+                  .join(keep.select(F.col("n").alias("b")), "b", "semi"))
+        if (r + 1) % 4 == 0:
+            cur = cur.localCheckpoint()
+    deg = (cur.select(F.col("a").alias("node"))
+           .unionByName(cur.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    return deg.where(F.col("degree") >= k)

@@ -5443,3 +5443,51 @@ def ts_interarrival_stats_q(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("gap"), 6).alias("mean_gap_s"),
         F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_gap_s"),
         F.round(F.max("gap"), 6).alias("max_gap_s"))
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    head = """
+WITH e0 AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM (
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+  WHERE src <> dst GROUP BY 1, 2)"""
+    parts = [head]
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (SELECT n, count(*) AS d FROM (
+  SELECT a AS n FROM e{r} UNION ALL SELECT b FROM e{r}) GROUP BY n),
+k{r} AS (SELECT n FROM d{r} WHERE d >= {k}),
+e{r + 1} AS (
+  SELECT e{r}.a, e{r}.b FROM e{r}
+  JOIN k{r} ka ON ka.n = e{r}.a
+  JOIN k{r} kb ON kb.n = e{r}.b)""")
+    parts.append(f"""
+SELECT node, CAST(degree AS BIGINT) AS degree FROM (
+  SELECT n AS node, count(*) AS degree FROM (
+    SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY n) WHERE degree >= {k}""")
+    return "".join(parts)
+
+
+@register("g7_kcore_membership", _kcore_oracle(3, 4))
+def g7_kcore_membership_q(spark: SparkSession, sf: str) -> DataFrame:
+    # bounded 3-core peeling (4 synchronous rounds) of the symmetrized
+    # customer<->supplier purchase graph — the degeneracy analytic the
+    # graph set lacked (pagerank/LPA/triangles/CC/paths present). The
+    # oracle UNROLLS every peel round (degree count, threshold, edge
+    # re-filter) as generated CTEs — same device as the LPA/pagerank
+    # oracles — so each round's surviving subgraph is under the hash.
+    from .operators.graph import kcore_peel
+
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select(
+             F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+              .alias("src"),
+             F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+              .alias("dst"))
+         .distinct())
+    return kcore_peel(e, k=3, rounds=4)
