@@ -4454,3 +4454,27 @@ class TestWinsorize:
         assert rows[None] is None
         with pytest.raises(ValueError, match="p_lo"):
             winsorize(df, "v", 0.9, 0.1)
+
+
+class TestKcorePeel:
+    def test_triangle_survives_tail_dissolves(self, spark):
+        from hades_spark.operators.graph import kcore_peel
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+            "src string, dst string")
+        out = {r["node"]: r["degree"]
+               for r in kcore_peel(e, k=2, rounds=4).collect()}
+        assert out == {"a": 2, "b": 2, "c": 2}
+        # bounded rounds: a long chain peels one link per round
+        chain = spark.createDataFrame(
+            [(f"n{i}", f"n{i+1}") for i in range(10)],
+            "src string, dst string")
+        # each round peels one link off each end, and the final
+        # degree>=k report filters the new boundary too: 11 nodes ->
+        # 7 after one round, 5 after two, empty at the exact core
+        assert kcore_peel(chain, k=2, rounds=1).count() == 7
+        assert kcore_peel(chain, k=2, rounds=2).count() == 5
+        assert kcore_peel(chain, k=2, rounds=10).count() == 0
+        with pytest.raises(ValueError, match="rounds"):
+            kcore_peel(e, k=2, rounds=0)
