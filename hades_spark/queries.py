@@ -5491,3 +5491,63 @@ def g7_kcore_membership_q(spark: SparkSession, sf: str) -> DataFrame:
               .alias("dst"))
          .distinct())
     return kcore_peel(e, k=3, rounds=4)
+
+
+@register("text_unigram_kl", """
+WITH tok AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '')) AS w
+  FROM documents),
+c AS (SELECT grp, w, count(*) AS c FROM tok GROUP BY 1, 2),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM c),
+t AS (SELECT grp, CAST(sum(c) AS DOUBLE) AS tot FROM c GROUP BY grp),
+joined AS (
+  SELECT vv.w,
+         coalesce(p.c, 0) AS cp, coalesce(q.c, 0) AS cq
+  FROM (SELECT DISTINCT w FROM c) vv
+  LEFT JOIN (SELECT w, c FROM c WHERE grp = 'en') p USING (w)
+  LEFT JOIN (SELECT w, c FROM c WHERE grp = 'other') q USING (w)),
+probs AS (
+  SELECT (cp + 0.5) / (tp.tot + 0.5 * v.vsz) AS pp,
+         (cq + 0.5) / (tq.tot + 0.5 * v.vsz) AS pq
+  FROM joined,
+       (SELECT tot FROM t WHERE grp = 'en') tp,
+       (SELECT tot FROM t WHERE grp = 'other') tq, v)
+SELECT round(sum(pp * ln(pp / pq)), 9) AS kl_en_vs_other,
+       round(sum(pq * ln(pq / pp)), 9) AS kl_other_vs_en,
+       (SELECT CAST(vsz AS BIGINT) FROM v) AS vocab
+FROM probs
+""")
+def text_unigram_kl_q(spark: SparkSession, sf: str) -> DataFrame:
+    # corpus-drift diagnostic: add-0.5-smoothed unigram KL divergence
+    # between the 'en' slice and the rest (both directions — KL is
+    # asymmetric). One token count, shared-vocabulary outer join,
+    # closed-form smoothed probabilities; DuckDB re-derives counts,
+    # smoothing, and both sums.
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        F.when(F.col("lang") == "en", F.lit("en"))
+         .otherwise(F.lit("other")).alias("grp"),
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                           lambda t: t != "")).alias("w"))
+    c = tok.groupBy("grp", "w").agg(F.count("*").alias("c"))
+    vsz = c.select("w").distinct().count()
+    tots = {r["grp"]: float(r["tot"]) for r in
+            c.groupBy("grp").agg(F.sum("c").alias("tot")).collect()}
+    p = c.where(F.col("grp") == "en").select("w", F.col("c").alias("cp"))
+    q = c.where(F.col("grp") == "other").select("w",
+                                                F.col("c").alias("cq"))
+    j = (c.select("w").distinct()
+         .join(p, "w", "left").join(q, "w", "left")
+         .select(
+             ((F.coalesce("cp", F.lit(0)) + 0.5)
+              / F.lit(tots["en"] + 0.5 * vsz)).alias("pp"),
+             ((F.coalesce("cq", F.lit(0)) + 0.5)
+              / F.lit(tots["other"] + 0.5 * vsz)).alias("pq")))
+    return j.agg(
+        F.round(F.sum(F.col("pp") * F.log(F.col("pp") / F.col("pq"))), 9)
+         .alias("kl_en_vs_other"),
+        F.round(F.sum(F.col("pq") * F.log(F.col("pq") / F.col("pp"))), 9)
+         .alias("kl_other_vs_en"),
+        F.lit(vsz).cast("long").alias("vocab"))
