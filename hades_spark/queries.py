@@ -5551,3 +5551,59 @@ def text_unigram_kl_q(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.col("pq") * F.log(F.col("pq") / F.col("pp"))), 9)
          .alias("kl_other_vs_en"),
         F.lit(vsz).cast("long").alias("vocab"))
+
+
+@register("emb_label_coherence", """
+WITH c AS (
+  SELECT label, CAST(i AS INT) AS dim,
+         avg(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)) AS m
+  FROM embeddings, range(64) r(i) GROUP BY 1, 2),
+dots AS (
+  SELECT e.vec_id, e.label,
+    sum(CAST(e.embedding[c.dim + 1] AS DOUBLE) * c.m) AS dot,
+    sqrt(sum(CAST(e.embedding[c.dim + 1] AS DOUBLE)
+             * CAST(e.embedding[c.dim + 1] AS DOUBLE))) AS nv,
+    sqrt(sum(c.m * c.m)) AS nc
+  FROM embeddings e JOIN c ON c.label = e.label
+  GROUP BY e.vec_id, e.label)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+  round(avg(dot / (nv * nc)), 9) AS mean_cos_to_centroid,
+  round(min(dot / (nv * nc)), 9) AS min_cos_to_centroid
+FROM dots WHERE nv > 0 AND nc > 0 GROUP BY label
+""")
+def emb_label_coherence_q(spark: SparkSession, sf: str) -> DataFrame:
+    # embedding-space label coherence: per-label centroid, then each
+    # member's cosine to it — the cluster-quality audit for labeled
+    # embedding tables (low coherence = mislabeled or heterogeneous
+    # class). Centroid via posexplode + combinable mean; member cosines
+    # as one zip_with dot against the broadcast per-label centroid
+    # array. DuckDB re-derives centroids and every cosine.
+    emb = load_table(spark, sf, "embeddings")
+    comp = (emb.select("label", F.posexplode("embedding")
+                       .alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m")))
+    cent = (comp.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("dim"), F.col("m")))),
+                lambda s: s["m"]).alias("cvec")))
+    j = emb.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("embedding", "cvec",
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(
+        F.transform("embedding",
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nc = F.sqrt(F.aggregate(
+        F.transform("cvec", lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = j.select("label",
+                      (dot / (nv * nc)).alias("cos")) \
+              .where(nv > 0).where(nc > 0)
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("cos"), 9).alias("mean_cos_to_centroid"),
+        F.round(F.min("cos"), 9).alias("min_cos_to_centroid"))
