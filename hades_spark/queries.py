@@ -5607,3 +5607,35 @@ def emb_label_coherence_q(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.round(F.avg("cos"), 9).alias("mean_cos_to_centroid"),
         F.round(F.min("cos"), 9).alias("min_cos_to_centroid"))
+
+
+_KGSTATS_STAGE = f"{STAGE_ROOT}/hades_kgstats_stage"
+
+_KGSTATS_ORACLE = f"""
+WITH e AS ({_kg_sql(_KGSTATS_STAGE)})
+SELECT pred, CAST(count(*) AS BIGINT) AS n_edges,
+  CAST(sum(support) AS BIGINT) AS total_support,
+  round(avg(confidence), 9) AS mean_conf,
+  CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+  min(subj) AS sample_subj
+FROM e GROUP BY pred
+"""
+
+
+@register("kg_pred_stats", _KGSTATS_ORACLE)
+def kg_pred_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    # per-predicate KG rollup (edge counts, support mass, confidence,
+    # subject cardinality) over the staged pipeline — the per-partition
+    # stats an edge table partitioned by pred publishes. The oracle
+    # composes the full staged-tail derivation and re-derives the
+    # rollup.
+    from .pipeline.kg import run_kg_pipeline_staged
+
+    e = run_kg_pipeline_staged(spark, n_pages=150, seed=42,
+                               stage_dir=_KGSTATS_STAGE)
+    return e.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("support").cast("long").alias("total_support"),
+        F.round(F.avg("confidence"), 9).alias("mean_conf"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.min("subj").alias("sample_subj"))
