@@ -409,12 +409,8 @@ def triangle_count(
     Three shuffles total: degree groupBy, wedge self-join on the apex,
     closing-edge semi-join on the (v, w) pair.
     """
-    raw = edges.select(F.col(src).alias("_x"), F.col(dst).alias("_y")) \
-               .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()
-                       & (F.col("_x") != F.col("_y")))
-    und = raw.select(F.least("_x", "_y").alias("_a"),
-                     F.greatest("_x", "_y").alias("_b")) \
-             .dropDuplicates(["_a", "_b"])
+    und = undirected_edges(edges, src, dst).select(
+        F.col("a").alias("_a"), F.col("b").alias("_b"))
     deg = (
         und.select(F.col("_a").alias("node"))
            .unionByName(und.select(F.col("_b").alias("node")))
@@ -437,6 +433,21 @@ def triangle_count(
         o.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
         ["v1", "v2"], "left_semi")
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def undirected_edges(edges: DataFrame, src_col: str = "src",
+                     dst_col: str = "dst") -> DataFrame:
+    """Canonical undirected simple-edge set: NULL endpoints and self
+    loops dropped, (least, greatest) ordering, duplicates collapsed —
+    THE single copy of the normalization triangle_count and kcore_peel
+    both need (drift between hand-rolled copies was a review finding).
+    """
+    return (edges.select(F.col(src_col).alias("a"),
+                         F.col(dst_col).alias("b"))
+            .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"),
+                    F.greatest("a", "b").alias("b")).distinct())
 
 
 def kcore_peel(
@@ -463,12 +474,7 @@ def kcore_peel(
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")
-    und = (edges.select(F.col(src_col).alias("a"),
-                        F.col(dst_col).alias("b"))
-           .where(F.col("a") != F.col("b"))
-           .select(F.least("a", "b").alias("a"),
-                   F.greatest("a", "b").alias("b")).distinct())
-    cur = und
+    cur = undirected_edges(edges, src_col, dst_col)
     for r in range(rounds):
         deg = (cur.select(F.col("a").alias("n"))
                .unionByName(cur.select(F.col("b").alias("n")))

@@ -252,9 +252,12 @@ def winsorize(
         raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
     out_col = out_col or f"{value_col}_w"
     qs = approx_quantiles(df, value_col, [p_lo, p_hi], n_bins=n_bins)
-    thr = qs.groupBy().pivot("q", [p_lo, p_hi]).agg(F.first("value")) \
-            .select(F.col(f"`{p_lo}`").alias("_lo"),
-                    F.col(f"`{p_hi}`").alias("_hi"))
+    # conditional aggregates, not pivot: pivot column names go through
+    # JVM Double.toString (p=0.0001 -> '1.0E-4') and can't be addressed
+    # back by the Python float repr
+    thr = qs.agg(
+        F.min(F.when(F.col("q") == p_lo, F.col("value"))).alias("_lo"),
+        F.max(F.when(F.col("q") == p_hi, F.col("value"))).alias("_hi"))
     v = F.col(value_col)
     clipped = F.when(v.isNull() | F.isnan(v.cast("double")), v) \
                .otherwise(F.least(F.greatest(v, F.col("_lo")),

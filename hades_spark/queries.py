@@ -5531,10 +5531,16 @@ def text_unigram_kl_q(spark: SparkSession, sf: str) -> DataFrame:
          .otherwise(F.lit("other")).alias("grp"),
         F.explode(F.filter(F.split(F.lower(F.col("text")), r"\s+"),
                            lambda t: t != "")).alias("w"))
-    c = tok.groupBy("grp", "w").agg(F.count("*").alias("c"))
+    c = tok.groupBy("grp", "w").agg(F.count("*").alias("c")).cache()
     vsz = c.select("w").distinct().count()
     tots = {r["grp"]: float(r["tot"]) for r in
             c.groupBy("grp").agg(F.sum("c").alias("tot")).collect()}
+    if "en" not in tots or "other" not in tots:
+        # an empty slice degrades to a NULL row, same as the oracle
+        # (whose probs CTE goes empty and sums to NULL)
+        return spark.createDataFrame(
+            [(None, None, vsz)],
+            "kl_en_vs_other double, kl_other_vs_en double, vocab long")
     p = c.where(F.col("grp") == "en").select("w", F.col("c").alias("cp"))
     q = c.where(F.col("grp") == "other").select("w",
                                                 F.col("c").alias("cq"))

@@ -133,6 +133,10 @@ def windowed_distinct_users(
     can run incrementally (exact count_distinct needs the full value set
     per open window — unbounded state); ``exact=True`` is the batch-mode
     verification twin. One expression serves both engines/modes."""
+    if exact and streaming:
+        raise ValueError("exact=True requires streaming=False: Spark "
+                         "rejects exact distinct aggregation over a "
+                         "stream (unbounded per-window state)")
     agg = (F.count_distinct(F.col(user_col)) if exact
            else F.approx_count_distinct(F.col(user_col)))
     src = events.withWatermark(ts_col, watermark) if streaming else events
