@@ -120,8 +120,7 @@ def canonical_map(
             head = norms.collect()
             spark = surfaces.sparkSession
             mapping = _local_canonical(head, threshold, max_bucket_size)
-            map_df = spark.createDataFrame(
-                list(mapping.items()), "norm string, canonical_id string")
+            map_df = _local_map_df(spark, mapping)
             return distinct.join(F.broadcast(map_df), "norm", "left") \
                 .select("surface", "norm",
                         F.coalesce("canonical_id", "norm").alias("canonical_id"))
@@ -203,11 +202,27 @@ def canonical_norm_map(
     if local_threshold > 0 and keyed.count() <= local_threshold:
         spark = norms.sparkSession
         mapping = _local_canonical(keyed.collect(), threshold, max_bucket_size)
-        return spark.createDataFrame(
-            list(mapping.items()), "norm string, canonical_id string")
+        return _local_map_df(spark, mapping)
 
     return _distributed_norm_components(
         keyed, threshold, num_hashes, bands, max_bucket_size, max_iter)
+
+
+def _local_map_df(spark, mapping: dict[str, str]) -> DataFrame:
+    """Driver mapping dict -> single-partition Arrow-backed DataFrame.
+
+    NOT ``createDataFrame(list_of_tuples)``: that route parallelizes the
+    rows as a pickled Python RDD over ``defaultParallelism`` partitions,
+    so every downstream scan — including each BroadcastExchange build in
+    ``apply_canonical_map`` (one per join key) — blocks on a python
+    worker per partition just to deserialize a handful of rows (measured
+    3.2s per broadcast build, twice, on the cold bench path). The pandas
+    route ships one Arrow batch to the JVM at creation; scans are then
+    pure JVM with no python boundary at all."""
+    from ..functions.localdf import arrow_local_df
+
+    return arrow_local_df(spark, list(mapping.items()),
+                          "norm string, canonical_id string")
 
 
 def _local_canonical(norm_rows, threshold: float,

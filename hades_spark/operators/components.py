@@ -241,5 +241,9 @@ def _local_components(spark, pair_rows, id_type: str = "string") -> DataFrame:
 
     nodes = set(parent)
     out = [(n, find(n)) for n in sorted(nodes)]
-    return spark.createDataFrame(
-        out, f"node {id_type}, component {id_type}")
+    # Arrow-backed local frame: downstream consumers join/broadcast this
+    # mapping repeatedly, and the pickled-RDD createDataFrame form would
+    # pay a python-worker round trip per partition per scan (see localdf)
+    from ..functions.localdf import arrow_local_df
+
+    return arrow_local_df(spark, out, f"node {id_type}, component {id_type}")

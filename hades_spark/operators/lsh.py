@@ -183,6 +183,14 @@ def cap_and_self_join(buckets: DataFrame,
     counted = buckets.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bh"))
     ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    # materialize the capped bucket rows ONCE before the self-join: both
+    # join sides consume `counted`, and without a checkpoint each side
+    # recompiles and re-executes the ENTIRE upstream chain (shingle ->
+    # minhash groupBy -> band explode -> window cap) — the compiled plan
+    # showed the full chain duplicated under the join, one copy per side
+    # (plans/r06/verified_pairs_before.txt). The checkpointed frame is
+    # (n x bands) skinny rows; both sides then scan materialized blocks.
+    counted = counted.localCheckpoint(eager=False)
 
     left = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("a"))
     right = counted.select(F.col("band"), F.col("bh"), F.col("_id").alias("b"))
@@ -260,17 +268,28 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     """
     dedup_keys = ["a", "b", *keep_cols]
     hashed = F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
-    # both joins consume the IDENTICAL projected frame (the a/b renames
-    # happen ABOVE the join) so the broadcast — or, past the threshold,
-    # the _id-hash shuffle — exchange canonicalizes identically and Spark
-    # builds it ONCE (ReusedExchange), not per side
-    ka = keyed.select("_id", hashed.alias("_sh_h"))
-    kb = keyed.select("_id", hashed.alias("_sh_h"))
+    # hash ONCE, materialize, and derive both probe relations from the
+    # materialized frame. The earlier same-projection-twice form relied on
+    # exchange reuse that never fired — the lambda in the hash transform
+    # defeats plan canonicalization, so the compiled plan carried TWO
+    # BroadcastExchange builds, each re-evaluating the shingle hash over
+    # the whole vocabulary (the round-5 "serial verify-tail" cost: the
+    # driver builds both relations sequentially). With the checkpoint the
+    # broadcast child is a bare materialized-RDD scan, which canonicalizes
+    # identically for both joins -> Spark plans one build + ReusedExchange.
+    kh = keyed.select("_id", hashed.alias("_sh_h")) \
+              .localCheckpoint(eager=False)
+    ka = kh.select("_id", "_sh_h")
+    kb = kh.select("_id", "_sh_h")
     small = broadcast
     if small is None:
         try:
-            rows, elems = keyed.agg(
-                F.count("*"), F.coalesce(F.sum(F.size("sh")), F.lit(0))
+            # size the ACTUAL broadcast payload (hashed int64 arrays) off
+            # the materialized frame — this same job doubles as the
+            # checkpoint's materialization pass, so the hash computation
+            # runs exactly once end to end
+            rows, elems = kh.agg(
+                F.count("*"), F.coalesce(F.sum(F.size("_sh_h")), F.lit(0))
             ).first()
             est_bytes = int(elems) * 8 + int(rows) * 48
             small = (rows <= broadcast_threshold_rows

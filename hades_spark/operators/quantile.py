@@ -113,8 +113,10 @@ def hist_quantiles(
         .crossJoin(F.broadcast(
             hist.agg(F.sum("cnt").cast("double").alias("n"))))
     )
-    qdf = cum.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double")
+    from ..functions.localdf import arrow_local_df
+
+    qdf = arrow_local_df(cum.sparkSession,
+                         [(float(q),) for q in qs], "q double")
     # the target bin is the FIRST whose cumulative count reaches q*N;
     # q=0's rank clamps to an epsilon so it lands in the first non-empty
     # bin (and interpolates to that bin's lower edge = the minimum)
@@ -191,8 +193,10 @@ def grouped_quantiles(
             .withColumn("prev", F.col("cum") - F.col("cnt"))
             .withColumn("n", F.sum("cnt").over(wn).cast("double"))
     )
-    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs],
-                                          "q double")
+    from ..functions.localdf import arrow_local_df
+
+    qdf = arrow_local_df(df.sparkSession, [(float(q),) for q in qs],
+                         "q double")
     target = F.greatest(F.col("q") * F.col("n"), F.lit(1e-12))
     hit = cum.join(F.broadcast(qdf),
                    (F.col("cum") >= target) & (F.col("prev") < target))

@@ -56,8 +56,10 @@ def query_vec_frame(df: DataFrame, vec, col: str = "_qv"):
     """Broadcast one-row frame carrying a query vector as a single array
     value — join it (map-side) instead of inlining dim literals."""
     spark = df.sparkSession
-    return F.broadcast(spark.createDataFrame(
-        [([float(x) for x in vec],)], f"{col} array<double>"))
+    from ..functions.localdf import arrow_local_df
+
+    return F.broadcast(arrow_local_df(
+        spark, [([float(x) for x in vec],)], f"{col} array<double>"))
 
 
 def _vstack_nullsafe(series, dim: int | None = None) -> np.ndarray:

@@ -10,8 +10,62 @@ Centralises the config we rely on everywhere:
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
+
+#: app ids whose python-worker pool has been (or is being) pre-warmed
+_WARMED_APPS: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession, slots: int) -> None:
+    """Fork + warm the python worker pool in the background.
+
+    The first Python stage of a fresh session pays a serialized cold
+    start: daemon launch, one worker fork per task slot, and a per-worker
+    import storm (pyarrow + this package's regex-compiling text modules)
+    — measured at 4-5s of wall on local[32], charged to whatever query
+    happens to run first. Running one trivial mapInArrow pass over
+    ``slots`` partitions from a daemon thread at session build moves that
+    cost off the query path: worker reuse (`spark.python.worker.reuse`,
+    default true) keeps the warmed workers alive for every later stage.
+
+    The warm function imports the extraction hot-path modules so workers
+    are module-warm, not just process-warm. Failures are swallowed —
+    warming is an optimization, never a correctness dependency."""
+
+    def _warm(it):
+        from .textcore import route, svo  # noqa: F401  (worker preload)
+
+        for batch in it:
+            yield batch
+
+    def _run():
+        try:
+            spark.range(0, slots, 1, slots).mapInArrow(_warm, "id long") \
+                .write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # session stopped early / noop sink unavailable
+
+    def _run_jvm():
+        # One-time lazy JVM class inits that otherwise land inside the
+        # first query to touch them. Spark 4's collation-aware case
+        # mapping (CollationAwareUTF8String) loads the ICU tables in a
+        # static initializer on the first NON-ASCII lower()/upper():
+        # measured 4.3s on an idle JVM and 10-16s when 32 task threads
+        # convoy on the class-init monitor mid-stage (the kg extraction
+        # stage's normalize_surface_col was paying exactly this).
+        try:
+            spark.sql(
+                "SELECT lower('ÄÖÜß'), upper('äöüß'), initcap('äöüß')"
+            ).collect()
+        except Exception:
+            pass
+
+    threading.Thread(target=_run, name="hades-worker-warmup",
+                     daemon=True).start()
+    threading.Thread(target=_run_jvm, name="hades-jvm-warmup",
+                     daemon=True).start()
 
 
 def get_spark(
@@ -61,7 +115,20 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+
+    # pre-warm the python worker pool once per app, local mode only (on a
+    # cluster, executor counts/dynamic allocation make a one-shot warm
+    # pass meaningless; executors warm on first real stage instead).
+    # Opt-out for callers that never run Python stages.
+    if (os.environ.get("HADES_SKIP_WORKER_WARMUP") != "1"
+            and spark.sparkContext.master.startswith("local")):
+        app_id = spark.sparkContext.applicationId
+        if app_id not in _WARMED_APPS:
+            _WARMED_APPS.add(app_id)
+            slots = spark.sparkContext.defaultParallelism
+            _warm_python_workers(spark, slots)
+    return spark
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
