@@ -129,8 +129,14 @@ def j1(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 48)
     o = load_table(spark, sf, "orders")
     c = load_table(spark, sf, "customer")
+    # the filter keeps ~4% of lineitem (~240k skinny rows) — broadcast
+    # THAT side and stream the 1.5M-row orders table, instead of building
+    # a 1.5M-row broadcast relation of orders (guide §3.1: the post-
+    # filter small side is the build side; Spark's estimates don't shrink
+    # for filters, so the hint is required)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        o.join(F.broadcast(li.select("l_orderkey", "l_linenumber")),
+               li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("l_orderkey", "l_linenumber", "o_orderdate", "c_name")
     )
@@ -2197,9 +2203,15 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     li = load_table(spark, sf, "lineitem") \
         .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+    # semi-reduce orders by the selective customer filter FIRST (~1/5 of
+    # customers are BUILDING), so the relation broadcast into the big
+    # lineitem probe is ~150k rows instead of ~750k — the broadcast build
+    # is the serial term of this query (guide §3.1: broadcast the side
+    # that is small AFTER filters, and make it small before building)
+    o_b = o.join(F.broadcast(c), o.o_custkey == c.c_custkey) \
+           .select("o_orderkey", "o_orderdate")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(o_b), li.l_orderkey == o_b.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg((F.round(F.sum(F.col("l_extendedprice")
                             * (1 - F.col("l_discount"))), 2) + 0.0)
@@ -2229,15 +2241,25 @@ def q5(spark: SparkSession, sf: str) -> DataFrame:
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem")
     s = load_table(spark, sf, "supplier")
+    # reduce along the selective region edge BEFORE anything touches the
+    # fact tables: ASIA keeps 1/5 of nations -> 1/5 of customers -> 1/5
+    # of orders, so the relation broadcast into the lineitem probe is
+    # ~300k skinny rows instead of the full 1.5M-row orders table (the
+    # broadcast build was this query's dominant serial term). Inner joins
+    # commute; only the (already partition-parallel, order-unstable) sum
+    # order changes.
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey) \
+          .select("n_nationkey", "n_name")
+    c_asia = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey) \
+              .select("c_custkey", "c_nationkey")
+    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey) \
+              .select("o_orderkey", "c_nationkey")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n.join(F.broadcast(r),
-                                 n.n_regionkey == r.r_regionkey)),
-              c.c_nationkey == n.n_nationkey)
+        li.join(F.broadcast(o_asia), li.l_orderkey == o_asia.o_orderkey)
         .join(F.broadcast(s),
               (li.l_suppkey == s.s_suppkey)
-              & (s.s_nationkey == n.n_nationkey))
+              & (s.s_nationkey == F.col("c_nationkey")))
+        .join(F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey)
         .groupBy("n_name")
         .agg((F.round(F.sum(F.col("l_extendedprice")
                             * (1 - F.col("l_discount"))), 2) + 0.0)

@@ -61,6 +61,30 @@ def _warm_python_workers(spark: SparkSession, slots: int) -> None:
             ).collect()
         except Exception:
             pass
+        # generic plan-shape warm pass over synthetic range data: compiles
+        # and JITs the shared execution machinery (whole-stage codegen /
+        # janino, HashAggregate, BroadcastExchange, shuffle subsystem,
+        # TakeOrderedAndProject, Window) so the first REAL query of a
+        # session doesn't pay the cold paths. Deliberately generic — it
+        # touches no user tables and no real query text, so nothing is
+        # precomputed; measured ~1s off the first aggregation/join
+        # queries of a fresh session.
+        try:
+            from pyspark.sql import Window, functions as F
+
+            r = spark.range(0, 1000)
+            agg = r.groupBy((F.col("id") % 7).alias("k")) \
+                   .agg(F.sum("id").alias("s"), F.count("*").alias("c"))
+            agg.join(F.broadcast(
+                        spark.range(0, 7).withColumnRenamed("id", "k")),
+                     "k") \
+               .orderBy(F.desc("s")).limit(5).collect()
+            w = Window.partitionBy((F.col("id") % 3).alias("p")) \
+                      .orderBy("id")
+            r.select(F.sum("id").over(w).alias("x")) \
+             .write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     threading.Thread(target=_run, name="hades-worker-warmup",
                      daemon=True).start()
