@@ -131,10 +131,31 @@ def negative_samples(
         .unionByName(e.select(F.col("dst").alias("ent")))
         .distinct()
     )
-    idx = ents.select(
-        "ent",
-        (F.row_number().over(W.orderBy("ent")) - 1).alias("_i"))
-    n = idx.count()
+    # dense 0-based index ordered by ent, WITHOUT a global single-task
+    # window (W.orderBy with no partitionBy sorts every entity in one
+    # task — an OOM at web-scale entity counts): range-partition by ent,
+    # rank within each (ordered) range, and add per-partition offsets.
+    # Range partitions are themselves ordered by ent, so offset + local
+    # rank reproduces the global row_number exactly, in parallel.
+    d = (ents.repartitionByRange(F.col("ent"))
+         .withColumn("pid", F.spark_partition_id())
+         .localCheckpoint(eager=False))
+    sizes = sorted((r["pid"], r["n"]) for r in
+                   d.groupBy("pid").agg(F.count("*").alias("n")).collect())
+    offsets, acc = [], 0
+    for pid, cnt in sizes:
+        offsets.append((pid, acc))
+        acc += cnt
+    n = acc
+    from ..functions.localdf import arrow_local_df
+
+    off_df = arrow_local_df(e.sparkSession, offsets, "pid int, _off long")
+    idx = (
+        d.withColumn("rk", F.row_number().over(
+            W.partitionBy("pid").orderBy("ent")))
+        .join(F.broadcast(off_df), "pid")
+        .select("ent", (F.col("_off") + F.col("rk") - 1).alias("_i"))
+    )
 
     cand = (
         e.select("src", "rel", "dst",
@@ -144,8 +165,13 @@ def negative_samples(
             F.xxhash64("src", "rel", "dst", "neg_idx", F.lit(seed)),
             F.lit(n)))
     )
+    # index join: broadcast only when the entity count is verifiably
+    # small (the count is already paid above); web-scale entity sets take
+    # a plain shuffle equi-join on the uniform index key instead of
+    # forcing an over-cap broadcast
+    idx_b = F.broadcast(idx) if n <= 1_000_000 else idx
     neg = (
-        cand.join(F.broadcast(idx), "_i")
+        cand.join(idx_b, "_i")
         .select("src", "rel", F.col("ent").alias("dst_neg"), "neg_idx",
                 "dst")
         .where(F.col("dst_neg") != F.col("dst"))
