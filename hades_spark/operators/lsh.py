@@ -269,14 +269,22 @@ def pair_scores(pairs: DataFrame, keyed: DataFrame, threshold: float,
     dedup_keys = ["a", "b", *keep_cols]
     hashed = F.array_distinct(F.transform("sh", lambda s: F.xxhash64(s)))
     # hash ONCE, materialize, and derive both probe relations from the
-    # materialized frame. The earlier same-projection-twice form relied on
-    # exchange reuse that never fired — the lambda in the hash transform
-    # defeats plan canonicalization, so the compiled plan carried TWO
-    # BroadcastExchange builds, each re-evaluating the shingle hash over
-    # the whole vocabulary (the round-5 "serial verify-tail" cost: the
-    # driver builds both relations sequentially). With the checkpoint the
-    # broadcast child is a bare materialized-RDD scan, which canonicalizes
-    # identically for both joins -> Spark plans one build + ReusedExchange.
+    # materialized frame. The earlier same-projection-twice form carried
+    # TWO BroadcastExchange builds, each re-evaluating the shingle hash
+    # over the whole vocabulary (the round-5 "serial verify-tail" cost).
+    # With the checkpoint each build is a bare scan of materialized
+    # blocks, so the hash computation runs once end to end. Exchange
+    # REUSE on top of that is real but not guaranteed: the production
+    # canonicalization pipeline compiles one vocabulary build plus a
+    # ReusedExchange for the second probe (verified in the final
+    # adaptive plan at both 39.6k- and 154k-squash vocabularies), while
+    # isolated two-probe shapes over the same checkpointed frame can
+    # compile two independent builds (scripts/reuse_probe.py) — so the
+    # guarantee this code relies on is only the single lineage
+    # evaluation; the worst case is one extra hash-table build, bounded
+    # by the broadcast gate below (<= broadcast_threshold_rows rows and
+    # <= broadcast_threshold_bytes payload); past the gate the tail is
+    # a shuffle join and no driver-side relation is built at all.
     kh = keyed.select("_id", hashed.alias("_sh_h")) \
               .localCheckpoint(eager=False)
     ka = kh.select("_id", "_sh_h")
